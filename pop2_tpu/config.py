@@ -1,0 +1,209 @@
+"""Model configuration.
+
+A single frozen (hashable) dataclass tree replaces the reference's ~60 Fortran
+namelists in ``pop2_in`` plus the compile-time ``domain_size.F90`` generated
+files (reference: ``source/POP_ConfigMod.F90``, ``input_templates/*_domain_size.F90``,
+``bld/build-namelist``). Because the config is hashable it can be passed as a
+static argument to ``jax.jit`` — grid shapes and physics-scheme choices become
+compile-time constants, exactly the role the generated Fortran files played.
+
+Presets mirror the reference's supported grids
+(``input_templates/test_domain_size.F90:26-46`` and per-grid headers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Barotropic elliptic solver options (source/POP_SolversMod.F90:502-700)."""
+
+    choice: str = "ChronGear"          # 'ChronGear' | 'PCSI' | 'pcg'
+    convergence_criterion: float = 1.0e-13
+    max_iterations: int = 1000
+    convergence_check_freq: int = 10
+    convergence_check_start: int = 60  # PCSI only
+    preconditioner: str = "diagonal"   # 'diagonal' (EVP/file later)
+    lanczos_iterations: int = 100      # PCSI eigenvalue estimation
+
+
+@dataclass(frozen=True)
+class TimeConfig:
+    """Timestep / time-mixing options (source/time_management.F90:421-592)."""
+
+    dt_option: str = "steps_per_day"
+    dt_count: float = 45.0             # steps per day by default
+    time_mix_opt: str = "avg"          # 'avg' | 'robert' (Matsuno not rebuilt)
+    time_mix_freq: int = 17            # averaging interval (steps)
+    robert_alpha: float = 1.0          # Robert filter alpha
+    robert_nu: float = 0.1             # Robert filter strength
+    impcor: bool = True                # implicit treatment of Coriolis
+    dtuxcel: float = 1.0               # momentum timestep accel factor
+    # leapfrog time-centering params (source/time_management.F90:437-439)
+    alpha: float = 1.0 / 3.0
+    theta: float = 0.5
+
+    @property
+    def dtt(self) -> float:
+        """Tracer timestep in seconds (source/time_management.F90:754-791)."""
+        seconds_in_day = 86400.0
+        if self.dt_option == "steps_per_day":
+            return seconds_in_day / self.dt_count
+        if self.dt_option == "seconds":
+            return float(self.dt_count)
+        if self.dt_option == "hours":
+            return float(self.dt_count) * 3600.0
+        if self.dt_option == "steps_per_year":
+            return seconds_in_day * 365.0 / self.dt_count
+        raise ValueError(f"unknown dt_option {self.dt_option}")
+
+    @property
+    def dtu(self) -> float:
+        return self.dtt * self.dtuxcel
+
+    @property
+    def dtp(self) -> float:
+        return self.dtt * self.dtuxcel
+
+    @property
+    def gamma(self) -> float:
+        return 1.0 - 2.0 * self.alpha
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full model configuration; hashable, so usable as a jit-static argument."""
+
+    # -- grid dimensions (compile-time in the reference:
+    #    input_templates/test_domain_size.F90:26-46)
+    nx: int = 192
+    ny: int = 128
+    km: int = 20
+    nt: int = 2                        # number of tracers (>=2: TEMP, SALT)
+
+    # -- boundary conditions (source/domain.F90 domain_nml)
+    ew_boundary: str = "cyclic"        # 'cyclic' | 'closed'
+    ns_boundary: str = "closed"        # 'closed' | 'cyclic' | 'tripole'
+
+    # -- grid generation (source/grid.F90 grid_nml)
+    horiz_grid: str = "internal"       # 'internal' | 'file'
+    vert_grid: str = "internal"
+    topography: str = "internal"
+    horiz_grid_file: Optional[str] = None
+    vert_grid_file: Optional[str] = None
+    topography_file: Optional[str] = None
+    flat_bottom: bool = True           # internal topography is flat-bottomed
+    partial_bottom_cells: bool = False
+    sfc_layer: str = "varthick"        # 'varthick' | 'rigid' | 'oldfree'
+    n_topo_smooth: int = 0
+
+    # -- physics scheme choices
+    state_choice: str = "mwjf"         # 'mwjf' | 'linear' | 'jmcd'
+    state_range_opt: str = "enforce"   # 'ignore' | 'enforce'
+    tadvect: str = "centered"          # 'centered' | 'upwind3'
+    hmix_momentum: str = "del2"        # 'del2' | 'del4' | 'aniso'
+    hmix_tracer: str = "del2"          # 'del2' | 'del4' | 'gm'
+    vmix: str = "const"                # 'const' | 'rich' | 'kpp'
+    implicit_vertical_mix: bool = True
+    aidif: float = 1.0                 # implicit vmix time-centering
+    bottom_drag: float = 1.0e-3        # quadratic bottom drag coefficient
+    convection_type: str = "diffusion" # 'diffusion' | 'adjustment'
+    nconvad: int = 2
+    convect_diff: float = 1000.0       # convective diffusivity (cm^2/s)
+    convect_visc: float = 1000.0
+    lpressure_avg: bool = True
+    lbouss_correct: bool = False
+    reset_to_freezing: bool = True
+    liceform: bool = False
+    sw_absorption: str = "none"        # 'none' | 'jerlov'
+    jerlov_water_type: int = 3
+
+    # -- mixing coefficients
+    am: Optional[float] = None         # horizontal viscosity; None -> auto
+    ah: Optional[float] = None         # horizontal diffusivity; None -> auto
+    am4: float = -0.6e20               # biharmonic viscosity
+    ah4: float = -0.2e20               # biharmonic diffusivity
+    const_vvc: float = 0.25            # constant vertical viscosity (cm^2/s)
+    const_vdc: float = 0.25            # constant vertical diffusivity (cm^2/s)
+    # Richardson vmix (source/vmix_rich.F90)
+    bckgrnd_vvc: float = 1.0
+    bckgrnd_vdc: float = 0.1
+    rich_mix: float = 50.0
+
+    # -- Coriolis options (source/grid.F90:1154-1172)
+    lconst_coriolis: bool = False
+    coriolis_val: float = 1.0e-4
+
+    # -- sub-configs
+    time: TimeConfig = field(default_factory=TimeConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+    # -- numerics
+    dtype: str = "float64"             # working precision
+    # mesh: logical device mesh shape (y_axis, x_axis) for 2-D spatial sharding
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def auto_am(self) -> float:
+        """Viscosity scaled to 1e7 at 1/2 degree (source/hmix_del2.F90:205)."""
+        return self.am if self.am is not None else 1.0e7 * (720.0 / self.nx)
+
+    @property
+    def auto_ah(self) -> float:
+        """Diffusivity scaled to 1e7 at 1/2 deg (source/hmix_del2.F90:534)."""
+        return self.ah if self.ah is not None else 1.0e7 * (720.0 / self.nx)
+
+    def with_(self, **kwargs) -> "ModelConfig":
+        return replace(self, **kwargs)
+
+
+def _preset(name: str, **kw) -> ModelConfig:
+    return ModelConfig(**kw)
+
+
+# Grid presets mirroring the reference's per-grid generated domain_size files.
+# Dimensions from input_templates/*_domain_size.F90 headers (SURVEY.md §2.1).
+PRESETS = {
+    # test grid: 192x128x20, internal grids, cyclic E-W / closed N-S
+    # (input_templates/test_domain_size.F90:26-46, input_templates/test_pop2_in)
+    "test": ModelConfig(),
+    # small test grid for CI: same physics, tiny dims
+    "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",
+                        time=TimeConfig(dt_option="steps_per_day",
+                                        dt_count=96.0)),
+    "gx3v5": ModelConfig(nx=100, ny=116, km=25, horiz_grid="file",
+                         vert_grid="file", topography="file",
+                         ns_boundary="closed", flat_bottom=False,
+                         vmix="kpp", hmix_tracer="gm", hmix_momentum="aniso"),
+    "gx3v7": ModelConfig(nx=100, ny=116, km=60, horiz_grid="file",
+                         vert_grid="file", topography="file",
+                         ns_boundary="closed", flat_bottom=False,
+                         vmix="kpp", hmix_tracer="gm", hmix_momentum="aniso"),
+    "gx1v7": ModelConfig(nx=320, ny=384, km=60, horiz_grid="file",
+                         vert_grid="file", topography="file",
+                         ns_boundary="tripole", flat_bottom=False,
+                         vmix="kpp", hmix_tracer="gm", hmix_momentum="aniso"),
+    "tx0.1v3": ModelConfig(nx=3600, ny=2400, km=62, horiz_grid="file",
+                           vert_grid="file", topography="file",
+                           ns_boundary="tripole", flat_bottom=False,
+                           partial_bottom_cells=True,
+                           vmix="kpp", hmix_tracer="del4",
+                           hmix_momentum="del4"),
+}
+
+
+def get_config(name: str = "test", **overrides) -> ModelConfig:
+    cfg = PRESETS[name]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

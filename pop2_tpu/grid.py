@@ -1,0 +1,426 @@
+"""Grid generation: horizontal/vertical metrics, topography, masks, operator
+coefficients.
+
+Replaces the reference's ``source/grid.F90`` (3427 lines) plus the stencil
+coefficient setup scattered across ``source/hmix_del2.F90:287-404`` and
+``source/POP_SolversMod.F90:771-820``. Everything is generated on the host in
+float64 numpy, then moved to device as one immutable pytree. There are no
+blocks and no ghost cells: the global array IS the layout, and land is handled
+with masks (dense arrays; the reference instead eliminates land blocks —
+``source/domain.F90:63-72`` — which we document as accepted FLOP waste in
+BASELINE.md).
+
+Internal grid recipes follow the reference exactly so numerical parity tests
+can run on the ``test`` grid with no input files:
+  * horizontal lat/lon grid   source/grid.F90:1187-1307
+  * vertical thickness profile source/grid.F90:1549-1709
+  * idealized topography       source/grid.F90:1921-2025
+  * depth fields / landmasks   source/grid.F90:973-1051, 2537-2596
+  * T<->U averaging weights    source/grid.F90:2882-2932
+  * reference pressure         source/state_mod.F90:1724-1766
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from pop2_tpu import constants as const
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.stencil import BC
+
+
+@struct.dataclass
+class VGrid:
+    """Vertical grid arrays, all shape (km,) except dzw/dzwr (km+1,).
+
+    dzw[k] spans midpoint of layer k to midpoint of layer k+1 with the
+    reference's 0..km indexing folded as dzw[0] = surface half-layer
+    (source/grid.F90:786-803).
+    """
+    dz: jnp.ndarray
+    c2dz: jnp.ndarray
+    dzr: jnp.ndarray
+    dz2r: jnp.ndarray
+    zt: jnp.ndarray
+    zw: jnp.ndarray
+    dzw: jnp.ndarray    # (km+1,), dzw[0] is the reference's dzw(0)
+    dzwr: jnp.ndarray   # (km+1,)
+    pressz: jnp.ndarray  # reference pressure (bars) at layer midpoints
+
+
+@struct.dataclass
+class Grid:
+    """All time-invariant grid fields. Horizontal arrays are (ny, nx);
+    3-D masks are (km, ny, nx)."""
+
+    # horizontal metrics (cm) — source/grid.F90:122-135
+    DXU: jnp.ndarray
+    DYU: jnp.ndarray
+    DXT: jnp.ndarray
+    DYT: jnp.ndarray
+    DXUR: jnp.ndarray
+    DYUR: jnp.ndarray
+    DXTR: jnp.ndarray
+    DYTR: jnp.ndarray
+    HTN: jnp.ndarray
+    HTE: jnp.ndarray
+    HUS: jnp.ndarray
+    HUW: jnp.ndarray
+    ULAT: jnp.ndarray
+    ULON: jnp.ndarray
+    TLAT: jnp.ndarray
+    TLON: jnp.ndarray
+    ANGLE: jnp.ndarray
+    ANGLET: jnp.ndarray
+    FCOR: jnp.ndarray
+    FCORT: jnp.ndarray
+    UAREA: jnp.ndarray
+    TAREA: jnp.ndarray
+    UAREA_R: jnp.ndarray
+    TAREA_R: jnp.ndarray
+    HT: jnp.ndarray
+    HU: jnp.ndarray
+    HUR: jnp.ndarray
+
+    # topography / masks
+    KMT: jnp.ndarray       # (ny, nx) int32: deepest ocean level at T points
+    KMU: jnp.ndarray       # (ny, nx) int32
+    RCALCT: jnp.ndarray    # (ny, nx) 1/0 mask of surface ocean T points
+    RCALCU: jnp.ndarray
+    kmask_t: jnp.ndarray   # (km, ny, nx) bool: level k (0-based) < KMT
+    kmask_u: jnp.ndarray   # (km, ny, nx) bool
+
+    # T->U area-averaging weights — source/grid.F90:2920-2928
+    AU0: jnp.ndarray
+    AUN: jnp.ndarray
+    AUE: jnp.ndarray
+    AUNE: jnp.ndarray
+
+    # del2 stencil coefficients — source/hmix_del2.F90:287-404, 611-634
+    DTN: jnp.ndarray
+    DTS: jnp.ndarray
+    DTE: jnp.ndarray
+    DTW: jnp.ndarray
+    DUC: jnp.ndarray
+    DUN: jnp.ndarray
+    DUS: jnp.ndarray
+    DUE: jnp.ndarray
+    DUW: jnp.ndarray
+    DMC: jnp.ndarray
+    DMN: jnp.ndarray
+    DMS: jnp.ndarray
+    DME: jnp.ndarray
+    DMW: jnp.ndarray
+    DUM: jnp.ndarray
+    KXU: jnp.ndarray
+    KYU: jnp.ndarray
+
+    # neighbor depth fields for tracer-mixing land BCs
+    # (source/grid.F90:2580-2591)
+    KMTN: jnp.ndarray
+    KMTS: jnp.ndarray
+    KMTE: jnp.ndarray
+    KMTW: jnp.ndarray
+
+    # barotropic 9-pt operator weights — source/POP_SolversMod.F90:771-820
+    btrop_ne: jnp.ndarray
+    btrop_n: jnp.ndarray
+    btrop_e: jnp.ndarray
+    btrop_c_indep: jnp.ndarray
+
+    vgrid: VGrid
+
+    # global area of ocean T cells (scalar), normalization for diagnostics
+    area_t: jnp.ndarray
+    volume_t: jnp.ndarray
+    # solver residual normalization sum((TAREA**2)[ocean])
+    # (source/POP_SolversMod.F90:888-898)
+    residual_norm: jnp.ndarray
+
+
+def pressure_bars(depth_m: np.ndarray) -> np.ndarray:
+    """Pressure (bars) from depth (m); Levitus-mean hydrostatic fit
+    (source/state_mod.F90:1765-1766)."""
+    return (0.059808 * (np.exp(-0.025 * depth_m) - 1.0)
+            + 0.100766 * depth_m + 2.28405e-7 * depth_m ** 2)
+
+
+def _vert_grid_internal(km: int, zmax: float = 5500.0, dz_sfc: float = 25.0,
+                        dz_deep: float = 400.0) -> np.ndarray:
+    """Layer thicknesses (m) via bisection on the Gaussian profile parameter
+    (source/grid.F90:1549-1709)."""
+
+    def compute_dz(zlength: float) -> np.ndarray:
+        dz = np.zeros(km)
+        depth = 0.0
+        for k in range(km):
+            dz[k] = dz_deep - (dz_deep - dz_sfc) * np.exp(-(depth / zlength) ** 2)
+            depth += dz[k]
+        return dz
+
+    eps = 1.0e-10
+    zl0, zl1 = eps, zmax
+    d0 = compute_dz(zl0).sum()
+    d1 = compute_dz(zl1).sum()
+    if (d0 - zmax) * (d1 - zmax) > 0.0:
+        raise ValueError(
+            f"internal vertical grid: km={km} cannot integrate to {zmax} m "
+            f"(range [{d0:.0f}, {d1:.0f}] m); use vert_grid='uniform'")
+    while (zl1 - zl0) / zmax > eps:
+        zl = zl0 + 0.5 * (zl1 - zl0)
+        d = compute_dz(zl).sum()
+        if (d0 - zmax) * (d - zmax) < 0.0:
+            zl1, d1 = zl, d
+        else:
+            zl0, d0 = zl, d
+    return compute_dz(zl0 + 0.5 * (zl1 - zl0))
+
+
+def _topography_internal(ulat_deg: np.ndarray, ulon_deg: np.ndarray,
+                         km: int) -> np.ndarray:
+    """Idealized-continent KMT field (source/grid.F90:1957-1988)."""
+    lond = np.where(ulon_deg < 0.0, ulon_deg + 360.0, ulon_deg)
+    latd = ulat_deg
+    kmt = np.full(latd.shape, km, dtype=np.int32)
+    kmt[(latd > -35.0) & (lond > 210.0) & (lond < 250.0)] = 0
+    kmt[(latd > 25.0) & (lond > 210.0) & (lond < 330.0)] = 0
+    # the reference's third box (lond>210 & lond<150) is empty; kept for parity
+    kmt[(latd > -60.0) & (lond > 110.0) & (lond < 150.0)] = 0
+    kmt[np.abs(latd) > 75.0] = 0
+    return kmt
+
+
+def _np_shift(f: np.ndarray, di: int, dj: int, ew: str, ns: str,
+              fill=0.0) -> np.ndarray:
+    """Host-side shift: result[j,i] = f[j+dj, i+di] with boundary handling."""
+    g = np.roll(f, (-dj, -di), axis=(0, 1))
+    if ns == "closed" and dj != 0:
+        if dj > 0:
+            g[-dj:, :] = fill
+        else:
+            g[:(-dj), :] = fill
+    if ew == "closed" and di != 0:
+        if di > 0:
+            g[:, -di:] = fill
+        else:
+            g[:, :(-di)] = fill
+    return g
+
+
+def build_grid(cfg: ModelConfig) -> Grid:
+    """Generate the full grid for the given config (internal grids only for
+    now; file-based grids arrive with the gx3/gx1 support)."""
+    if cfg.horiz_grid != "internal":
+        raise NotImplementedError("file-based horizontal grids: see io.grids")
+    nx, ny, km = cfg.nx, cfg.ny, cfg.km
+    ew, ns = cfg.ew_boundary, cfg.ns_boundary
+
+    def sh(f, di, dj, fill=0.0):
+        return _np_shift(f, di, dj, ew, ns, fill)
+
+    # ---- horizontal grid (source/grid.F90:1226-1298) -----------------------
+    dlon = 360.0 / nx
+    dlat = 180.0 / ny
+    i = np.arange(1, nx + 1)
+    j = np.arange(1, ny + 1)
+    ulon_deg = i * dlon
+    ulon_deg = np.where(ulon_deg > 180.0, ulon_deg - 360.0, ulon_deg)
+    ulat_deg = -90.0 + j * dlat
+    ULON = np.broadcast_to(ulon_deg[None, :] / const.RADIAN, (ny, nx)).copy()
+    ULAT = np.broadcast_to(ulat_deg[:, None] / const.RADIAN, (ny, nx)).copy()
+    lathalf_deg = -90.0 + (j - 0.5) * dlat
+    TLAT = np.broadcast_to(lathalf_deg[:, None] / const.RADIAN, (ny, nx)).copy()
+    TLON = ULON - (dlon / 2.0) / const.RADIAN
+
+    dx_cm = dlon * const.RADIUS / const.RADIAN
+    dy_cm = dlat * const.RADIUS / const.RADIAN
+    HTE = np.full((ny, nx), dy_cm)
+    HUW = np.full((ny, nx), dy_cm)
+    DYT = np.full((ny, nx), dy_cm)
+    DYU = np.full((ny, nx), dy_cm)
+    HTN = dx_cm * np.cos(ULAT)
+    DXU = HTN.copy()
+    HUS = dx_cm * np.cos(TLAT)
+    # DXT(j) = dx * p5*(cos(ULAT(j)) + cos(ULAT(j-1))); j-1 wraps to ny
+    # for j=1 as in the reference (source/grid.F90:1261-1287)
+    cos_ulat = np.cos(ULAT)
+    cos_ulat_jm1 = np.roll(cos_ulat, 1, axis=0)
+    DXT = dx_cm * 0.5 * (cos_ulat + cos_ulat_jm1)
+
+    # guard against zero at the poles (land there anyway)
+    HTN = np.maximum(HTN, 1.0e-20)
+    HUS = np.maximum(HUS, 1.0e-20)
+    DXU = np.maximum(DXU, 1.0e-20)
+    DXT = np.maximum(DXT, 1.0e-20)
+
+    DXUR, DYUR = 1.0 / DXU, 1.0 / DYU
+    DXTR, DYTR = 1.0 / DXT, 1.0 / DYT
+    UAREA = DXU * DYU
+    TAREA = DXT * DYT
+    UAREA_R, TAREA_R = 1.0 / UAREA, 1.0 / TAREA
+
+    ANGLE = np.zeros((ny, nx))
+    ANGLET = np.zeros((ny, nx))
+
+    # Coriolis (source/grid.F90:1154-1172)
+    if cfg.lconst_coriolis:
+        FCOR = np.full((ny, nx), cfg.coriolis_val)
+        FCORT = np.full((ny, nx), cfg.coriolis_val)
+    else:
+        FCOR = 2.0 * const.OMEGA * np.sin(ULAT)
+        FCORT = 2.0 * const.OMEGA * np.sin(TLAT)
+
+    # ---- vertical grid -----------------------------------------------------
+    if cfg.vert_grid == "internal":
+        dz_m = _vert_grid_internal(km)
+    elif cfg.vert_grid == "uniform":
+        dz_m = np.full(km, 5500.0 / km)
+    else:
+        raise NotImplementedError("file-based vertical grids: see io.grids")
+    dz = dz_m * const.CMPERM
+    # derived vertical quantities (source/grid.F90:786-803)
+    dzw = np.zeros(km + 1)
+    dzw[0] = 0.5 * dz[0]
+    dzw[km] = 0.5 * dz[km - 1]
+    dzw[1:km] = 0.5 * (dz[:-1] + dz[1:])
+    zw = np.cumsum(dz)
+    zt = np.zeros(km)
+    zt[0] = dzw[0]
+    zt[1:] = zt[0] + np.cumsum(dzw[1:km])
+    c2dz = 2.0 * dz
+    dzr, dz2r = 1.0 / dz, 1.0 / c2dz
+    dzwr = 1.0 / dzw
+    pressz = pressure_bars(zt * const.MPERCM)
+
+    # ---- topography --------------------------------------------------------
+    if cfg.topography == "internal":
+        KMT = _topography_internal(ULAT * const.RADIAN, ULON * const.RADIAN, km)
+        if cfg.flat_bottom:
+            KMT = np.where(KMT != 0, km, 0).astype(np.int32)
+    else:
+        raise NotImplementedError("file-based topography: see io.grids")
+
+    # KMU = min of 4 surrounding KMTs (source/grid.F90:978-985)
+    KMU = np.minimum(np.minimum(KMT, sh(KMT, 1, 0)),
+                     np.minimum(sh(KMT, 0, 1), sh(KMT, 1, 1))).astype(np.int32)
+
+    # depth at T, U points (source/grid.F90:1024-1043), no partial bottom cells
+    zw_pad = np.concatenate([[0.0], zw])
+    HT = zw_pad[KMT]
+    HU = zw_pad[KMU]
+    HUR = np.where(HU > 0.0, 1.0 / np.where(HU > 0.0, HU, 1.0), 0.0)
+
+    # landmasks (source/grid.F90:2555-2571)
+    RCALCT = (KMT >= 1).astype(np.float64)
+    RCALCU = (KMU >= 1).astype(np.float64)
+    kidx = np.arange(1, km + 1)[:, None, None]
+    kmask_t = kidx <= KMT[None, :, :]
+    kmask_u = kidx <= KMU[None, :, :]
+
+    KMTN = sh(KMT, 0, 1).astype(np.int32)
+    KMTS = sh(KMT, 0, -1).astype(np.int32)
+    KMTE = sh(KMT, 1, 0).astype(np.int32)
+    KMTW = sh(KMT, -1, 0).astype(np.int32)
+
+    # T->U averaging weights (source/grid.F90:2920-2928)
+    AU0 = TAREA * 0.25 * UAREA_R
+    AUN = sh(TAREA, 0, 1) * 0.25 * UAREA_R
+    AUE = sh(TAREA, 1, 0) * 0.25 * UAREA_R
+    AUNE = sh(TAREA, 1, 1) * 0.25 * UAREA_R
+
+    # ---- del2 operator coefficients (AMF = AHF = 1) ------------------------
+    # tracers (source/hmix_del2.F90:619-634)
+    w1 = HTN / HUW
+    DTN = w1 * TAREA_R
+    DTS = sh(w1, 0, -1) * TAREA_R
+    w1 = HTE / HUS
+    DTE = w1 * TAREA_R
+    DTW = sh(w1, -1, 0) * TAREA_R
+
+    # momentum (source/hmix_del2.F90:317-404)
+    w1 = (HUS / HTE)
+    DUS = w1 * UAREA_R
+    DUN = sh(w1, 0, 1) * UAREA_R
+    w1 = (HUW / HTN)
+    DUW = w1 * UAREA_R
+    DUE = sh(w1, 1, 0) * UAREA_R
+    DUC = -(DUN + DUS + DUE + DUW)
+
+    KXU = (sh(HUW, 1, 0) - HUW) * UAREA_R
+    KYU = (sh(HUS, 0, 1) - HUS) * UAREA_R
+
+    kxt = (HTE - sh(HTE, -1, 0)) * TAREA_R
+    w2 = 0.5 * (kxt + sh(kxt, 0, 1))
+    DXKX = (sh(w2, 1, 0) - w2) * DXUR
+    w2 = 0.5 * (kxt + sh(kxt, 1, 0))
+    DYKX = (sh(w2, 0, 1) - w2) * DYUR
+
+    kyt = (HTN - sh(HTN, 0, -1)) * TAREA_R
+    w2 = 0.5 * (kyt + sh(kyt, 1, 0))
+    DYKY = (sh(w2, 0, 1) - w2) * DYUR
+    w2 = 0.5 * (kyt + sh(kyt, 0, 1))
+    DXKY = (sh(w2, 1, 0) - w2) * DXUR
+
+    DUM = -(DXKX + DYKY + 2.0 * (KXU ** 2 + KYU ** 2))
+    DMC = DXKY - DYKX
+    DME = 2.0 * KYU / (HTN + sh(HTN, 1, 0))
+    DMN = -2.0 * KXU / (HTE + sh(HTE, 0, 1))
+    DMW = -DME
+    DMS = -DMN
+
+    # ---- barotropic 9-pt operator weights ----------------------------------
+    # (source/POP_SolversMod.F90:786-816); xW/yW live on U points, weights on
+    # T points gather the 4 surrounding U corners.
+    xW = 0.25 * HU * DXUR * DYU
+    yW = 0.25 * HU * DYUR * DXU
+    wNE = xW + yW
+    a_se = sh(xW, 0, -1) + sh(yW, 0, -1)
+    a_nw = sh(wNE, -1, 0)
+    a_sw = sh(wNE, -1, -1)
+    btrop_ne = wNE
+    btrop_e = xW + sh(xW, 0, -1) - yW - sh(yW, 0, -1)
+    btrop_n = yW + sh(yW, -1, 0) - xW - sh(xW, -1, 0)
+    btrop_c_indep = -(wNE + a_se + a_nw + a_sw)
+
+    area_t = np.sum(TAREA * RCALCT)
+    volume_t = np.sum(TAREA * HT * RCALCT)
+    residual_norm = 1.0 / np.sum(TAREA ** 2 * RCALCT)
+
+    dt = cfg.jnp_dtype
+    f = lambda a: jnp.asarray(a, dtype=dt)  # noqa: E731
+    fi = lambda a: jnp.asarray(a, dtype=jnp.int32)  # noqa: E731
+
+    vgrid = VGrid(dz=f(dz), c2dz=f(c2dz), dzr=f(dzr), dz2r=f(dz2r),
+                  zt=f(zt), zw=f(zw), dzw=f(dzw), dzwr=f(dzwr),
+                  pressz=f(pressz))
+
+    return Grid(
+        DXU=f(DXU), DYU=f(DYU), DXT=f(DXT), DYT=f(DYT),
+        DXUR=f(DXUR), DYUR=f(DYUR), DXTR=f(DXTR), DYTR=f(DYTR),
+        HTN=f(HTN), HTE=f(HTE), HUS=f(HUS), HUW=f(HUW),
+        ULAT=f(ULAT), ULON=f(ULON), TLAT=f(TLAT), TLON=f(TLON),
+        ANGLE=f(ANGLE), ANGLET=f(ANGLET), FCOR=f(FCOR), FCORT=f(FCORT),
+        UAREA=f(UAREA), TAREA=f(TAREA), UAREA_R=f(UAREA_R),
+        TAREA_R=f(TAREA_R), HT=f(HT), HU=f(HU), HUR=f(HUR),
+        KMT=fi(KMT), KMU=fi(KMU), RCALCT=f(RCALCT), RCALCU=f(RCALCU),
+        kmask_t=jnp.asarray(kmask_t), kmask_u=jnp.asarray(kmask_u),
+        AU0=f(AU0), AUN=f(AUN), AUE=f(AUE), AUNE=f(AUNE),
+        DTN=f(DTN), DTS=f(DTS), DTE=f(DTE), DTW=f(DTW),
+        DUC=f(DUC), DUN=f(DUN), DUS=f(DUS), DUE=f(DUE), DUW=f(DUW),
+        DMC=f(DMC), DMN=f(DMN), DMS=f(DMS), DME=f(DME), DMW=f(DMW),
+        DUM=f(DUM), KXU=f(KXU), KYU=f(KYU),
+        KMTN=fi(KMTN), KMTS=fi(KMTS), KMTE=fi(KMTE), KMTW=fi(KMTW),
+        btrop_ne=f(btrop_ne), btrop_n=f(btrop_n), btrop_e=f(btrop_e),
+        btrop_c_indep=f(btrop_c_indep),
+        vgrid=vgrid,
+        area_t=f(area_t), volume_t=f(volume_t),
+        residual_norm=f(residual_norm),
+    )
+
+
+def grid_bc(cfg: ModelConfig) -> BC:
+    return BC(ew=cfg.ew_boundary, ns=cfg.ns_boundary)

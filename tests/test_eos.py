@@ -1,0 +1,52 @@
+"""EOS tests against the reference's published test value
+(source/state_mod.F90:412-414)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pop2_tpu import eos
+
+
+def test_mwjf_reference_value():
+    # rho = 1.033213242 g/cm^3 at S=35 PSU, theta=20 C, pressz=200 bars
+    rho = eos.mwjf_rho(jnp.array(20.0), jnp.array(0.035), jnp.array(200.0))
+    # the reference quotes 1.033213242 (source/state_mod.F90:414) and
+    # 1.033213387 (source/state_mod.F90:786) for the same inputs; accept the
+    # half-ppm band spanning both
+    np.testing.assert_allclose(float(rho), 1.033213242, atol=5e-7)
+
+
+def test_mwjf_surface_fresh():
+    # fresh water at 4C, p=0: density ~ 1.000 g/cm^3
+    rho = eos.mwjf_rho(jnp.array(4.0), jnp.array(0.0), jnp.array(0.0))
+    np.testing.assert_allclose(float(rho), 1.0000, atol=5e-4)
+
+
+def test_mwjf_derivatives_match_finite_difference():
+    T, S, p = 10.0, 0.034, 100.0
+    rho, drdt, drds = eos.mwjf_rho(jnp.array(T), jnp.array(S), jnp.array(p),
+                                   want_drhodt=True, want_drhods=True)
+    import jax
+    ad_t = float(jax.grad(lambda t: eos.mwjf_rho(t, jnp.array(S),
+                                                 jnp.array(p)))(jnp.array(T)))
+    ad_s = float(jax.grad(lambda s: eos.mwjf_rho(jnp.array(T), s,
+                                                 jnp.array(p)))(jnp.array(S)))
+    np.testing.assert_allclose(float(drdt), ad_t, rtol=1e-12)
+    np.testing.assert_allclose(float(drds), ad_s, rtol=1e-12)
+
+
+def test_state_3d_shapes(test_cfg, test_grid):
+    km, ny, nx = test_cfg.km, test_cfg.ny, test_cfg.nx
+    T = jnp.full((km, ny, nx), 10.0)
+    S = jnp.full((km, ny, nx), 0.0347)
+    rho = eos.state(test_cfg, test_grid.vgrid.pressz, T, S)
+    assert rho.shape == (km, ny, nx)
+    r = np.asarray(rho)
+    # density increases with depth at fixed T,S (pressure effect)
+    assert np.all(np.diff(r[:, 60, 60]) > 0)
+
+
+def test_ts_range_build(test_grid):
+    tsr = eos.build_ts_range(np.asarray(test_grid.vgrid.zt), jnp.float64)
+    assert float(tsr.tmax[0, 0, 0]) == 29.0
+    assert float(tsr.smin[0, 0, 0]) == 28.5e-3
