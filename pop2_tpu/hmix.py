@@ -1,0 +1,74 @@
+"""Horizontal mixing (Laplacian del2 for momentum and tracers; del4/GM/aniso
+follow in later rounds).
+
+Reference: ``source/hmix_del2.F90:670-1144`` using the stencil coefficients
+precomputed in grid.py (the reference builds them in init_del2u/init_del2t,
+source/hmix_del2.F90:287-404, 611-634). Land boundary conditions enter through
+per-level masking of the tracer coefficients (zero-flux) and through zeroing
+over land for momentum (no-slip, since u = v = 0 on boundaries).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.grid import Grid
+from pop2_tpu.stencil import BC
+
+
+def hdifft_del2(cfg: ModelConfig, grid: Grid, bc: BC, tmix):
+    """Laplacian tracer diffusion ah*Del2(T) for all tracers/levels
+    (source/hmix_del2.F90:1034-1095). tmix: (nt, km, ny, nx)."""
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    mask = grid.kmask_t
+    cn = jnp.where((kidx <= grid.KMTN[None]) & mask, grid.DTN[None], 0.0)
+    cs = jnp.where((kidx <= grid.KMTS[None]) & mask, grid.DTS[None], 0.0)
+    ce = jnp.where((kidx <= grid.KMTE[None]) & mask, grid.DTE[None], 0.0)
+    cw = jnp.where((kidx <= grid.KMTW[None]) & mask, grid.DTW[None], 0.0)
+    cc = -(cn + cs + ce + cw)
+
+    ah = cfg.auto_ah
+    hdtk = ah * (cc[None] * tmix
+                 + cn[None] * bc.n(tmix) + cs[None] * bc.s(tmix)
+                 + ce[None] * bc.e(tmix) + cw[None] * bc.w(tmix))
+    return hdtk
+
+
+def hdiffu_del2(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
+    """Laplacian momentum diffusion with metric terms that mix U and V
+    (source/hmix_del2.F90:892-936). umixk/vmixk: (km, ny, nx).
+    Returns (hduk, hdvk) masked to zero over land."""
+    am = cfg.auto_am
+    cc = grid.DUC + grid.DUM
+    lap_u = (cc * umixk + grid.DUN * bc.n(umixk) + grid.DUS * bc.s(umixk)
+             + grid.DUE * bc.e(umixk) + grid.DUW * bc.w(umixk))
+    lap_v = (cc * vmixk + grid.DUN * bc.n(vmixk) + grid.DUS * bc.s(vmixk)
+             + grid.DUE * bc.e(vmixk) + grid.DUW * bc.w(vmixk))
+    mix_v = (grid.DMC * vmixk + grid.DMN * bc.n(vmixk)
+             + grid.DMS * bc.s(vmixk) + grid.DME * bc.e(vmixk)
+             + grid.DMW * bc.w(vmixk))
+    mix_u = (grid.DMC * umixk + grid.DMN * bc.n(umixk)
+             + grid.DMS * bc.s(umixk) + grid.DME * bc.e(umixk)
+             + grid.DMW * bc.w(umixk))
+    hduk = am * (lap_u + mix_v)
+    hdvk = am * (lap_v - mix_u)
+    zero = jnp.zeros_like(hduk)
+    return (jnp.where(grid.kmask_u, hduk, zero),
+            jnp.where(grid.kmask_u, hdvk, zero))
+
+
+def hdifft(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix=None, vmix=None):
+    """Dispatch (source/horizontal_mix.F90:486-)."""
+    if cfg.hmix_tracer == "del2":
+        return hdifft_del2(cfg, grid, bc, tmix)
+    raise NotImplementedError(f"hmix_tracer {cfg.hmix_tracer}")
+
+
+def hdiffu(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
+    """Dispatch (source/horizontal_mix.F90:427-)."""
+    if cfg.hmix_momentum == "del2":
+        return hdiffu_del2(cfg, grid, bc, umixk, vmixk)
+    raise NotImplementedError(f"hmix_momentum {cfg.hmix_momentum}")

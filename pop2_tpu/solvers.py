@@ -1,0 +1,291 @@
+"""Barotropic elliptic solvers: ChronGear, PCSI, and standard PCG.
+
+Reference: ``source/POP_SolversMod.F90`` — ChronGear (:1841, one fused 2-field
+reduction per iteration), PCSI (:1510, Stiefel iteration with NO per-iteration
+reduction — eigenvalue bounds from a Lanczos pass at init, :2699), PCG (:1200),
+and the 9-point operator (:2376) exploiting weight symmetry.
+
+TPU-first: the whole iteration runs inside one ``lax.while_loop`` under jit.
+There are no explicit halo updates — the shift ops imply them, and XLA
+schedules the collectives when the arrays are sharded. The reference's
+clinic<->tropic block redistribution (source/POP_SolversMod.F90:327-500) is
+dropped entirely: on a TPU mesh the 2-D solve lives on the same mesh as the
+3-D state (SURVEY.md §2.2 strategy 2 rationale).
+
+The reference checks convergence every ``convergenceCheckFreq`` iterations to
+amortize the reduction; we keep the same policy — between checks the loop body
+has zero global collectives for PCSI and exactly one fused psum for ChronGear.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.grid import Grid
+from pop2_tpu.stencil import BC
+
+
+class BtropOperator(NamedTuple):
+    """9-point operator weights on T points. ``center`` includes the
+    time-dependent free-surface diagonal term (POP_SolversPrep,
+    source/POP_SolversMod.F90:181-270)."""
+    center: jnp.ndarray
+    north: jnp.ndarray
+    east: jnp.ndarray
+    ne: jnp.ndarray
+    mask: jnp.ndarray    # RCALCT (1/0) — reductions masked to ocean points
+    resid_norm: jnp.ndarray  # 1/sum(TAREA^2 over ocean): rms normalization
+
+
+def make_operator(grid: Grid, diagonal_correction) -> BtropOperator:
+    """center = centerWgtClinicIndep - diagonalCorrection
+    (source/POP_SolversMod.F90:249-253)."""
+    return BtropOperator(
+        center=grid.btrop_c_indep - diagonal_correction,
+        north=grid.btrop_n, east=grid.btrop_e, ne=grid.btrop_ne,
+        mask=grid.RCALCT, resid_norm=grid.residual_norm)
+
+
+def apply_op(op: BtropOperator, x, bc: BC):
+    """A @ x via the 9-point stencil (source/POP_SolversMod.F90:2412-2426);
+    S/W/SW weights are shifted copies of N/E/NE."""
+    return (op.center * x
+            + op.north * bc.n(x) + bc.s(op.north) * bc.s(x)
+            + op.east * bc.e(x) + bc.w(op.east) * bc.w(x)
+            + op.ne * bc.ne(x) + bc.s(op.ne) * bc.se(x)
+            + bc.w(op.ne) * bc.nw(x) + bc.sw(op.ne) * bc.sw(x))
+
+
+def _masked_sum(x, mask):
+    return jnp.sum(x * mask)
+
+
+def _diag_precond(op: BtropOperator):
+    return jnp.where(op.center != 0.0, 1.0 / jnp.where(op.center != 0.0,
+                                                       op.center, 1.0), 0.0)
+
+
+def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
+    """Chronopoulos-Gear preconditioned CG
+    (source/POP_SolversMod.F90:1841-2266). Returns (x, iterations, rr)."""
+    sol = cfg.solver
+    a0r = _diag_precond(op)
+    tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
+           / op.resid_norm)  # source/POP_SolversMod.F90:906
+    ncheck = sol.convergence_check_freq
+
+    # initial residual + one pass of the standard algorithm
+    r = b - apply_op(op, x0, bc)
+    z = r * a0r
+    s = z
+    q = apply_op(op, s, bc)
+    sums = jnp.stack([_masked_sum(r * z, op.mask),
+                      _masked_sum(s * q, op.mask)])
+    rho_old, sigma = sums[0], sums[1]
+    alpha = rho_old / sigma
+    x = x0 + alpha * s
+    r = r - alpha * q
+
+    def cond(carry):
+        x, r, s, q, rho_old, sigma, rr, m, done = carry
+        return (~done) & (m < sol.max_iterations)
+
+    def body(carry):
+        x, r, s, q, rho_old, sigma, rr, m, done = carry
+        z = r * a0r
+        az = apply_op(op, z, bc)
+        sums = jnp.stack([_masked_sum(r * z, op.mask),
+                          _masked_sum(az * z, op.mask)])
+        rho, delta = sums[0], sums[1]
+        beta = rho / rho_old
+        sigma_new = delta - beta ** 2 * sigma
+        alpha = rho / sigma_new
+        s_new = z + beta * s
+        q_new = az + beta * q
+        x_new = x + alpha * s_new
+        r_new = r - alpha * q_new
+
+        def check(args):
+            x_new, r_new = args
+            r_true = b - apply_op(op, x_new, bc)
+            rr = _masked_sum(r_true * r_true, op.mask)
+            return r_true, rr
+
+        do_check = (m + 1) % ncheck == 0
+        r_new, rr_new = jax.lax.cond(
+            do_check, check, lambda a: (a[1], rr), (x_new, r_new))
+        done_new = do_check & (rr_new < tol)
+        return (x_new, r_new, s_new, q_new, rho, sigma_new, rr_new,
+                m + 1, done_new)
+
+    rr0 = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x, r, s, q, rho_old, sigma, rr0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, r, s, q, rho_old, sigma, rr, m, done = jax.lax.while_loop(
+        cond, body, carry)
+    return x, m, rr
+
+
+def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
+         eig_min, eig_max):
+    """Preconditioned Classical Stiefel Iteration
+    (source/POP_SolversMod.F90:1510-1835; Hu et al. 2013): no reductions in
+    the steady-state loop body — the latency-friendly choice for large
+    meshes. eig_min/eig_max bound the preconditioned operator's spectrum."""
+    sol = cfg.solver
+    a0r = _diag_precond(op)
+    tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
+           / op.resid_norm)  # source/POP_SolversMod.F90:906
+    ncheck = sol.convergence_check_freq
+    nstart = sol.convergence_check_start
+
+    csalpha = 2.0 / (eig_max - eig_min)
+    csbeta = (eig_max + eig_min) / (eig_max - eig_min)
+    csy = csbeta / csalpha
+    omga0 = 2.0 / csy
+
+    r = b - apply_op(op, x0, bc)
+    q = (1.0 / csy) * (r * a0r)
+    x = x0 + q
+    r = b - apply_op(op, x, bc)
+
+    def cond(carry):
+        x, r, q, omga, rr, m, done = carry
+        return (~done) & (m < sol.max_iterations)
+
+    def body(carry):
+        x, r, q, omga, rr, m, done = carry
+        omga_new = 1.0 / (csy - omga / (4.0 * csalpha * csalpha))
+        rp = r * a0r
+        q_new = omga_new * rp + (csy * omga_new - 1.0) * q
+        x_new = x + q_new
+        r_new = b - apply_op(op, x_new, bc)
+
+        do_check = ((m + 1) % ncheck == 0) & (m + 1 >= nstart)
+        rr_new = jax.lax.cond(
+            do_check,
+            lambda rn: _masked_sum(rn * rn, op.mask),
+            lambda rn: rr, r_new)
+        done_new = do_check & (rr_new < tol)
+        return (x_new, r_new, q_new, omga_new, rr_new, m + 1, done_new)
+
+    rr0 = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x, r, q, jnp.asarray(omga0, x0.dtype), rr0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, r, q, omga, rr, m, done = jax.lax.while_loop(cond, body, carry)
+    return x, m, rr
+
+
+def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
+    """Standard preconditioned CG (source/POP_SolversMod.F90:1200-1508)."""
+    sol = cfg.solver
+    a0r = _diag_precond(op)
+    tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
+           / op.resid_norm)  # source/POP_SolversMod.F90:906
+    ncheck = sol.convergence_check_freq
+
+    r = b - apply_op(op, x0, bc)
+    s = jnp.zeros_like(x0)
+
+    def cond(carry):
+        x, r, s, eta_old, rr, m, done = carry
+        return (~done) & (m < sol.max_iterations)
+
+    def body(carry):
+        x, r, s, eta_old, rr, m, done = carry
+        z = r * a0r
+        eta = _masked_sum(r * z, op.mask)
+        s_new = z + s * (eta / eta_old)
+        q = apply_op(op, s_new, bc)
+        alpha = eta / _masked_sum(s_new * q, op.mask)
+        x_new = x + alpha * s_new
+        r_new = r - alpha * q
+
+        do_check = (m + 1) % ncheck == 0
+
+        def check(args):
+            x_new, r_new = args
+            r_true = b - apply_op(op, x_new, bc)
+            return r_true, _masked_sum(r_true * r_true, op.mask)
+
+        r_new, rr_new = jax.lax.cond(do_check, check, lambda a: (a[1], rr),
+                                     (x_new, r_new))
+        done_new = do_check & (rr_new < tol)
+        return (x_new, r_new, s_new, eta, rr_new, m + 1, done_new)
+
+    eta0 = jnp.asarray(1.0, x0.dtype)
+    rr0 = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x0, r, s, eta0, rr0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+    x, r, s, eta_old, rr, m, done = jax.lax.while_loop(cond, body, carry)
+    return x, m, rr
+
+
+def lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
+                 n_iter: int = None, seed: int = 0) -> Tuple[float, float]:
+    """Estimate extreme eigenvalues of the diagonally-preconditioned operator
+    by a Lanczos pass (PcsiLanczos, source/POP_SolversMod.F90:2699-3120; the
+    reference then solves the tridiagonal eigenproblem with ratqr :3122 —
+    here numpy does it on the host at init time).
+
+    Returns (eig_min, eig_max) scaled with the reference's safety margins.
+    """
+    if n_iter is None:
+        n_iter = cfg.solver.lanczos_iterations
+    mask = np.asarray(op.mask)
+
+    # Lanczos needs a symmetric operator: use the symmetrized
+    # D^{-1/2} (-A) D^{-1/2} with D = |diag(A)|, which is similar to the
+    # diagonally-preconditioned M^{-1}A used by the PCSI recurrence and
+    # therefore shares its (positive) spectrum.
+    d = jnp.abs(op.center)
+    dmh = jnp.where(d > 0.0, 1.0 / jnp.sqrt(jnp.where(d > 0.0, d, 1.0)), 0.0)
+    apply_j = jax.jit(lambda v: -dmh * apply_op(op, dmh * v, bc))
+
+    rng = np.random.RandomState(seed)
+    v = rng.rand(*mask.shape) * mask
+    v /= np.sqrt((v * v).sum())
+    alphas, betas = [], []
+    v_prev = np.zeros_like(v)
+    beta = 0.0
+    for _ in range(n_iter):
+        w = np.asarray(apply_j(jnp.asarray(v))) * mask
+        alpha = float((w * v).sum())
+        w = w - alpha * v - beta * v_prev
+        beta_new = float(np.sqrt((w * w).sum()))
+        alphas.append(alpha)
+        betas.append(beta_new)
+        if beta_new < 1e-30:
+            break
+        v_prev = v
+        v = w / beta_new
+        beta = beta_new
+    T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
+    eigs = np.linalg.eigvalsh(T)
+    # preconditioned operator is negative definite (center<0 diag precond
+    # makes it ~ +1 on the diagonal); use |eigs| bounds with margins like the
+    # reference (PcsiLanczos scales nu by 1/1.05 and mu by 1.05 empirically)
+    emin = float(np.min(np.abs(eigs))) / 1.05
+    emax = float(np.max(np.abs(eigs))) * 1.05
+    return emin, emax
+
+
+def solve(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
+          eigs: Tuple[float, float] = None):
+    """Dispatch on cfg.solver.choice (source/POP_SolversMod.F90:327-500)."""
+    choice = cfg.solver.choice.lower()
+    if choice == "chrongear":
+        return chron_gear(cfg, op, bc, x0, b)
+    if choice == "pcsi":
+        if eigs is None:
+            raise ValueError("PCSI requires Lanczos eigenvalue bounds")
+        return pcsi(cfg, op, bc, x0, b, eigs[0], eigs[1])
+    if choice == "pcg":
+        return pcg(cfg, op, bc, x0, b)
+    raise NotImplementedError(choice)
