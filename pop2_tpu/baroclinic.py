@@ -1,0 +1,285 @@
+"""Baroclinic (3-D explicit) dynamics driver.
+
+Reference: ``source/baroclinic.F90`` — ``baroclinic_driver`` (:578, tracer and
+momentum block loops), ``clinic`` (:1635, Fx/Fy assembly), ``tracer_update``
+(:1902), ``baroclinic_correct_adjust`` (:1217). TPU-first: the reference's
+per-block, per-level OMP loops with carried vertical state collapse into
+whole-field (nt, km, ny, nx) expressions; halo updates disappear into the
+shift ops.
+
+Time-mixing: leapfrog with Euler-forward first step and time-averaging
+(Matsuno is deliberately not rebuilt; SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pop2_tpu import advect, eos, hmix, pgrad, tridiag, vmix
+from pop2_tpu import constants as const
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.forcing import Forcing
+from pop2_tpu.grid import Grid
+from pop2_tpu.state import State
+from pop2_tpu.stencil import BC
+
+
+class BaroclinicOut(NamedTuple):
+    tracer_new: jnp.ndarray  # predictor tracers (T,S updated if press avg)
+    u_new: jnp.ndarray       # normalized baroclinic velocity U'
+    v_new: jnp.ndarray
+    rho_new: jnp.ndarray     # density from predictor T,S (press avg only)
+    zx: jnp.ndarray          # (ny, nx) vertically-averaged forcing
+    zy: jnp.ndarray
+    vdc: jnp.ndarray         # (2, km, ny, nx) diffusivity used, for corrector
+
+
+def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
+    """c2dt factors (source/step_mod.F90:302-320)."""
+    dtt, dtu, dtp = cfg.time.dtt, cfg.time.dtu, cfg.time.dtp
+    fac = 2.0 if leapfrog else 1.0
+    c2dtt = jnp.full((cfg.km,), fac * dtt, cfg.jnp_dtype)
+    return c2dtt, fac * dtu, fac * dtp
+
+
+def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
+           state: State, forcing: Forcing, dh, dhu,
+           leapfrog: bool) -> BaroclinicOut:
+    c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
+    beta = cfg.time.alpha if leapfrog else cfg.time.theta
+    gamma = cfg.time.gamma
+    varthick = cfg.sfc_layer == "varthick"
+    press_avg = cfg.lpressure_avg and leapfrog
+
+    if leapfrog:
+        tmix, umix, vmix_m, rhomix = (state.tracer_old, state.u_old,
+                                      state.v_old, state.rho_old)
+    else:
+        tmix, umix, vmix_m, rhomix = (state.tracer_cur, state.u_cur,
+                                      state.v_cur, state.rho_cur)
+
+    # ---- vertical mixing coefficients (source/baroclinic.F90:714-734) -----
+    coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix)
+
+    # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
+    ft = hmix.hdifft(cfg, grid, bc, tmix)
+    fv = advect.comp_flux_vel(grid, bc, state.u_cur, state.v_cur, dh)
+    ft = ft - advect.advt_centered(cfg, grid, bc, fv, state.tracer_cur)
+    ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
+                          forcing.stf)
+    if varthick:
+        # freshwater tracer flux into the surface layer
+        # (source/baroclinic.F90:2128-2138)
+        dzr1 = grid.vgrid.dzr[0]
+        ft = ft.at[:, 0].add(dzr1 * forcing.tfw)
+    # interior sources (restoring, KPP non-local, shortwave) are zero in the
+    # round-1 standalone configuration
+
+    # ---- build RHS / predictor update (source/baroclinic.F90:2212-2300) ---
+    c2dtt_b = jnp.reshape(c2dtt, (1, cfg.km, 1, 1))
+    rhs = jnp.where(grid.kmask_t[None], c2dtt_b * ft, 0.0)
+    if cfg.implicit_vertical_mix:
+        if varthick and press_avg:
+            # surface RHS for T,S predictor includes the known part of the
+            # surface-height change (source/baroclinic.F90:2217-2222)
+            pterm = (2.0 * state.tracer_cur[:2, 0]
+                     * (state.psurf_cur - state.psurf_old)[None]
+                     / (const.GRAV * grid.vgrid.dz[0]))
+            surf = jnp.where(grid.kmask_t[0][None],
+                             c2dtt[0] * ft[:2, 0] - pterm, 0.0)
+            rhs = rhs.at[:2, 0].set(surf)
+
+        tracer_new = state.tracer_old + rhs  # placeholder; replaced below
+        if varthick and press_avg:
+            # predictor tridiagonal update of T,S only, with PSURF(cur) on
+            # the LHS (source/baroclinic.F90:885-895)
+            dts = []
+            for n in range(2):
+                dT = tridiag.impvmixt(
+                    rhs[n], coeffs.vdc[min(n, 1)], state.psurf_cur,
+                    grid.KMT, grid.vgrid.dz, grid.vgrid.dzwr, c2dtt,
+                    cfg.aidif, varthick=True)
+                dts.append(state.tracer_old[n] + dT)
+            tracer_new = jnp.concatenate(
+                [jnp.stack(dts), rhs[2:]], axis=0) if cfg.nt > 2 \
+                else jnp.stack(dts)
+        elif not varthick:
+            dts = []
+            for n in range(cfg.nt):
+                dT = tridiag.impvmixt(
+                    rhs[n], coeffs.vdc[min(n, 1)], state.psurf_cur,
+                    grid.KMT, grid.vgrid.dz, grid.vgrid.dzwr, c2dtt,
+                    cfg.aidif, varthick=False)
+                dts.append(state.tracer_old[n] + dT)
+            tracer_new = jnp.stack(dts)
+        else:
+            # varthick without pressure averaging (or Euler step): full
+            # update happens after the barotropic solve; carry the RHS
+            tracer_new = rhs
+    else:
+        raise NotImplementedError("explicit vertical mixing path")
+
+    # ---- density at new time for pressure averaging -----------------------
+    if press_avg:
+        rho_new = eos.state(cfg, grid.vgrid.pressz, tracer_new[0],
+                            tracer_new[1], ts_range)
+        rho_new = jnp.where(grid.kmask_t, rho_new, 0.0)
+    else:
+        rho_new = state.rho_cur
+
+    # ---- momentum (clinic, source/baroclinic.F90:1635-1895) ---------------
+    luk, lvk = advect.advu(cfg, grid, bc, state.u_cur, state.v_cur, dhu)
+    fx = -luk
+    fy = -lvk
+
+    if cfg.time.impcor and leapfrog:
+        fx = fx + grid.FCOR * (gamma * state.v_cur
+                               + (1.0 - gamma) * state.v_old)
+        fy = fy - grid.FCOR * (gamma * state.u_cur
+                               + (1.0 - gamma) * state.u_old)
+    elif not cfg.time.impcor and leapfrog:
+        fx = fx + grid.FCOR * state.v_cur
+        fy = fy - grid.FCOR * state.u_cur
+    else:
+        fx = fx + grid.FCOR * state.v_old
+        fy = fy - grid.FCOR * state.u_old
+
+    bouss = pgrad.bouss_factor(cfg, grid.vgrid.pressz)
+    pkx, pky = pgrad.gradp(cfg, grid, bc, bouss, state.rho_old,
+                           state.rho_cur, rho_new, leapfrog)
+    fx = fx - pkx
+    fy = fy - pky
+
+    hduk, hdvk = hmix.hdiffu(cfg, grid, bc, umix, vmix_m)
+    fx = fx + hduk
+    fy = fy + hdvk
+
+    du, dv = vmix.vdiffu(cfg, grid, coeffs.vvc, state.u_old, state.v_old,
+                         forcing.smf)
+    fx = fx + du
+    fy = fy + dv
+
+    zero3 = jnp.zeros_like(fx)
+    fx = jnp.where(grid.kmask_u, fx, zero3)
+    fy = jnp.where(grid.kmask_u, fy, zero3)
+
+    # implicit Coriolis 2x2 transform (source/baroclinic.F90:1013-1027)
+    if cfg.time.impcor:
+        w1 = c2dtu * beta * grid.FCOR
+        w2 = c2dtu / (1.0 + w1 ** 2)
+        rhs_u = (fx + w1 * fy) * w2
+        rhs_v = (fy - w1 * fx) * w2
+    else:
+        rhs_u = c2dtu * fx
+        rhs_v = c2dtu * fy
+
+    # vertical average of forcing (source/baroclinic.F90:1035-1057)
+    dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
+    zx = grid.HUR * jnp.sum(fx * dzc, axis=0)
+    zy = grid.HUR * jnp.sum(fy * dzc, axis=0)
+
+    # implicit vertical friction (source/baroclinic.F90:1066-1069)
+    if cfg.implicit_vertical_mix:
+        rhs_u, rhs_v = tridiag.impvmixu(
+            rhs_u, rhs_v, coeffs.vvc, grid.KMU, grid.vgrid.dz,
+            grid.vgrid.dzwr, c2dtu, cfg.aidif)
+
+    # unnormalized baroclinic velocity (source/baroclinic.F90:1077-1080)
+    upp = state.u_old + rhs_u
+    vpp = state.v_old + rhs_v
+
+    # subtract vertical mean (source/baroclinic.F90:1092-1140)
+    ubar = grid.HUR * jnp.sum(upp * dzc, axis=0)
+    vbar = grid.HUR * jnp.sum(vpp * dzc, axis=0)
+    u_new = jnp.where(grid.kmask_u, upp - ubar[None], 0.0)
+    v_new = jnp.where(grid.kmask_u, vpp - vbar[None], 0.0)
+
+    return BaroclinicOut(tracer_new=tracer_new, u_new=u_new, v_new=v_new,
+                         rho_new=rho_new, zx=zx, zy=zy, vdc=coeffs.vdc)
+
+
+def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
+                   state: State, out: BaroclinicOut, psurf_new,
+                   coeffs_vdc, leapfrog: bool):
+    """Corrector/adjustment pass (source/baroclinic.F90:1217-1497):
+    finish the tracer update with the new surface pressure, apply convective
+    adjustment and freezing reset, and recompute the new density.
+
+    ``coeffs_vdc``: the same vertical diffusivity used by the predictor.
+    Returns (tracer_new, rho_new).
+    """
+    c2dtt, _, _ = _timestep_arrays(cfg, leapfrog)
+    varthick = cfg.sfc_layer == "varthick"
+    press_avg = cfg.lpressure_avg and leapfrog
+    tracer_new = out.tracer_new
+    grav_dz1 = const.GRAV * grid.vgrid.dz[0]
+
+    if varthick and cfg.implicit_vertical_mix:
+        if press_avg:
+            # corrector RHS for T,S at the surface
+            # (source/baroclinic.F90:1283-1296)
+            dts = []
+            for n in range(2):
+                rhs1 = jnp.where(
+                    grid.kmask_t[0],
+                    ((2.0 * state.tracer_cur[n, 0] - state.tracer_old[n, 0])
+                     * (state.psurf_cur - state.psurf_old)
+                     - tracer_new[n, 0] * (psurf_new - state.psurf_cur))
+                    / grav_dz1, 0.0)
+                dT = tridiag.impvmixt_correct(
+                    rhs1, coeffs_vdc[min(n, 1)], psurf_new, grid.KMT,
+                    grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                    varthick=True)
+                dts.append(tracer_new[n] + dT)
+            upd = jnp.stack(dts)
+            if cfg.nt > 2:
+                # passive tracers: surface RHS adjustment + full solve
+                # (source/baroclinic.F90:1303-1321)
+                extra = []
+                for n in range(2, cfg.nt):
+                    rhs_n = tracer_new[n].at[0].add(jnp.where(
+                        grid.kmask_t[0],
+                        -state.tracer_old[n, 0]
+                        * (psurf_new - state.psurf_old) / grav_dz1, 0.0))
+                    dT = tridiag.impvmixt(
+                        rhs_n, coeffs_vdc[1], psurf_new, grid.KMT,
+                        grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                        varthick=True)
+                    extra.append(state.tracer_old[n] + dT)
+                upd = jnp.concatenate([upd, jnp.stack(extra)], axis=0)
+            tracer_new = upd
+        else:
+            # no pressure averaging (or Euler step): tracer_new holds the
+            # RHS; apply the surface-pressure term and solve all tracers
+            # (source/baroclinic.F90:1326-1344); psurf at mixtime is
+            # psurf_cur for the Euler/non-avg path
+            psurf_mix = state.psurf_cur
+            dts = []
+            for n in range(cfg.nt):
+                rhs_n = tracer_new[n].at[0].add(jnp.where(
+                    grid.kmask_t[0],
+                    -state.tracer_old[n, 0] * (psurf_new - psurf_mix)
+                    / grav_dz1, 0.0))
+                dT = tridiag.impvmixt(
+                    rhs_n, coeffs_vdc[min(n, 1)], psurf_new, grid.KMT,
+                    grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                    varthick=True)
+                dts.append(state.tracer_old[n] + dT)
+            tracer_new = jnp.stack(dts)
+
+    # reset surface temperature to freezing floor
+    # (source/baroclinic.F90:1418-1421)
+    if cfg.reset_to_freezing and not cfg.liceform:
+        tracer_new = tracer_new.at[0, 0].set(
+            jnp.maximum(tracer_new[0, 0], -2.0))
+
+    # convective adjustment (no-op for convection_type='diffusion')
+    tracer_new = vmix.convad(cfg, grid, tracer_new, ts_range)
+
+    # recompute density from final tracers (source/baroclinic.F90:1476-1482)
+    rho_new = eos.state(cfg, grid.vgrid.pressz, tracer_new[0], tracer_new[1],
+                        ts_range)
+    rho_new = jnp.where(grid.kmask_t, rho_new, 0.0)
+    return tracer_new, rho_new

@@ -132,6 +132,12 @@ class Grid:
     btrop_e: jnp.ndarray
     btrop_c_indep: jnp.ndarray
 
+    # checkerboard null-space removal fields (source/barotropic.F90:164-229)
+    checker: jnp.ndarray   # +/-1 checkerboard, zero on land
+    constnt: jnp.ndarray   # 1 on open ocean, zero on land
+    rcheck: jnp.ndarray    # scalar
+    rconst: jnp.ndarray    # scalar
+
     vgrid: VGrid
 
     # global area of ocean T cells (scalar), normalization for diagnostics
@@ -386,6 +392,21 @@ def build_grid(cfg: ModelConfig) -> Grid:
     btrop_n = yW + sh(yW, -1, 0) - xW - sh(xW, -1, 0)
     btrop_c_indep = -(wNE + a_se + a_nw + a_sw)
 
+    # checkerboard/constant null-space removal (source/barotropic.F90:177-226)
+    # global indices are 1-based in the reference: n = i_glob + j_glob
+    ig = np.arange(1, nx + 1)[None, :]
+    jg = np.arange(1, ny + 1)[:, None]
+    checker = (2 * ((ig + jg) % 2) - 1).astype(np.float64)
+    checker = np.broadcast_to(checker, (ny, nx)).copy()
+    constnt = RCALCT.copy()
+    checker = checker * RCALCT
+    sum_check = checker.sum()
+    sum_const = constnt.sum()
+    acheck = (checker * TAREA).sum() / (constnt * TAREA).sum()
+    denom = sum_const - acheck * sum_check
+    rcheck = acheck / denom
+    rconst = 1.0 / denom
+
     area_t = np.sum(TAREA * RCALCT)
     volume_t = np.sum(TAREA * HT * RCALCT)
     residual_norm = 1.0 / np.sum(TAREA ** 2 * RCALCT)
@@ -416,6 +437,8 @@ def build_grid(cfg: ModelConfig) -> Grid:
         KMTN=fi(KMTN), KMTS=fi(KMTS), KMTE=fi(KMTE), KMTW=fi(KMTW),
         btrop_ne=f(btrop_ne), btrop_n=f(btrop_n), btrop_e=f(btrop_e),
         btrop_c_indep=f(btrop_c_indep),
+        checker=f(checker), constnt=f(constnt),
+        rcheck=f(rcheck), rconst=f(rconst),
         vgrid=vgrid,
         area_t=f(area_t), volume_t=f(volume_t),
         residual_norm=f(residual_norm),

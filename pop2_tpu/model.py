@@ -1,0 +1,114 @@
+"""Top-level model driver: wiring of grid, forcing, state, and the jitted
+step, plus the host-side time manager.
+
+Replaces the reference's driver layer (``drivers/mct/ocn_comp_mct.F90`` run
+loop + ``source/time_management.F90`` switches) for standalone runs. The time
+manager here implements the 'avg' time-mixing policy: Euler-forward first
+step, leapfrog afterwards, averaging filter every ``time_mix_freq`` steps
+(source/time_management.F90:2157-2175).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pop2_tpu import constants as const
+from pop2_tpu import eos, solvers, step as step_mod
+from pop2_tpu.barotropic import diagonal_correction
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.forcing import Forcing, analytic_forcing
+from pop2_tpu.grid import Grid, build_grid, grid_bc
+from pop2_tpu.state import State, initial_state
+
+
+class Model:
+    """Standalone ocean model instance."""
+
+    def __init__(self, cfg: ModelConfig, grid: Optional[Grid] = None):
+        self.cfg = cfg
+        self.grid = grid if grid is not None else build_grid(cfg)
+        self.bc = grid_bc(cfg)
+        self.ts_range = (eos.build_ts_range(np.asarray(self.grid.vgrid.zt),
+                                            cfg.jnp_dtype)
+                         if cfg.state_range_opt == "enforce" else None)
+        self.forcing = analytic_forcing(cfg, self.grid)
+        self.nsteps_total = 0
+        self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
+        if cfg.solver.choice.lower() == "pcsi":
+            for leapfrog in (False, True):
+                op = solvers.make_operator(
+                    self.grid, diagonal_correction(cfg, self.grid, leapfrog))
+                self._pcsi_eigs[leapfrog] = solvers.lanczos_eigs(
+                    cfg, op, self.bc)
+
+        @functools.partial(jax.jit, static_argnames=("leapfrog", "avg_ts"))
+        def _step(state, forcing, leapfrog, avg_ts):
+            return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
+                                 state, forcing, leapfrog, avg_ts,
+                                 self._pcsi_eigs.get(leapfrog))
+
+        self._step = _step
+
+    # -- time manager (source/time_management.F90:2157-2175) ----------------
+    def step_flags(self, nsteps_total: int) -> Tuple[bool, bool]:
+        """(leapfrog, avg_ts) for 1-based step number ``nsteps_total``."""
+        leapfrog = nsteps_total != 1
+        avg_ts = False
+        if self.cfg.time.time_mix_opt == "avg":
+            avg_ts = (nsteps_total % self.cfg.time.time_mix_freq == 0
+                      and nsteps_total > 1)
+        return leapfrog, avg_ts
+
+    def initial_state(self) -> State:
+        self.nsteps_total = 0
+        return initial_state(self.cfg, self.grid)
+
+    def advance(self, state: State,
+                forcing: Optional[Forcing] = None):
+        """Advance one step; returns (state, diagnostics)."""
+        self.nsteps_total += 1
+        leapfrog, avg_ts = self.step_flags(self.nsteps_total)
+        return self._step(state, forcing or self.forcing,
+                          leapfrog=leapfrog, avg_ts=avg_ts)
+
+    def run(self, state: State, nsteps: int,
+            forcing: Optional[Forcing] = None) -> State:
+        for _ in range(nsteps):
+            state, _ = self.advance(state, forcing)
+        return state
+
+    # -- diagnostics (source/diagnostics.F90:1174-, check_KE :3260) ---------
+    def diagnostics(self, state: State) -> Dict[str, float]:
+        g = self.grid
+        dz = jnp.reshape(g.vgrid.dz, (-1, 1, 1))
+        uvol = jnp.sum(jnp.where(g.kmask_u, dz * g.UAREA, 0.0))
+        ke = 0.5 * jnp.sum(jnp.where(
+            g.kmask_u, dz * g.UAREA * (state.u_cur ** 2 + state.v_cur ** 2),
+            0.0)) / uvol
+        tvol = jnp.sum(jnp.where(g.kmask_t, dz * g.TAREA, 0.0))
+        tmean = jnp.sum(jnp.where(g.kmask_t, dz * g.TAREA
+                                  * state.tracer_cur[0], 0.0)) / tvol
+        smean = jnp.sum(jnp.where(g.kmask_t, dz * g.TAREA
+                                  * state.tracer_cur[1], 0.0)) / tvol
+        return {
+            "KE": float(ke),
+            "TEMP_mean": float(tmean),
+            "SALT_mean": float(smean) * const.SALT_TO_PPT,
+            "SSH_rms_cm": float(jnp.sqrt(jnp.sum(
+                (state.psurf_cur / const.GRAV) ** 2 * g.RCALCT)
+                / jnp.sum(g.RCALCT))),
+            "U_max": float(jnp.abs(state.u_cur).max()),
+        }
+
+    def check_ke(self, state: State, ke_limit: float = 100.0) -> None:
+        """Blow-up guard (source/diagnostics.F90:3260; used in the run loop
+        at drivers/mct/ocn_comp_mct.F90:~656)."""
+        ke = self.diagnostics(state)["KE"]
+        if not np.isfinite(ke) or ke > ke_limit:
+            raise FloatingPointError(
+                f"KE blow-up detected: KE={ke} exceeds {ke_limit} cm^2/s^2")

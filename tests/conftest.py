@@ -7,6 +7,11 @@ import os
 # must be set before jax is imported anywhere; hard-override so tests never
 # run over the (slow, single-chip) TPU tunnel
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compilation cache: this box has 2 vCPUs and XLA compiles of the
+# fp64 step are expensive — cache them across test processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
