@@ -37,14 +37,13 @@ def main():
     model = Model(cfg)
     state = model.initial_state()
 
-    # warmup: triggers Euler + leapfrog compiles and settles the flow
-    for _ in range(nsteps_warm):
-        state, diags = model.advance(state)
+    # warmup: trigger Euler + leapfrog + fused-scan compiles, settle the flow
+    state, diags = model.advance(state)          # Euler first step
+    state, diags = model.run_compiled(state, nsteps_warm)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state, diags = model.advance(state)
+    state, diags = model.run_compiled(state, nsteps)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 

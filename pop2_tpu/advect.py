@@ -5,7 +5,7 @@ Reference: ``source/advection.F90`` — flux velocities ``comp_flux_vel``
 advection with metric terms ``advu`` (:1127). TPU-first: the reference's
 k-sequential carry of the vertical velocity (WTK -> WTKB per level) becomes a
 masked ``cumsum`` over the whole column, and all levels/tracers are computed
-at once. upwind3 and lw_lim schemes follow in a later round.
+at once. Schemes: centered, upwind3 (QUICKEST); lw_lim later.
 """
 
 from __future__ import annotations
@@ -150,3 +150,156 @@ def advu(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel, dhu):
     zero = jnp.zeros_like(luk)
     return (jnp.where(grid.kmask_u, luk, zero),
             jnp.where(grid.kmask_u, lvk, zero))
+
+
+# ---------------------------------------------------------------------------
+# 3rd-order upwind (QUICKEST) tracer advection
+# (source/advection.F90:2313-2677; coefficients :420-562)
+# ---------------------------------------------------------------------------
+
+def _upwind3_vert_coeffs(dz):
+    """Vertical QUICKEST interpolation coefficients
+    (source/advection.F90:448-486). Returns 6 arrays of shape (km,)."""
+    km = dz.shape[0]
+    dzc = jnp.concatenate([dz[:1], dz, dz[-1:]])  # dzc(0..km+1), 1-based fold
+    d_k = dz
+    d_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
+    d_km1 = dzc[:km]          # dzc(k-1)
+    d_kp2 = dzc[2:km + 2]     # dzc(k+2)
+
+    talfzp = d_k * (2 * d_k + d_km1) / ((d_k + d_kp1)
+                                        * (d_km1 + 2 * d_k + d_kp1))
+    tbetzp = d_kp1 * (2 * d_k + d_km1) / ((d_k + d_kp1) * (d_k + d_km1))
+    tgamzp = -(d_k * d_kp1) / ((d_k + d_km1) * (d_kp1 + d_km1 + 2 * d_k))
+    tbetzp = tbetzp.at[0].add(tgamzp[0])
+    tgamzp = tgamzp.at[0].set(0.0)
+    talfzp = talfzp.at[km - 1].set(0.0)
+    tbetzp = tbetzp.at[km - 1].set(0.0)
+    tgamzp = tgamzp.at[km - 1].set(0.0)
+
+    talfzm = d_k * (2 * d_kp1 + d_kp2) / ((d_k + d_kp1) * (d_kp1 + d_kp2))
+    tbetzm = d_kp1 * (2 * d_kp1 + d_kp2) / ((d_k + d_kp1)
+                                            * (d_k + d_kp2 + 2 * d_kp1))
+    tdelzm = -(d_k * d_kp1) / ((d_kp1 + d_kp2) * (d_k + d_kp2 + 2 * d_kp1))
+    talfzm = talfzm.at[km - 2].add(tdelzm[km - 2])
+    tdelzm = tdelzm.at[km - 2].set(0.0)
+    talfzm = talfzm.at[km - 1].set(0.0)
+    tbetzm = tbetzm.at[km - 1].set(0.0)
+    tdelzm = tdelzm.at[km - 1].set(0.0)
+    return talfzp, tbetzp, tgamzp, talfzm, tbetzm, tdelzm
+
+
+def _upwind3_horiz_coeffs(dc, dw, de, de2):
+    """Face interpolation coefficients along one direction
+    (source/advection.F90:510-551): dc/dw/de/de2 are the cell widths at
+    (i), (i-1), (i+1), (i+2). Widths shifted in across closed boundaries are
+    zero; clamp so land-row coefficients stay finite (they are masked out of
+    the result anyway)."""
+    tiny = 1.0e-20
+    dc = jnp.maximum(dc, tiny)
+    dw = jnp.maximum(dw, tiny)
+    de = jnp.maximum(de, tiny)
+    de2 = jnp.maximum(de2, tiny)
+    alfp = dc * (2 * dc + dw) / ((dc + de) * (dw + 2 * dc + de))
+    betp = de * (2 * dc + dw) / ((dc + dw) * (dc + de))
+    gamp = -(dc * de) / ((dc + dw) * (dw + 2 * dc + de))
+    alfm = dc * (2 * de + de2) / ((dc + de) * (de + de2))
+    betm = de * (2 * de + de2) / ((dc + de) * (dc + 2 * de + de2))
+    delm = -(dc * de) / ((de2 + de) * (dc + 2 * de + de2))
+    return alfp, betp, gamp, alfm, betm, delm
+
+
+def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
+    """3rd-order upwind tracer advection L(T) for all tracers/levels
+    (source/advection.F90:2313-2677). Land columns degrade the stencil to
+    lower order by folding the missing-point weight into the remaining ones.
+    """
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+
+    # -- horizontal: east-face upwind-interpolated tracer -------------------
+    alfxp, betxp, gamxp, alfxm, betxm, delxm = _upwind3_horiz_coeffs(
+        grid.DXT, bc.w(grid.DXT), bc.e(grid.DXT), bc.e(bc.e(grid.DXT)))
+    alfyp, betyp, gamyp, alfym, betym, delym = _upwind3_horiz_coeffs(
+        grid.DYT, bc.s(grid.DYT), bc.n(grid.DYT), bc.n(bc.n(grid.DYT)))
+
+    kmtee = bc.e(bc.e(grid.KMT.astype(jnp.int32)))
+    kmtnn = bc.n(bc.n(grid.KMT.astype(jnp.int32)))
+
+    def faceval(X, c_pos, mask_up1, mask_dn1, mask_up2,
+                alfp, betp, gamp, alfm, betm, delm, sh_p1, sh_m1, sh_p2):
+        """Upwind-biased face value; X (nt,km,ny,nx), c_pos is the
+        positive-flux condition at the face, masks gate stencil width."""
+        ap = jnp.where(mask_up1, alfp, 0.0)
+        work = jnp.where(mask_up1, betp, betp + alfp)
+        bp = jnp.where(mask_dn1, work, work + gamp)
+        gp = jnp.where(mask_dn1, gamp, 0.0)
+        am = jnp.where(mask_up2, alfm, alfm + delm)
+        dm = jnp.where(mask_up2, delm, 0.0)
+        bm = betm
+        plus = ap * sh_p1(X) + bp * X + gp * sh_m1(X)
+        minus = am * sh_p1(X) + bm * X + dm * sh_p2(X)
+        return jnp.where(c_pos, plus, minus)
+
+    ce = (fv.ute * grid.TAREA_R)[None]
+    cw = (-fv.utw * grid.TAREA_R)[None]
+    cn = (fv.vtn * grid.TAREA_R)[None]
+    cs = (-fv.vts * grid.TAREA_R)[None]
+
+    mask_e = (kidx <= grid.KMTE[None])[None]
+    mask_w = (kidx <= grid.KMTW[None])[None]
+    mask_ee = (kidx <= kmtee[None])[None]
+    tr_e = faceval(trcr, ce > 0, mask_e, mask_w, mask_ee,
+                   alfxp, betxp, gamxp, alfxm, betxm, delxm,
+                   bc.e, bc.w, lambda x: bc.e(bc.e(x)))
+    mask_n = (kidx <= grid.KMTN[None])[None]
+    mask_s = (kidx <= grid.KMTS[None])[None]
+    mask_nn = (kidx <= kmtnn[None])[None]
+    tr_n = faceval(trcr, cn > 0, mask_n, mask_s, mask_nn,
+                   alfyp, betyp, gamyp, alfym, betym, delym,
+                   bc.n, bc.s, lambda x: bc.n(bc.n(x)))
+
+    ltk = (ce * tr_e + cw * bc.w(tr_e)
+           + cn * tr_n + cs * bc.s(tr_n))
+
+    # -- vertical (source/advection.F90:2402-2476) --------------------------
+    talfzp, tbetzp, tgamzp, talfzm, tbetzm, tdelzm = _upwind3_vert_coeffs(
+        grid.vgrid.dz)
+
+    def kcol(a):
+        return jnp.reshape(a, (1, km, 1, 1))
+
+    interior2 = (kidx < grid.KMT[None] - 1)[None]  # k < KMT-1
+    azminus = jnp.where(interior2, kcol(talfzm), kcol(talfzm + tdelzm))
+    dzminus = jnp.where(interior2, kcol(tdelzm), 0.0)
+
+    t_kp1 = jnp.concatenate([trcr[:, 1:], trcr[:, -1:]], axis=1)
+    t_km1 = jnp.concatenate([trcr[:, :1], trcr[:, :-1]], axis=1)
+    t_kp2 = jnp.concatenate([trcr[:, 2:], trcr[:, -1:], trcr[:, -1:]],
+                            axis=1)
+    tplus = (kcol(talfzp) * t_kp1 + kcol(tbetzp) * trcr
+             + kcol(tgamzp) * t_km1)
+    tminus = azminus * t_kp1 + kcol(tbetzm) * trcr + dzminus * t_kp2
+    wtkb = fv.wtkb[None]
+    auxb = (wtkb - jnp.abs(wtkb)) * tplus + (wtkb + jnp.abs(wtkb)) * tminus
+    auxb = auxb.at[:, -1].set(0.0)
+    aux = jnp.concatenate([jnp.zeros_like(auxb[:, :1]), auxb[:, :-1]],
+                          axis=1)
+
+    dz2r = kcol(grid.vgrid.dz2r)
+    vert = dz2r * (aux - auxb)
+    if cfg.sfc_layer != "varthick":
+        vert = vert.at[:, 0].set(
+            grid.vgrid.dzr[0] * fv.wtk[0][None] * trcr[:, 0]
+            - grid.vgrid.dz2r[0] * auxb[:, 0])
+    return jnp.where(grid.kmask_t[None], ltk + vert, 0.0)
+
+
+def advt(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
+    """Tracer-advection dispatch (source/advection.F90:1684-1729); the
+    reference allows per-tracer schemes, here one scheme for all tracers."""
+    if cfg.tadvect == "centered":
+        return advt_centered(cfg, grid, bc, fv, trcr)
+    if cfg.tadvect == "upwind3":
+        return advt_upwind3(cfg, grid, bc, fv, trcr)
+    raise NotImplementedError(f"tadvect {cfg.tadvect}")

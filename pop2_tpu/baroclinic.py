@@ -66,7 +66,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
     ft = hmix.hdifft(cfg, grid, bc, tmix)
     fv = advect.comp_flux_vel(grid, bc, state.u_cur, state.v_cur, dh)
-    ft = ft - advect.advt_centered(cfg, grid, bc, fv, state.tracer_cur)
+    ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur)
     ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
                           forcing.stf)
     if varthick:

@@ -54,6 +54,22 @@ class Model:
 
         self._step = _step
 
+        @functools.partial(jax.jit, static_argnames=("nsteps",))
+        def _scan_leapfrog(state, forcing, nsteps):
+            """nsteps plain leapfrog steps fused in one executable — the
+            whole-run lax.scan pattern (SURVEY.md §7.1) that amortizes
+            host->device dispatch."""
+            def body(st, _):
+                st, diags = step_mod.step(
+                    cfg, self.grid, self.bc, self.ts_range, st, forcing,
+                    leapfrog=True, avg_ts=False,
+                    pcsi_eigs=self._pcsi_eigs.get(True))
+                return st, diags
+            state, diags = jax.lax.scan(body, state, None, length=nsteps)
+            return state, jax.tree_util.tree_map(lambda a: a[-1], diags)
+
+        self._scan_leapfrog = _scan_leapfrog
+
     # -- time manager (source/time_management.F90:2157-2175) ----------------
     def step_flags(self, nsteps_total: int) -> Tuple[bool, bool]:
         """(leapfrog, avg_ts) for 1-based step number ``nsteps_total``."""
@@ -81,6 +97,39 @@ class Model:
         for _ in range(nsteps):
             state, _ = self.advance(state, forcing)
         return state
+
+    scan_chunk: int = 8  # fixed fused-segment length (one compile)
+
+    def run_compiled(self, state: State, nsteps: int,
+                     forcing: Optional[Forcing] = None):
+        """Advance ``nsteps``, fusing runs of plain leapfrog steps into
+        fixed-size ``lax.scan`` chunks (Euler/averaging steps and chunk
+        remainders run individually). Only two executables are ever
+        compiled per flag set. Returns (state, last_diags)."""
+        forcing = forcing or self.forcing
+        diags = None
+        remaining = nsteps
+        while remaining > 0:
+            nxt = self.nsteps_total + 1
+            leapfrog, avg_ts = self.step_flags(nxt)
+            # how many consecutive plain-leapfrog steps lie ahead?
+            span = 0
+            while span < remaining:
+                lf, av = self.step_flags(nxt + span)
+                if not lf or av:
+                    break
+                span += 1
+            if span >= self.scan_chunk:
+                nchunks = span // self.scan_chunk
+                for _ in range(nchunks):
+                    state, diags = self._scan_leapfrog(
+                        state, forcing, nsteps=self.scan_chunk)
+                    self.nsteps_total += self.scan_chunk
+                    remaining -= self.scan_chunk
+            else:
+                state, diags = self.advance(state, forcing)
+                remaining -= 1
+        return state, diags
 
     # -- diagnostics (source/diagnostics.F90:1174-, check_KE :3260) ---------
     def diagnostics(self, state: State) -> Dict[str, float]:

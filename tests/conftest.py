@@ -8,8 +8,12 @@ import os
 # run over the (slow, single-chip) TPU tunnel
 os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compilation cache: this box has 2 vCPUs and XLA compiles of the
-# fp64 step are expensive — cache them across test processes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# fp64 step are expensive — cache them across test processes. Keep a separate
+# cache when the axon sitecustomize is active (its remote XLA:CPU compiles
+# target a different machine and would poison the local cache).
+_cache = ("/root/.jax_cache" if ".axon_site" not in
+          os.environ.get("PYTHONPATH", "") else "/root/.jax_cache_axon")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")

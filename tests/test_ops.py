@@ -176,3 +176,32 @@ def test_rich_coeffs_finite_and_capped(test_cfg, test_grid):
     assert vdc.max() <= cfg.convect_diff + 1e-12
     assert vvc.max() <= cfg.convect_visc + 1e-12
     assert vdc.min() >= 0 and vvc.min() >= 0
+
+
+def test_advt_upwind3_conserves_and_runs(test_cfg, test_grid):
+    """upwind3: conservation of the volume integral (flux form) and constant
+    preservation in the interior."""
+    cfg = test_cfg.with_(tadvect="upwind3")
+    grid = test_grid
+    bc = grid_bc(cfg)
+    u, v = _rand_state(cfg, grid, seed=10)
+    dh = jnp.zeros((cfg.ny, cfg.nx))
+    fv = advect.comp_flux_vel(grid, bc, u, v, dh)
+    rng = np.random.RandomState(11)
+    kmask = np.asarray(grid.kmask_t)
+    trcr = jnp.asarray(rng.randn(cfg.nt, cfg.km, cfg.ny, cfg.nx)
+                       * kmask[None])
+    ltk = np.asarray(advect.advt(cfg, grid, bc, fv, trcr))
+    assert np.isfinite(ltk).all()
+    dz = np.asarray(grid.vgrid.dz)[None, :, None, None]
+    w = dz * np.asarray(grid.TAREA)[None, None] * kmask[None]
+    total = (ltk * w).sum(axis=(1, 2, 3))
+    scale = (np.abs(ltk) * w).sum(axis=(1, 2, 3))
+    assert np.all(np.abs(total) < 1e-9 * scale)
+
+    # constant tracer -> zero tendency in the interior (above bottom)
+    tconst = jnp.asarray(np.full((cfg.nt, cfg.km, cfg.ny, cfg.nx), 2.5))
+    lt0 = np.asarray(advect.advt(cfg, grid, bc, fv, tconst))
+    below = np.concatenate([kmask[1:], np.zeros_like(kmask[:1])])
+    interior = below & kmask
+    assert np.abs(lt0[0][interior]).max() < 1e-10
