@@ -23,7 +23,10 @@ def main():
     from pop2_tpu.config import get_config, SolverConfig
     from pop2_tpu.model import Model
 
-    nsteps_warm = int(os.environ.get("BENCH_WARMUP", "5"))
+    # warmup must cover every executable the timed region will use: the
+    # Euler first step, a single leapfrog step, the fused scan chunk, and an
+    # averaging step (first one at time_mix_freq=17)
+    nsteps_warm = int(os.environ.get("BENCH_WARMUP", "20"))
     nsteps = int(os.environ.get("BENCH_STEPS", "30"))
     preset = os.environ.get("BENCH_GRID", "test")
 

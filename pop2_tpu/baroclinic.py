@@ -46,7 +46,7 @@ def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
 
 def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
-           leapfrog: bool) -> BaroclinicOut:
+           leapfrog: bool, kpp_statics=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -61,7 +61,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                                       state.v_cur, state.rho_cur)
 
     # ---- vertical mixing coefficients (source/baroclinic.F90:714-734) -----
-    coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix)
+    coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix,
+                              forcing=forcing, kpp_statics=kpp_statics)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
     ft = hmix.hdifft(cfg, grid, bc, tmix)
@@ -74,8 +75,14 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         # (source/baroclinic.F90:2128-2138)
         dzr1 = grid.vgrid.dzr[0]
         ft = ft.at[:, 0].add(dzr1 * forcing.tfw)
-    # interior sources (restoring, KPP non-local, shortwave) are zero in the
-    # round-1 standalone configuration
+    # KPP non-local transport source (add_kpp_sources,
+    # source/vmix_kpp.F90:3633-3692)
+    if cfg.vmix == "kpp":
+        from pop2_tpu import kpp as kpp_mod
+        ft = ft + kpp_mod.kpp_sources(cfg, grid, coeffs.kpp.ghat_src,
+                                      forcing.stf)
+    # other interior sources (restoring, shortwave) are zero in the
+    # standalone analytic configuration
 
     # ---- build RHS / predictor update (source/baroclinic.F90:2212-2300) ---
     c2dtt_b = jnp.reshape(c2dtt, (1, cfg.km, 1, 1))

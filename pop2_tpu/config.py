@@ -135,6 +135,16 @@ class ModelConfig:
     bckgrnd_vvc: float = 1.0
     bckgrnd_vdc: float = 0.1
     rich_mix: float = 50.0
+    # KPP (source/vmix_kpp.F90:335-353)
+    bckgrnd_vdc2: float = 0.0        # atan-profile amplitude
+    bckgrnd_vdc_dpth: float = 2500.0e2   # transition depth (cm)
+    bckgrnd_vdc_linv: float = 4.5e-5     # inverse transition length (1/cm)
+    prandtl: float = 10.0
+    num_v_smooth_ri: int = 1
+    kpp_lrich: bool = True           # include shear-instability mixing
+    kpp_ldbl_diff: bool = False      # double diffusion
+    kpp_lshort_wave: bool = False    # radiative contribution to bldepth
+    kpp_lcheckekmo: bool = False     # Ekman/Monin-Obukhov limits
 
     # -- Coriolis options (source/grid.F90:1154-1172)
     lconst_coriolis: bool = False

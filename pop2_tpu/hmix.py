@@ -60,10 +60,70 @@ def hdiffu_del2(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
             jnp.where(grid.kmask_u, hdvk, zero))
 
 
+def _tracer_lap_coeffs(cfg: ModelConfig, grid: Grid):
+    """Per-level masked 5-point tracer Laplacian coefficients (zero-flux
+    land BC); shared by del2 and del4."""
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    mask = grid.kmask_t
+    cn = jnp.where((kidx <= grid.KMTN[None]) & mask, grid.DTN[None], 0.0)
+    cs = jnp.where((kidx <= grid.KMTS[None]) & mask, grid.DTS[None], 0.0)
+    ce = jnp.where((kidx <= grid.KMTE[None]) & mask, grid.DTE[None], 0.0)
+    cw = jnp.where((kidx <= grid.KMTW[None]) & mask, grid.DTW[None], 0.0)
+    cc = -(cn + cs + ce + cw)
+    return cc, cn, cs, ce, cw
+
+
+def _apply_t5(bc, coeffs, t):
+    cc, cn, cs, ce, cw = coeffs
+    return (cc[None] * t + cn[None] * bc.n(t) + cs[None] * bc.s(t)
+            + ce[None] * bc.e(t) + cw[None] * bc.w(t))
+
+
+def hdifft_del4(cfg: ModelConfig, grid: Grid, bc: BC, tmix):
+    """Biharmonic tracer mixing ah*Del2(Del2(T))
+    (source/hmix_del4.F90:963-1060): repeated application of the masked
+    Laplacian; ah (cfg.ah4) is negative."""
+    coeffs = _tracer_lap_coeffs(cfg, grid)
+    d2 = _apply_t5(bc, coeffs, tmix)
+    return cfg.ah4 * _apply_t5(bc, coeffs, d2)
+
+
+def _mom_lap(cfg, grid, bc, u, v):
+    """Momentum Laplacian with U/V-mixing metric terms (shared stencil of
+    del2/del4; source/hmix_del4.F90:727-770)."""
+    cc = grid.DUC + grid.DUM
+    lap_u = (cc * u + grid.DUN * bc.n(u) + grid.DUS * bc.s(u)
+             + grid.DUE * bc.e(u) + grid.DUW * bc.w(u))
+    lap_v = (cc * v + grid.DUN * bc.n(v) + grid.DUS * bc.s(v)
+             + grid.DUE * bc.e(v) + grid.DUW * bc.w(v))
+    mix_v = (grid.DMC * v + grid.DMN * bc.n(v) + grid.DMS * bc.s(v)
+             + grid.DME * bc.e(v) + grid.DMW * bc.w(v))
+    mix_u = (grid.DMC * u + grid.DMN * bc.n(u) + grid.DMS * bc.s(u)
+             + grid.DME * bc.e(u) + grid.DMW * bc.w(u))
+    return lap_u + mix_v, lap_v - mix_u
+
+
+def hdiffu_del4(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
+    """Biharmonic momentum mixing am*Del2(Del2(u,v))
+    (source/hmix_del4.F90:637-880); am (cfg.am4) is negative. The
+    intermediate Del2 field is zeroed over land before the second
+    application (boundary condition, :770-776)."""
+    d2u, d2v = _mom_lap(cfg, grid, bc, umixk, vmixk)
+    zero = jnp.zeros_like(d2u)
+    d2u = jnp.where(grid.kmask_u, d2u, zero)
+    d2v = jnp.where(grid.kmask_u, d2v, zero)
+    hdu, hdv = _mom_lap(cfg, grid, bc, d2u, d2v)
+    return (jnp.where(grid.kmask_u, cfg.am4 * hdu, zero),
+            jnp.where(grid.kmask_u, cfg.am4 * hdv, zero))
+
+
 def hdifft(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix=None, vmix=None):
     """Dispatch (source/horizontal_mix.F90:486-)."""
     if cfg.hmix_tracer == "del2":
         return hdifft_del2(cfg, grid, bc, tmix)
+    if cfg.hmix_tracer == "del4":
+        return hdifft_del4(cfg, grid, bc, tmix)
     raise NotImplementedError(f"hmix_tracer {cfg.hmix_tracer}")
 
 
@@ -71,4 +131,6 @@ def hdiffu(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
     """Dispatch (source/horizontal_mix.F90:427-)."""
     if cfg.hmix_momentum == "del2":
         return hdiffu_del2(cfg, grid, bc, umixk, vmixk)
+    if cfg.hmix_momentum == "del4":
+        return hdiffu_del4(cfg, grid, bc, umixk, vmixk)
     raise NotImplementedError(f"hmix_momentum {cfg.hmix_momentum}")

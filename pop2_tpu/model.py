@@ -38,6 +38,10 @@ class Model:
                          if cfg.state_range_opt == "enforce" else None)
         self.forcing = analytic_forcing(cfg, self.grid)
         self.nsteps_total = 0
+        self.kpp_statics = None
+        if cfg.vmix == "kpp":
+            from pop2_tpu import kpp as kpp_mod
+            self.kpp_statics = kpp_mod.build_statics(cfg, self.grid)
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):
@@ -50,7 +54,8 @@ class Model:
         def _step(state, forcing, leapfrog, avg_ts):
             return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
                                  state, forcing, leapfrog, avg_ts,
-                                 self._pcsi_eigs.get(leapfrog))
+                                 self._pcsi_eigs.get(leapfrog),
+                                 kpp_statics=self.kpp_statics)
 
         self._step = _step
 
@@ -63,7 +68,8 @@ class Model:
                 st, diags = step_mod.step(
                     cfg, self.grid, self.bc, self.ts_range, st, forcing,
                     leapfrog=True, avg_ts=False,
-                    pcsi_eigs=self._pcsi_eigs.get(True))
+                    pcsi_eigs=self._pcsi_eigs.get(True),
+                    kpp_statics=self.kpp_statics)
                 return st, diags
             state, diags = jax.lax.scan(body, state, None, length=nsteps)
             return state, jax.tree_util.tree_map(lambda a: a[-1], diags)

@@ -27,15 +27,23 @@ class VmixCoeffs(NamedTuple):
     vdc: jnp.ndarray   # (2, km, ny, nx) tracer diffusivity at layer bottoms
     #                     class 0: temperature, class 1: salinity/others
     vvc: jnp.ndarray   # (km, ny, nx) momentum viscosity at layer bottoms
+    kpp: object = None  # KPPOut when cfg.vmix == 'kpp' (ghat, hblt, ...)
 
 
 def vmix_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix, vmix_,
-                rhomix) -> VmixCoeffs:
+                rhomix, forcing=None, kpp_statics=None) -> VmixCoeffs:
     """Dispatch to the chosen scheme (source/vertical_mix.F90:518-667)."""
     if cfg.vmix == "const":
         return _coeffs_const(cfg, grid)
     if cfg.vmix == "rich":
         return _coeffs_rich(cfg, grid, bc, tmix, umix, vmix_, rhomix)
+    if cfg.vmix == "kpp":
+        from pop2_tpu import kpp as kpp_mod
+        out = kpp_mod.kpp_coeffs(
+            cfg, grid, bc, kpp_statics, tmix, umix, vmix_,
+            forcing.stf, forcing.shf_qsw, forcing.smft,
+            cfg.convect_diff, cfg.convect_visc)
+        return VmixCoeffs(vdc=out.vdc, vvc=out.vvc, kpp=out)
     raise NotImplementedError(f"vmix scheme {cfg.vmix}")
 
 

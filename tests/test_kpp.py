@@ -1,0 +1,113 @@
+"""KPP vertical mixing tests: finiteness, bounds, physical behavior of the
+boundary-layer depth, and an end-to-end model run."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pop2_tpu import kpp
+from pop2_tpu.config import get_config
+from pop2_tpu.grid import build_grid, grid_bc
+from pop2_tpu.model import Model
+
+
+@pytest.fixture(scope="module")
+def kcfg():
+    # km=20 internal profile (dz1 = 25 m): the boundary layer spans several
+    # levels, so the non-local term has room to act (on the 8-level uniform
+    # mini grid the BL is one 687-m cell and ghat is legitimately zero)
+    return get_config("mini").with_(vmix="kpp", km=20, vert_grid="internal",
+                                    kpp_lcheckekmo=False)
+
+
+@pytest.fixture(scope="module")
+def kgrid(kcfg):
+    return build_grid(kcfg)
+
+
+def _profile(kcfg, kgrid, stratified=True, seed=0):
+    rng = np.random.RandomState(seed)
+    km, ny, nx = kcfg.km, kcfg.ny, kcfg.nx
+    kmask = np.asarray(kgrid.kmask_t)
+    if stratified:
+        zt = np.asarray(kgrid.vgrid.zt)
+        T = 15.0 - 3.0 * (zt / zt[-1])[:, None, None]
+    else:
+        T = np.full((km, 1, 1), 10.0)
+    T = np.broadcast_to(T, (km, ny, nx)).copy()
+    T += 1e-5 * rng.randn(km, ny, nx)
+    S = np.full((km, ny, nx), 0.0347)
+    tr = np.stack([T * kmask, S * kmask])
+    return jnp.asarray(tr)
+
+
+def test_buoydiff_stratified_positive(kcfg, kgrid):
+    st = kpp.build_statics(kcfg, kgrid)
+    tr = _profile(kcfg, kgrid)
+    dbloc, dbsfc = kpp.buoydiff(kcfg, kgrid, st, tr)
+    dbloc = np.asarray(dbloc)
+    kmask = np.asarray(kgrid.kmask_t)
+    below = np.concatenate([kmask[1:], np.zeros_like(kmask[:1])])
+    # stable stratification: local buoyancy difference positive in interior
+    assert (dbloc[below] > -1e-6).mean() > 0.99
+    assert np.isfinite(dbloc).all() and np.isfinite(np.asarray(dbsfc)).all()
+
+
+def test_wscale_neutral_limit():
+    # at zero buoyancy forcing, wm = ws = vonkar*ustar
+    wm, ws = kpp.wscale(jnp.asarray(0.1), jnp.asarray(1000.0),
+                        jnp.asarray(1.0), jnp.asarray(0.0))
+    np.testing.assert_allclose(float(wm), 0.4, rtol=1e-6)
+    np.testing.assert_allclose(float(ws), 0.4, rtol=1e-6)
+
+
+def test_kpp_coeffs_finite_and_deepening(kcfg, kgrid):
+    st = kpp.build_statics(kcfg, kgrid)
+    bc = grid_bc(kcfg)
+    km, ny, nx = kcfg.km, kcfg.ny, kcfg.nx
+    tr = _profile(kcfg, kgrid)
+    u = jnp.zeros((km, ny, nx))
+    v = jnp.zeros((km, ny, nx))
+    smft = jnp.zeros((2, ny, nx)).at[0].set(
+        1.0 * jnp.asarray(np.asarray(kgrid.RCALCT)))
+    stf_cool = jnp.zeros((2, ny, nx)).at[0].set(
+        -5e-3 * jnp.asarray(np.asarray(kgrid.RCALCT)))  # ~200 W/m^2 cooling
+    stf_zero = jnp.zeros((2, ny, nx))
+    qsw = jnp.zeros((ny, nx))
+
+    out_neutral = kpp.kpp_coeffs(kcfg, kgrid, bc, st, tr, u, v,
+                                 stf_zero, qsw, smft, 1000.0, 1000.0)
+    out_cooling = kpp.kpp_coeffs(kcfg, kgrid, bc, st, tr, u, v,
+                                 stf_cool, qsw, smft, 1000.0, 1000.0)
+
+    for out in (out_neutral, out_cooling):
+        assert np.isfinite(np.asarray(out.vdc)).all()
+        assert np.isfinite(np.asarray(out.vvc)).all()
+        assert np.asarray(out.vdc).min() >= 0.0
+        assert np.asarray(out.vvc).min() >= 0.0
+        hblt = np.asarray(out.hblt)
+        ocean = np.asarray(kgrid.RCALCT) > 0
+        zt = np.asarray(kgrid.vgrid.zt)
+        assert (hblt[ocean] >= zt[0] - 1e-6).all()
+        assert (hblt[ocean] <= zt[-1] + 1e-6).all()
+
+    # destabilizing buoyancy flux must deepen the boundary layer on average
+    ocean = np.asarray(kgrid.RCALCT) > 0
+    h_n = np.asarray(out_neutral.hblt)[ocean].mean()
+    h_c = np.asarray(out_cooling.hblt)[ocean].mean()
+    assert h_c > h_n
+
+    # non-local term active only under unstable forcing
+    assert np.abs(np.asarray(out_neutral.ghat_src)).max() < 1e-20
+    assert np.abs(np.asarray(out_cooling.ghat_src)).max() > 0.0
+
+
+def test_kpp_model_runs_stable():
+    m = Model(get_config("mini").with_(vmix="kpp"))
+    st = m.initial_state()
+    for _ in range(30):
+        st, _ = m.advance(st)
+    dd = m.diagnostics(st)
+    assert np.isfinite(dd["KE"]) and dd["KE"] < 100.0
+    # tracer conservation
+    assert abs(dd["SALT_mean"] - 34.7278125) < 1e-4

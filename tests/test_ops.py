@@ -205,3 +205,39 @@ def test_advt_upwind3_conserves_and_runs(test_cfg, test_grid):
     below = np.concatenate([kmask[1:], np.zeros_like(kmask[:1])])
     interior = below & kmask
     assert np.abs(lt0[0][interior]).max() < 1e-10
+
+
+def test_hdifft_del4_conserves_and_damps(test_cfg, test_grid):
+    cfg = test_cfg.with_(hmix_tracer="del4")
+    grid = test_grid
+    bc = grid_bc(cfg)
+    rng = np.random.RandomState(12)
+    trcr = jnp.asarray(rng.randn(cfg.nt, cfg.km, cfg.ny, cfg.nx)
+                       * np.asarray(grid.kmask_t)[None])
+    hdtk = np.asarray(hmix.hdifft(cfg, grid, bc, trcr))
+    assert np.isfinite(hdtk).all()
+    # conservation per level (two zero-flux Laplacians telescope)
+    w = np.asarray(grid.TAREA)[None, None] * np.asarray(grid.kmask_t)[None]
+    total = (hdtk * w).sum(axis=(2, 3))
+    scale = (np.abs(hdtk) * w).sum(axis=(2, 3)) + 1e-30
+    assert np.all(np.abs(total) < 1e-9 * scale)
+    # biharmonic with negative coefficient damps grid noise: variance of
+    # tendency opposes the checkerboard component
+    t_noise = np.zeros((cfg.nt, cfg.km, cfg.ny, cfg.nx))
+    jj, ii = np.meshgrid(np.arange(cfg.ny), np.arange(cfg.nx), indexing="ij")
+    t_noise[:, :] = ((-1.0) ** (jj + ii)) * np.asarray(grid.kmask_t)
+    hd = np.asarray(hmix.hdifft(cfg, grid, bc, jnp.asarray(t_noise)))
+    interior = np.asarray(grid.kmask_t)
+    corr = (hd[0] * t_noise[0])[interior].sum()
+    assert corr < 0  # tendency anti-correlates with the noise
+
+
+def test_hdiffu_del4_runs(test_cfg, test_grid):
+    cfg = test_cfg.with_(hmix_momentum="del4")
+    grid = test_grid
+    bc = grid_bc(cfg)
+    u, v = _rand_state(cfg, grid, seed=13)
+    hdu, hdv = hmix.hdiffu(cfg, grid, bc, u, v)
+    hdu = np.asarray(hdu)
+    assert np.isfinite(hdu).all()
+    assert (np.asarray(hdu)[~np.asarray(grid.kmask_u)] == 0).all()
