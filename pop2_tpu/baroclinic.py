@@ -46,7 +46,8 @@ def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
 
 def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
-           leapfrog: bool, kpp_statics=None) -> BaroclinicOut:
+           leapfrog: bool, kpp_statics=None,
+           sw_profile=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -81,8 +82,13 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         from pop2_tpu import kpp as kpp_mod
         ft = ft + kpp_mod.kpp_sources(cfg, grid, coeffs.kpp.ghat_src,
                                       forcing.stf)
-    # other interior sources (restoring, shortwave) are zero in the
-    # standalone analytic configuration
+    # penetrative shortwave heating (add_sw_absorb,
+    # source/sw_absorption.F90:818)
+    if cfg.sw_absorption == "jerlov" and sw_profile is not None:
+        from pop2_tpu import sw_absorption as sw_mod
+        ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, sw_profile)
+    # interior restoring sources are zero in the standalone analytic
+    # configuration
 
     # ---- build RHS / predictor update (source/baroclinic.F90:2212-2300) ---
     c2dtt_b = jnp.reshape(c2dtt, (1, cfg.km, 1, 1))
@@ -209,7 +215,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
 def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                    state: State, out: BaroclinicOut, psurf_new,
-                   coeffs_vdc, leapfrog: bool):
+                   coeffs_vdc, leapfrog: bool, avg_ts: bool = False):
     """Corrector/adjustment pass (source/baroclinic.F90:1217-1497):
     finish the tracer update with the new surface pressure, apply convective
     adjustment and freezing reset, and recompute the new density.
@@ -285,8 +291,16 @@ def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # convective adjustment (no-op for convection_type='diffusion')
     tracer_new = vmix.convad(cfg, grid, tracer_new, ts_range)
 
+    # frazil ice formation (source/baroclinic.F90:1442-1450)
+    qice, aqice = state.qice, state.aqice
+    if cfg.liceform:
+        from pop2_tpu import ice as ice_mod
+        time_weight = 0.5 if avg_ts else 1.0
+        tracer_new, qice, aqice = ice_mod.ice_formation(
+            cfg, grid, tracer_new, psurf_new, qice, aqice, time_weight)
+
     # recompute density from final tracers (source/baroclinic.F90:1476-1482)
     rho_new = eos.state(cfg, grid.vgrid.pressz, tracer_new[0], tracer_new[1],
                         ts_range)
     rho_new = jnp.where(grid.kmask_t, rho_new, 0.0)
-    return tracer_new, rho_new
+    return tracer_new, rho_new, qice, aqice

@@ -42,6 +42,10 @@ class Model:
         if cfg.vmix == "kpp":
             from pop2_tpu import kpp as kpp_mod
             self.kpp_statics = kpp_mod.build_statics(cfg, self.grid)
+        self.sw_profile = None
+        if cfg.sw_absorption == "jerlov":
+            from pop2_tpu import sw_absorption as sw_mod
+            self.sw_profile = sw_mod.absorb_profile(cfg, self.grid)
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):
@@ -55,7 +59,8 @@ class Model:
             return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
                                  state, forcing, leapfrog, avg_ts,
                                  self._pcsi_eigs.get(leapfrog),
-                                 kpp_statics=self.kpp_statics)
+                                 kpp_statics=self.kpp_statics,
+                                 sw_profile=self.sw_profile)
 
         self._step = _step
 
@@ -69,7 +74,8 @@ class Model:
                     cfg, self.grid, self.bc, self.ts_range, st, forcing,
                     leapfrog=True, avg_ts=False,
                     pcsi_eigs=self._pcsi_eigs.get(True),
-                    kpp_statics=self.kpp_statics)
+                    kpp_statics=self.kpp_statics,
+                    sw_profile=self.sw_profile)
                 return st, diags
             state, diags = jax.lax.scan(body, state, None, length=nsteps)
             return state, jax.tree_util.tree_map(lambda a: a[-1], diags)

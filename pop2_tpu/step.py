@@ -115,7 +115,8 @@ def _avg_filter(cfg: ModelConfig, grid: Grid, ts_range, state: State,
 def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
          forcing: Forcing, leapfrog: bool, avg_ts: bool,
          pcsi_eigs: Optional[Tuple[float, float]] = None,
-         kpp_statics=None) -> Tuple[State, StepDiagnostics]:
+         kpp_statics=None, sw_profile=None
+         ) -> Tuple[State, StepDiagnostics]:
     """Advance one timestep (leapfrog, Euler-forward for the first step,
     optional averaging filter). All flags are static for jit."""
     # 1. surface height change (source/step_mod.F90:361)
@@ -123,16 +124,17 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
 
     # 2. explicit baroclinic update (source/step_mod.F90:375)
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
-                             dh, dhu, leapfrog, kpp_statics=kpp_statics)
+                             dh, dhu, leapfrog, kpp_statics=kpp_statics,
+                             sw_profile=sw_profile)
 
     # 3. implicit barotropic solve (source/step_mod.F90:437)
     tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
                              bout.zy, leapfrog, pcsi_eigs)
 
     # 4. corrector/adjustment pass (source/step_mod.F90:457)
-    tracer_new, rho_new = baroclinic.correct_adjust(
+    tracer_new, rho_new, qice, aqice = baroclinic.correct_adjust(
         cfg, grid, bc, ts_range, state, bout, tout.psurf_new, bout.vdc,
-        leapfrog)
+        leapfrog, avg_ts)
 
     # 5. full velocity = baroclinic' + barotropic (source/step_mod.F90:572)
     u_new = jnp.where(grid.kmask_u, bout.u_new + tout.ubtrop_new[None], 0.0)
@@ -151,8 +153,7 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
         psurf_old=state.psurf_cur, psurf_cur=tout.psurf_new,
         gradpx_old=state.gradpx_cur, gradpx_cur=tout.gradpx_new,
         gradpy_old=state.gradpy_cur, gradpy_cur=tout.gradpy_new,
-        pguess=pguess, fw_old=forcing.fw, qice=state.qice,
-        aqice=state.aqice)
+        pguess=pguess, fw_old=forcing.fw, qice=qice, aqice=aqice)
 
     # 7. time filtering (source/step_mod.F90:663-832)
     if avg_ts:
