@@ -47,7 +47,7 @@ def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
 def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
            leapfrog: bool, kpp_statics=None,
-           sw_profile=None) -> BaroclinicOut:
+           sw_profile=None, passive=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -64,6 +64,13 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # ---- vertical mixing coefficients (source/baroclinic.F90:714-734) -----
     coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix,
                               forcing=forcing, kpp_statics=kpp_statics)
+
+    # surface fluxes incl. passive-tracer gas exchange etc.
+    # (set_sflux_passive_tracers, source/passive_tracers.F90:988)
+    stf = forcing.stf
+    if passive is not None and passive.packages:
+        stf = stf.at[2:].add(passive.set_sflux(cfg, grid, state.tracer_cur))
+    forcing = forcing.replace(stf=stf)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
     ft = hmix.hdifft(cfg, grid, bc, tmix)
@@ -87,7 +94,12 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     if cfg.sw_absorption == "jerlov" and sw_profile is not None:
         from pop2_tpu import sw_absorption as sw_mod
         ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, sw_profile)
-    # interior restoring sources are zero in the standalone analytic
+    # passive-tracer interior sources (set_interior_passive_tracers,
+    # source/passive_tracers.F90:768)
+    if passive is not None and passive.packages:
+        ft = ft.at[2:].add(passive.set_interior(
+            cfg, grid, state.tracer_old, state.tracer_cur))
+    # T/S interior restoring sources are zero in the standalone analytic
     # configuration
 
     # ---- build RHS / predictor update (source/baroclinic.F90:2212-2300) ---
@@ -215,7 +227,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
 def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                    state: State, out: BaroclinicOut, psurf_new,
-                   coeffs_vdc, leapfrog: bool, avg_ts: bool = False):
+                   coeffs_vdc, leapfrog: bool, avg_ts: bool = False,
+                   passive=None):
     """Corrector/adjustment pass (source/baroclinic.F90:1217-1497):
     finish the tracer update with the new surface pressure, apply convective
     adjustment and freezing reset, and recompute the new density.
@@ -290,6 +303,11 @@ def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
     # convective adjustment (no-op for convection_type='diffusion')
     tracer_new = vmix.convad(cfg, grid, tracer_new, ts_range)
+
+    # passive-tracer resets (reset_passive_tracers,
+    # source/baroclinic.F90:1458-1460)
+    if passive is not None and passive.packages:
+        tracer_new = passive.reset(cfg, grid, tracer_new)
 
     # frazil ice formation (source/baroclinic.F90:1442-1450)
     qice, aqice = state.qice, state.aqice

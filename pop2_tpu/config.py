@@ -86,6 +86,7 @@ class ModelConfig:
     ny: int = 128
     km: int = 20
     nt: int = 2                        # number of tracers (>=2: TEMP, SALT)
+    passive_tracers: Tuple[str, ...] = ()  # package names; nt = 2 + total
 
     # -- boundary conditions (source/domain.F90 domain_nml)
     ew_boundary: str = "cyclic"        # 'cyclic' | 'closed'

@@ -46,6 +46,10 @@ class Model:
         if cfg.sw_absorption == "jerlov":
             from pop2_tpu import sw_absorption as sw_mod
             self.sw_profile = sw_mod.absorb_profile(cfg, self.grid)
+        self.passive = None
+        if cfg.passive_tracers:
+            from pop2_tpu.passive_tracers import PassiveTracers
+            self.passive = PassiveTracers(cfg, cfg.passive_tracers)
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):
@@ -60,7 +64,8 @@ class Model:
                                  state, forcing, leapfrog, avg_ts,
                                  self._pcsi_eigs.get(leapfrog),
                                  kpp_statics=self.kpp_statics,
-                                 sw_profile=self.sw_profile)
+                                 sw_profile=self.sw_profile,
+                                 passive=self.passive)
 
         self._step = _step
 
@@ -75,7 +80,7 @@ class Model:
                     leapfrog=True, avg_ts=False,
                     pcsi_eigs=self._pcsi_eigs.get(True),
                     kpp_statics=self.kpp_statics,
-                    sw_profile=self.sw_profile)
+                    sw_profile=self.sw_profile, passive=self.passive)
                 return st, diags
             state, diags = jax.lax.scan(body, state, None, length=nsteps)
             return state, jax.tree_util.tree_map(lambda a: a[-1], diags)
@@ -94,7 +99,7 @@ class Model:
 
     def initial_state(self) -> State:
         self.nsteps_total = 0
-        return initial_state(self.cfg, self.grid)
+        return initial_state(self.cfg, self.grid, passive=self.passive)
 
     def advance(self, state: State,
                 forcing: Optional[Forcing] = None):

@@ -1,0 +1,116 @@
+"""Passive-tracer framework.
+
+Reference: ``source/passive_tracers.F90`` (the uniform per-package API every
+tracer module implements: init / interior source / surface flux / reset /
+tavg, :207-1562) and ``source/iage_mod.F90`` (the simplest package and the
+template for new ones). Tracers occupy slots 2.. (0-based) of the tracer
+array, after TEMP and SALT.
+
+TPU-first: a package is a small object with pure functions returning whole
+(km, ny, nx) source fields; the framework stacks per-package contributions
+into the (nt, km, ny, nx) tendency in one shot.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from pop2_tpu import constants as const
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.grid import Grid
+
+SECONDS_IN_YEAR = 365.0 * 86400.0
+
+
+class TracerPackage:
+    """Base class: the reference's per-module API
+    (source/passive_tracers.F90:768-1306)."""
+
+    #: tracer names provided by this package, in slot order
+    names: Sequence[str] = ()
+
+    def n_tracers(self) -> int:
+        return len(self.names)
+
+    def init_values(self, cfg: ModelConfig, grid: Grid) -> np.ndarray:
+        """(n, km, ny, nx) initial fields."""
+        n = self.n_tracers()
+        return np.zeros((n, cfg.km, cfg.ny, cfg.nx))
+
+    def set_interior(self, cfg: ModelConfig, grid: Grid, tracers_old,
+                     tracers_cur):
+        """(n, km, ny, nx) interior source terms (dT/dt units)."""
+        return jnp.zeros((self.n_tracers(), cfg.km, cfg.ny, cfg.nx),
+                         cfg.jnp_dtype)
+
+    def set_sflux(self, cfg: ModelConfig, grid: Grid, tracers_cur):
+        """(n, ny, nx) surface fluxes (STF units)."""
+        return jnp.zeros((self.n_tracers(), cfg.ny, cfg.nx), cfg.jnp_dtype)
+
+    def reset(self, cfg: ModelConfig, grid: Grid, tracer_block):
+        """Post-update adjustment (e.g. surface reset); gets and returns the
+        (n, km, ny, nx) block of this package's tracers at new time."""
+        return tracer_block
+
+
+class IdealAge(TracerPackage):
+    """Ideal-age tracer: ages 1 yr/yr in the interior, reset to zero in the
+    surface layer (source/iage_mod.F90:325-415)."""
+
+    names = ("IAGE",)
+
+    def set_interior(self, cfg, grid, tracers_old, tracers_cur):
+        src = jnp.where(grid.kmask_t, 1.0 / SECONDS_IN_YEAR, 0.0)
+        return src[None].astype(cfg.jnp_dtype)
+
+    def reset(self, cfg, grid, tracer_block):
+        return tracer_block.at[:, 0].set(0.0)
+
+
+REGISTRY = {
+    "iage": IdealAge,
+}
+
+
+class PassiveTracers:
+    """Stacked view over the active packages; slot 0 of the stacked source
+    array corresponds to tracer index 2 of the model state."""
+
+    def __init__(self, cfg: ModelConfig, packages: Sequence[str]):
+        self.packages: List[TracerPackage] = [REGISTRY[p]() for p in packages]
+        self.names: List[str] = []
+        for p in self.packages:
+            self.names.extend(p.names)
+        if 2 + len(self.names) != cfg.nt:
+            raise ValueError(
+                f"cfg.nt={cfg.nt} but packages provide {len(self.names)} "
+                f"tracers (need nt = 2 + that)")
+
+    def init_values(self, cfg, grid) -> np.ndarray:
+        if not self.packages:
+            return np.zeros((0, cfg.km, cfg.ny, cfg.nx))
+        return np.concatenate(
+            [p.init_values(cfg, grid) for p in self.packages], axis=0)
+
+    def set_interior(self, cfg, grid, tracers_old, tracers_cur):
+        return jnp.concatenate(
+            [p.set_interior(cfg, grid, tracers_old, tracers_cur)
+             for p in self.packages], axis=0)
+
+    def set_sflux(self, cfg, grid, tracers_cur):
+        return jnp.concatenate(
+            [p.set_sflux(cfg, grid, tracers_cur)
+             for p in self.packages], axis=0)
+
+    def reset(self, cfg, grid, tracer_new):
+        """Apply per-package resets to the full (nt, ...) new-time array."""
+        i = 2
+        for p in self.packages:
+            n = p.n_tracers()
+            blk = p.reset(cfg, grid, tracer_new[i:i + n])
+            tracer_new = tracer_new.at[i:i + n].set(blk)
+            i += n
+        return tracer_new

@@ -75,8 +75,9 @@ def levitus_profile(zt_cm: np.ndarray):
     return t, s
 
 
-def initial_state(cfg: ModelConfig, grid: Grid) -> State:
-    """Rest state with the internal Levitus T/S profile."""
+def initial_state(cfg: ModelConfig, grid: Grid, passive=None) -> State:
+    """Rest state with the internal Levitus T/S profile; passive-tracer
+    packages supply their own initial fields for slots 2.."""
     dt = cfg.jnp_dtype
     nt, km, ny, nx = cfg.nt, cfg.km, cfg.ny, cfg.nx
     tinit, sinit = levitus_profile(np.asarray(grid.vgrid.zt))
@@ -84,6 +85,8 @@ def initial_state(cfg: ModelConfig, grid: Grid) -> State:
     kmask = np.asarray(grid.kmask_t)
     tracer[0] = tinit[:, None, None] * kmask
     tracer[1] = sinit[:, None, None] * kmask
+    if passive is not None and passive.packages:
+        tracer[2:] = passive.init_values(cfg, grid) * kmask[None]
     tracer_j = jnp.asarray(tracer, dt)
 
     rho = eos.state(cfg, grid.vgrid.pressz, tracer_j[0], tracer_j[1])

@@ -115,7 +115,7 @@ def _avg_filter(cfg: ModelConfig, grid: Grid, ts_range, state: State,
 def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
          forcing: Forcing, leapfrog: bool, avg_ts: bool,
          pcsi_eigs: Optional[Tuple[float, float]] = None,
-         kpp_statics=None, sw_profile=None
+         kpp_statics=None, sw_profile=None, passive=None
          ) -> Tuple[State, StepDiagnostics]:
     """Advance one timestep (leapfrog, Euler-forward for the first step,
     optional averaging filter). All flags are static for jit."""
@@ -125,7 +125,7 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 2. explicit baroclinic update (source/step_mod.F90:375)
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
                              dh, dhu, leapfrog, kpp_statics=kpp_statics,
-                             sw_profile=sw_profile)
+                             sw_profile=sw_profile, passive=passive)
 
     # 3. implicit barotropic solve (source/step_mod.F90:437)
     tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
@@ -134,7 +134,7 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 4. corrector/adjustment pass (source/step_mod.F90:457)
     tracer_new, rho_new, qice, aqice = baroclinic.correct_adjust(
         cfg, grid, bc, ts_range, state, bout, tout.psurf_new, bout.vdc,
-        leapfrog, avg_ts)
+        leapfrog, avg_ts, passive=passive)
 
     # 5. full velocity = baroclinic' + barotropic (source/step_mod.F90:572)
     u_new = jnp.where(grid.kmask_u, bout.u_new + tout.ubtrop_new[None], 0.0)
