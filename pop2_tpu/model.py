@@ -50,6 +50,9 @@ class Model:
         if cfg.passive_tracers:
             from pop2_tpu.passive_tracers import PassiveTracers
             self.passive = PassiveTracers(cfg, cfg.passive_tracers)
+        self.tavg_streams = []
+        self._tavg_outdir = "."
+        self.tavg_files = []
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):
@@ -101,13 +104,35 @@ class Model:
         self.nsteps_total = 0
         return initial_state(self.cfg, self.grid, passive=self.passive)
 
+    def enable_tavg(self, contents, freq_steps: int, outdir: str = ".",
+                    prefix: str = "tavg"):
+        """Add a tavg output stream (source/tavg.F90 stream mechanism)."""
+        from pop2_tpu.tavg import TavgStream
+        stream = TavgStream(self.cfg, self.grid, contents, freq_steps,
+                            outfile_prefix=prefix)
+        self.tavg_streams.append(stream)
+        self._tavg_outdir = outdir
+        return stream
+
+    def _output_driver(self, state: State):
+        """Per-step output hook (output_driver, source/output.F90:53)."""
+        for stream in self.tavg_streams:
+            stream.accumulate(state)
+            if stream.ready:
+                self.tavg_files.append(
+                    stream.write(self._tavg_outdir, self.nsteps_total))
+                stream.reset()
+
     def advance(self, state: State,
                 forcing: Optional[Forcing] = None):
         """Advance one step; returns (state, diagnostics)."""
         self.nsteps_total += 1
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
-        return self._step(state, forcing or self.forcing,
-                          leapfrog=leapfrog, avg_ts=avg_ts)
+        out = self._step(state, forcing or self.forcing,
+                         leapfrog=leapfrog, avg_ts=avg_ts)
+        if self.tavg_streams:
+            self._output_driver(out[0])
+        return out
 
     def run(self, state: State, nsteps: int,
             forcing: Optional[Forcing] = None) -> State:
@@ -124,6 +149,13 @@ class Model:
         remainders run individually). Only two executables are ever
         compiled per flag set. Returns (state, last_diags)."""
         forcing = forcing or self.forcing
+        if self.tavg_streams:
+            # per-step accumulation requires the unfused path; compiled-in
+            # accumulation inside the scan is a later optimization
+            diags = None
+            for _ in range(nsteps):
+                state, diags = self.advance(state, forcing)
+            return state, diags
         diags = None
         remaining = nsteps
         while remaining > 0:

@@ -1,0 +1,69 @@
+"""tavg output stream tests: accumulation, normalization, NetCDF roundtrip,
+accumulator checkpointing."""
+
+import numpy as np
+
+from pop2_tpu.config import get_config
+from pop2_tpu.model import Model
+
+
+def test_tavg_accumulates_and_writes(tmp_path):
+    cfg = get_config("mini")
+    m = Model(cfg)
+    stream = m.enable_tavg(["SSH", "SST", "TEMP", "UVEL", "KE"],
+                           freq_steps=5, outdir=str(tmp_path))
+    st = m.initial_state()
+    for _ in range(10):
+        st, _ = m.advance(st)
+    assert len(m.tavg_files) == 2
+
+    from scipy.io import netcdf_file
+    with netcdf_file(m.tavg_files[-1], "r") as f:
+        assert f.variables["TEMP"].shape == (1, cfg.km, cfg.ny, cfg.nx)
+        sst = f.variables["SST"][0].copy()
+        temp = f.variables["TEMP"][0].copy()
+        ke = f.variables["KE"][0].copy()
+        zt = f.variables["z_t"][:].copy()
+    assert np.isfinite(sst).all()
+    # the average surface-layer T should stay near its initial value
+    ocean = np.asarray(m.grid.RCALCT) > 0
+    t0 = float(np.asarray(m.initial_state().tracer_cur[0, 0])[ocean].mean())
+    assert abs(sst[ocean].mean() - t0) < 1.0
+    assert (ke >= 0).all()
+    assert zt.shape == (cfg.km,)
+
+
+def test_tavg_mean_matches_manual(tmp_path):
+    cfg = get_config("mini")
+    m = Model(cfg)
+    m.enable_tavg(["SSH"], freq_steps=3, outdir=str(tmp_path))
+    st = m.initial_state()
+    manual = []
+    for _ in range(3):
+        st, _ = m.advance(st)
+        manual.append(np.asarray(st.psurf_cur) / 980.6)
+    from scipy.io import netcdf_file
+    with netcdf_file(m.tavg_files[0], "r") as f:
+        ssh = f.variables["SSH"][0].copy()
+    np.testing.assert_allclose(ssh, np.mean(manual, axis=0), atol=1e-6)
+
+
+def test_tavg_accumulator_checkpoint(tmp_path):
+    cfg = get_config("mini")
+    m = Model(cfg)
+    stream = m.enable_tavg(["SST"], freq_steps=100, outdir=str(tmp_path))
+    st = m.initial_state()
+    for _ in range(4):
+        st, _ = m.advance(st)
+    saved = stream.save_accumulators()
+    stream.reset()
+    stream.restore_accumulators(saved)
+    assert stream.nsamples == 4
+    assert np.isfinite(np.asarray(stream.sums["SST"])).all()
+
+
+def test_unknown_field_raises(tmp_path):
+    import pytest
+    m = Model(get_config("mini"))
+    with pytest.raises(KeyError):
+        m.enable_tavg(["NOPE"], freq_steps=5)
