@@ -73,7 +73,17 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     forcing = forcing.replace(stf=stf)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
-    ft = hmix.hdifft(cfg, grid, bc, tmix)
+    if cfg.hmix_tracer == "gm":
+        # GM/Redi tendency + its |S|^2 vertical diffusivity folded into the
+        # implicit solve (source/hmix_gm.F90:1741-1748)
+        from pop2_tpu import gm as gm_mod
+        hblt = coeffs.kpp.hblt if (cfg.vmix == "kpp"
+                                   and coeffs.kpp is not None) else None
+        gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix, hblt=hblt)
+        ft = gm_out.gtk
+        coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
+    else:
+        ft = hmix.hdifft(cfg, grid, bc, tmix)
     fv = advect.comp_flux_vel(grid, bc, state.u_cur, state.v_cur, dh)
     ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur)
     ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,

@@ -136,6 +136,13 @@ class ModelConfig:
     bckgrnd_vvc: float = 1.0
     bckgrnd_vdc: float = 0.1
     rich_mix: float = 50.0
+    # GM / isopycnal mixing (source/hmix_gm.F90:405-420)
+    gm_ah: float = 0.8e7             # isopycnal (Redi) diffusivity
+    gm_ah_bolus: float = 0.8e7       # thickness (GM) diffusivity
+    gm_ah_bkg_srfbl: float = 0.8e7   # horizontal diffusion in surface BL
+    gm_ah_bkg_bottom: float = 0.0    # horizontal diffusion in bottom cell
+    gm_slm_r: float = 0.3            # max slope for Redi tapering
+    gm_slm_b: float = 0.3            # max slope for bolus tapering
     # KPP (source/vmix_kpp.F90:335-353)
     bckgrnd_vdc2: float = 0.0        # atan-profile amplitude
     bckgrnd_vdc_dpth: float = 2500.0e2   # transition depth (cm)

@@ -1,0 +1,284 @@
+"""Gent-McWilliams eddy transport + Redi isopycnal diffusion (skew-flux form).
+
+Reference: ``source/hmix_gm.F90`` (hdifft_gm :1102-2219, init :283-1095) and
+``source/hmix_gm_submeso_share.F90`` (tracer_diffs_and_isopyc_slopes
+:149-434). Implemented for the standard production path: constant or equal
+isopycnal/thickness diffusivities, 'notanh' or 'clip' slope control, Large et
+al. (1997) near-surface Rossby-radius taper, surface-boundary-layer
+horizontal diffusion, and the |S|^2 vertical flux folded into the implicit
+vertical diffusivity (VDC_GM). Transition-layer and flow-dependent kappa
+options follow in a later round.
+
+TPU-first: the reference's level-by-level sweep with carried two-level ring
+buffers and the FZTOP carry becomes whole-column arrays; every quantity is
+computed for all (half, face, k) at once and the vertical flux divergence is
+a shifted difference.
+
+Slope indexing: arrays carry a leading axis pair (face, half) with
+face 0 = east/north, face 1 = west/south; half 0 = top (ktp), 1 = bottom
+(kbt) — matching the reference's (ieast/iwest, ktp/kbt) quarter cells.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pop2_tpu import eos
+from pop2_tpu.config import ModelConfig
+from pop2_tpu.grid import Grid
+from pop2_tpu.stencil import BC
+
+EPS = 1.0e-10
+EPS2 = 1.0e-20
+
+
+class GMOut(NamedTuple):
+    gtk: jnp.ndarray       # (nt, km, ny, nx) tracer tendency
+    vdc_gm: jnp.ndarray    # (km, ny, nx) addition to implicit diffusivity
+
+
+def _slopes(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix):
+    """Tracer face differences and isopycnal slopes
+    (tracer_diffs_and_isopyc_slopes,
+    source/hmix_gm_submeso_share.F90:149-434).
+
+    Returns (tx, ty, tz, slx, sly) with
+      tx/ty: (nt, km, ny, nx) masked east/north face differences,
+      tz:    (nt, km, ny, nx) with tz[:, k] = T_{k-1} - T_k (tz[:, 0] = 0),
+      slx:   (2 faces, 2 halves, km, ny, nx) x-slopes, sly likewise.
+    """
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    kmaske = ((kidx <= grid.KMT[None]) & (kidx <= grid.KMTE[None]))
+    kmaskn = ((kidx <= grid.KMT[None]) & (kidx <= grid.KMTN[None]))
+
+    tx = jnp.where(kmaske[None], bc.e(tmix) - tmix, 0.0)
+    ty = jnp.where(kmaskn[None], bc.n(tmix) - tmix, 0.0)
+
+    tclip = jnp.maximum(tmix[0], -2.0)
+    txp = jnp.where(kmaske, bc.e(tclip) - tclip, 0.0)
+    typ = jnp.where(kmaskn, bc.n(tclip) - tclip, 0.0)
+
+    tz = jnp.concatenate(
+        [jnp.zeros_like(tmix[:, :1]), tmix[:, :-1] - tmix[:, 1:]], axis=1)
+    tzp_c = jnp.concatenate(
+        [jnp.zeros_like(tclip[:1]), tclip[:-1] - tclip[1:]], axis=0)
+
+    _, drdt, drds = eos.state(cfg, grid.vgrid.pressz, tmix[0], tmix[1],
+                              ts_range, want_drhodt=True, want_drhods=True)
+
+    # face density differences with this cell's expansion coefficients
+    rx_e = drdt * txp + drds * tx[1]
+    rx_w = drdt * bc.w(txp) + drds * bc.w(tx[1])
+    ry_n = drdt * typ + drds * ty[1]
+    ry_s = drdt * bc.s(typ) + drds * bc.s(ty[1])
+
+    # vertical density differences: for the bottom half of level k the
+    # interface below k uses level-k coefficients with TZ at k+1; for the
+    # top half the interface above k uses level-k coefficients with TZ at k
+    tzp_kp1 = jnp.concatenate([tzp_c[1:], jnp.zeros_like(tzp_c[:1])], axis=0)
+    tzs_kp1 = jnp.concatenate([tz[1, 1:], jnp.zeros_like(tz[1, :1])], axis=0)
+    rz_kbt = jnp.minimum(drdt * tzp_kp1 + drds * tzs_kp1, -EPS2)
+    rz_ktp = jnp.minimum(drdt * tzp_c + drds * tz[1], -EPS2)
+
+    below_mask = (kidx < grid.KMT[None])      # k < KMT
+    in_mask = (kidx <= grid.KMT[None])
+
+    def mk_sl(r, rz, mask):
+        return jnp.where(mask, r / rz, 0.0)
+
+    slx_kbt = jnp.stack([mk_sl(rx_e, rz_kbt, below_mask),
+                         mk_sl(rx_w, rz_kbt, below_mask)])
+    sly_kbt = jnp.stack([mk_sl(ry_n, rz_kbt, below_mask),
+                         mk_sl(ry_s, rz_kbt, below_mask)])
+    slx_ktp = jnp.stack([mk_sl(rx_e, rz_ktp, in_mask),
+                         mk_sl(rx_w, rz_ktp, in_mask)])
+    sly_ktp = jnp.stack([mk_sl(ry_n, rz_ktp, in_mask),
+                         mk_sl(ry_s, rz_ktp, in_mask)])
+    # top half of level 1 has no interface above
+    slx_ktp = slx_ktp.at[:, 0].set(0.0)
+    sly_ktp = sly_ktp.at[:, 0].set(0.0)
+
+    slx = jnp.stack([slx_ktp, slx_kbt], axis=1)  # (face, half, km, ny, nx)
+    sly = jnp.stack([sly_ktp, sly_kbt], axis=1)
+    return tx, ty, tz, slx, sly
+
+
+def _tapers(cfg: ModelConfig, grid: Grid, slx, sly, bl_depth):
+    """Near-surface Rossby-radius taper (Large et al. 1997) and slope
+    control (source/hmix_gm.F90:1405-1595, 'notanh'). Returns
+    (taper_isop, taper_thic), each (2 halves, km, ny, nx)."""
+    km = cfg.km
+    zt = grid.vgrid.zt
+    dzw = grid.vgrid.dzw
+
+    # |S| per (half, k): kid = k-1 for ktp, k for kbt
+    dzw_h = jnp.stack([
+        jnp.reshape(dzw[0:km], (km, 1, 1)),
+        jnp.reshape(dzw[1:km + 1], (km, 1, 1))])
+    sla = dzw_h * jnp.sqrt(0.5 * (
+        (slx[0] ** 2 + slx[1] ** 2) / grid.DXT[None, None] ** 2
+        + (sly[0] ** 2 + sly[1] ** 2) / grid.DYT[None, None] ** 2)) + EPS
+
+    # inverse Rossby radius |f|/c1, bounded to [15 km, 100 km]
+    # (source/hmix_gm.F90:889-894)
+    rbr = jnp.clip(jnp.abs(grid.FCORT) / 200.0, 1.0e-7, 1.0 / 1.5e6)
+
+    w1 = jnp.minimum(1.0, jnp.reshape(zt, (1, km, 1, 1)) * rbr / sla)
+    taper1 = 0.5 + 2.0 * (w1 - 0.5) * (1.0 - jnp.abs(w1 - 0.5))
+    zt_above = jnp.concatenate([jnp.zeros_like(zt[:1]), zt[:-1]])
+    in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
+    taper1 = jnp.where(in_bl, taper1, 1.0)
+
+    def notanh(sla, slm):
+        x = sla / slm
+        mid = 0.5 * (1.0 - (2.5 * x - 1.0) * (4.0 - jnp.abs(10.0 * x - 4.0)))
+        return jnp.where(x <= 0.2, 1.0, jnp.where(x >= 0.6, 0.0, mid))
+
+    taper2 = notanh(sla, cfg.gm_slm_r)
+    taper3 = (notanh(sla, cfg.gm_slm_b)
+              if cfg.gm_slm_b != cfg.gm_slm_r else taper2)
+    return taper1 * taper2, taper1 * taper3, taper1, taper2
+
+
+def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
+              hblt: Optional[jnp.ndarray] = None) -> GMOut:
+    """GM/Redi tracer tendency + VDC_GM (hdifft_gm,
+    source/hmix_gm.F90:1102-2219, constant-kappa standard path)."""
+    km = cfg.km
+    dz = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
+    dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+
+    tx, ty, tz, slx, sly = _slopes(cfg, grid, bc, ts_range, tmix)
+
+    bl_depth = (hblt[None, None] if hblt is not None
+                else jnp.full((1, 1) + grid.TAREA.shape, grid.vgrid.zw[0]))
+    tap_isop, tap_thic, taper1, taper2 = _tapers(cfg, grid, slx, sly,
+                                                 bl_depth)
+
+    kisop = tap_isop * cfg.gm_ah          # (half, km, ny, nx)
+    kthic = tap_thic * cfg.gm_ah_bolus
+    # boundary conditions: zero in the top quarter of level 1 and the bottom
+    # quarter of the deepest cell (source/hmix_gm.F90:1650-1663)
+    kisop = kisop.at[0, 0].set(0.0)
+    kthic = kthic.at[0, 0].set(0.0)
+    at_bottom = (kidx == grid.KMT[None])
+    kisop = kisop.at[1].set(jnp.where(at_bottom, 0.0, kisop[1]))
+    kthic = kthic.at[1].set(jnp.where(at_bottom, 0.0, kthic[1]))
+
+    # surface-boundary-layer horizontal diffusion (HOR_DIFF,
+    # source/hmix_gm.F90:1613-1632, use_const_ah_bkg_srfbl path)
+    zt_above = jnp.concatenate([jnp.zeros_like(grid.vgrid.zt[:1]),
+                                grid.vgrid.zt[:-1]])
+    in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
+    hor_diff = jnp.where(in_bl,
+                         cfg.gm_ah_bkg_srfbl * (1.0 - tap_isop), 0.0)
+    hor_diff = hor_diff.at[0, 0].set(cfg.gm_ah_bkg_srfbl)
+    if cfg.gm_ah_bkg_bottom != 0.0:
+        hor_diff = hor_diff.at[1].set(
+            jnp.where(at_bottom, cfg.gm_ah_bkg_bottom, hor_diff[1]))
+
+    in_mask = kidx <= grid.KMT[None]
+    sf_slx = jnp.where(in_mask[None, None], kthic[None] * slx * dz, 0.0)
+    sf_sly = jnp.where(in_mask[None, None], kthic[None] * sly * dz, 0.0)
+
+    hyx = grid.HTE / grid.HUS
+    hxy = grid.HTN / grid.HUW
+    hyxw = bc.w(hyx)
+    hxys = bc.s(hxy)
+
+    # effective vertical diffusivity VDC_GM (source/hmix_gm.F90:1720-1750)
+    km_mask = (kidx < grid.KMT[None]).astype(dz.dtype)
+    quad = (hyx * slx[0, 1] ** 2 + hyxw * slx[1, 1] ** 2
+            + hxy * sly[0, 1] ** 2 + hxys * sly[1, 1] ** 2)
+    quad_kp1 = (hyx * slx[0, 0] ** 2 + hyxw * slx[1, 0] ** 2
+                + hxy * sly[0, 0] ** 2 + hxys * sly[1, 0] ** 2)
+    kisop_ktp_kp1 = jnp.concatenate(
+        [kisop[0, 1:], jnp.zeros_like(kisop[0, :1])], axis=0)
+    quad_dn = jnp.concatenate([quad_kp1[1:], jnp.zeros_like(quad_kp1[:1])],
+                              axis=0)
+    dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]], axis=0)
+    dzw_k = jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
+    vdc_gm = (dzw_k * km_mask * grid.TAREA_R
+              * (dz * 0.25 * kisop[1] * quad
+                 + dz_kp1 * 0.25 * kisop_ktp_kp1 * quad_dn))
+    vdc_gm = vdc_gm.at[-1].set(0.0)
+
+    # horizontal fluxes (source/hmix_gm.F90:1805-1895)
+    cx = jnp.where((kidx <= grid.KMT[None]) & (kidx <= grid.KMTE[None]),
+                   0.25 * hyx, 0.0)
+    cy = jnp.where((kidx <= grid.KMT[None]) & (kidx <= grid.KMTN[None]),
+                   0.25 * hxy, 0.0)
+
+    keff = kisop + hor_diff
+    wx = keff[0] + keff[1]                      # ktp + kbt at (i, j)
+    work3 = wx + bc.e(wx)                       # east-face effective diff
+    work4 = wx + bc.n(wx)
+
+    fx = dz[None] * cx[None] * tx * work3[None]
+    fy = dz[None] * cy[None] * ty * work4[None]
+
+    # skew contribution (zero when kappa_isop == kappa_thic and no
+    # differential tapering: 'cancellation', source/hmix_gm.F90:970-983)
+    cancellation = (cfg.gm_ah == cfg.gm_ah_bolus
+                    and cfg.gm_slm_r == cfg.gm_slm_b)
+    tz_kp1 = jnp.concatenate([tz[:, 1:], tz[:, -1:]], axis=1)
+    if not cancellation:
+        w1 = kisop[0] * slx[0, 0] * dz - sf_slx[0, 0]
+        w2 = kisop[1] * slx[0, 1] * dz - sf_slx[0, 1]
+        w3 = bc.e(kisop[0] * slx[1, 0] * dz - sf_slx[1, 0])
+        w4 = bc.e(kisop[1] * slx[1, 1] * dz - sf_slx[1, 1])
+        fx = fx - cx[None] * (w1[None] * tz + w2[None] * tz_kp1
+                              + w3[None] * bc.e(tz)
+                              + w4[None] * bc.e(tz_kp1))
+        w1 = kisop[0] * sly[0, 0] * dz - sf_sly[0, 0]
+        w2 = kisop[1] * sly[0, 1] * dz - sf_sly[0, 1]
+        w3 = bc.n(kisop[0] * sly[1, 0] * dz - sf_sly[1, 0])
+        w4 = bc.n(kisop[1] * sly[1, 1] * dz - sf_sly[1, 1])
+        fy = fy - cy[None] * (w1[None] * tz + w2[None] * tz_kp1
+                              + w3[None] * bc.n(tz)
+                              + w4[None] * bc.n(tz_kp1))
+
+    # vertical flux at the bottom of each cell (source/hmix_gm.F90:1900-2080)
+    def cross(sl_x, sl_y, txl, tyl):
+        return (sl_x[0] * hyx * txl + sl_y[0] * hxy * tyl
+                + sl_x[1] * hyxw * bc.w(txl) + sl_y[1] * hxys * bc.s(tyl))
+
+    tx_kp1 = jnp.concatenate([tx[:, 1:], tx[:, -1:]], axis=1)
+    ty_kp1 = jnp.concatenate([ty[:, 1:], ty[:, -1:]], axis=1)
+    slx_ktp_kp1 = jnp.concatenate([slx[:, 0, 1:],
+                                   jnp.zeros_like(slx[:, 0, :1])], axis=1)
+    sly_ktp_kp1 = jnp.concatenate([sly[:, 0, 1:],
+                                   jnp.zeros_like(sly[:, 0, :1])], axis=1)
+    sf_slx_ktp_kp1 = jnp.concatenate([sf_slx[:, 0, 1:],
+                                      jnp.zeros_like(sf_slx[:, 0, :1])],
+                                     axis=1)
+    sf_sly_ktp_kp1 = jnp.concatenate([sf_sly[:, 0, 1:],
+                                      jnp.zeros_like(sf_sly[:, 0, :1])],
+                                     axis=1)
+
+    if cancellation:
+        work = (dz[None] * kisop[1][None] * cross(slx[:, 1], sly[:, 1],
+                                                  tx, ty)
+                + dz_kp1[None] * kisop_ktp_kp1[None]
+                * cross(slx_ktp_kp1, sly_ktp_kp1, tx_kp1, ty_kp1))
+        fz = -km_mask[None] * 0.5 * work
+    else:
+        work = (dz[None] * kisop[1][None] * cross(slx[:, 1], sly[:, 1],
+                                                  tx, ty)
+                + cross(sf_slx[:, 1], sf_sly[:, 1], tx, ty)
+                + dz_kp1[None] * kisop_ktp_kp1[None]
+                * cross(slx_ktp_kp1, sly_ktp_kp1, tx_kp1, ty_kp1)
+                + cross(sf_slx_ktp_kp1, sf_sly_ktp_kp1, tx_kp1, ty_kp1))
+        fz = -km_mask[None] * 0.25 * work
+    fz = fz.at[:, -1].set(0.0)
+    fz_top = jnp.concatenate([jnp.zeros_like(fz[:, :1]), fz[:, :-1]], axis=1)
+
+    gtk = ((fx - bc.w(fx) + fy - bc.s(fy) + fz_top - fz)
+           * dzr[None] * grid.TAREA_R)
+    gtk = jnp.where(grid.kmask_t[None], gtk, 0.0)
+    return GMOut(gtk=gtk, vdc_gm=vdc_gm)

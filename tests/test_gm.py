@@ -1,0 +1,97 @@
+"""Gent-McWilliams / Redi mixing tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pop2_tpu import gm
+from pop2_tpu.config import get_config
+from pop2_tpu.grid import build_grid, grid_bc
+from pop2_tpu.model import Model
+
+
+@pytest.fixture(scope="module")
+def gcfg():
+    return get_config("mini").with_(hmix_tracer="gm", km=20,
+                                    vert_grid="internal")
+
+
+@pytest.fixture(scope="module")
+def ggrid(gcfg):
+    return build_grid(gcfg)
+
+
+def _stratified_tracers(gcfg, ggrid, tilt=1e-8):
+    km, ny, nx = gcfg.km, gcfg.ny, gcfg.nx
+    kmask = np.asarray(ggrid.kmask_t)
+    zt = np.asarray(ggrid.vgrid.zt)
+    # stable stratification with a small horizontal density tilt
+    lat = np.asarray(ggrid.TLAT)
+    T = (18.0 - 12.0 * (zt / zt[-1])[:, None, None]
+         + 2.0 * np.cos(2 * lat)[None])
+    S = np.full((km, ny, nx), 0.0347)
+    return jnp.asarray(np.stack([T * kmask, S * kmask]))
+
+
+def test_gm_slopes_finite_and_bounded(gcfg, ggrid):
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    tx, ty, tz, slx, sly = gm._slopes(gcfg, ggrid, bc, None, tr)
+    for a in (tx, ty, tz, slx, sly):
+        assert np.isfinite(np.asarray(a)).all()
+    # stable stratification: T decreases downward -> tz[0] > 0 in interior
+    interior = np.asarray(ggrid.kmask_t)
+    assert (np.asarray(tz)[0, 1:][interior[1:]] > 0).mean() > 0.99
+
+
+def test_gm_conserves_tracer(gcfg, ggrid):
+    """Flux-form GM/Redi must conserve the volume integral of tracers."""
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    out = gm.hdifft_gm(gcfg, ggrid, bc, None, tr)
+    gtk = np.asarray(out.gtk)
+    assert np.isfinite(gtk).all()
+    dz = np.asarray(ggrid.vgrid.dz)[None, :, None, None]
+    w = dz * np.asarray(ggrid.TAREA)[None, None] * np.asarray(
+        ggrid.kmask_t)[None]
+    total = (gtk * w).sum(axis=(1, 2, 3))
+    scale = (np.abs(gtk) * w).sum(axis=(1, 2, 3)) + 1e-30
+    assert np.all(np.abs(total) < 1e-9 * scale)
+    # vdc_gm nonnegative
+    assert np.asarray(out.vdc_gm).min() >= 0.0
+
+
+def test_gm_flattens_isopycnals(gcfg, ggrid):
+    """GM extracts available potential energy: the horizontally-tilted
+    temperature field should relax toward flat (tendency anti-correlates
+    with the horizontal anomaly)."""
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    out = gm.hdifft_gm(gcfg, ggrid, bc, None, tr)
+    gtk = np.asarray(out.gtk[0])
+    kmask = np.asarray(ggrid.kmask_t)
+    T = np.asarray(tr[0])
+    # horizontal anomaly per level
+    anom = T - (T * kmask).sum(axis=(1, 2), keepdims=True) / np.maximum(
+        kmask.sum(axis=(1, 2), keepdims=True), 1)
+    corr = (gtk * anom * kmask)[3:12].sum()
+    assert corr < 0
+
+
+def test_gm_model_runs(gcfg):
+    m = Model(gcfg)
+    st = m.initial_state()
+    for _ in range(10):
+        st, _ = m.advance(st)
+    dd = m.diagnostics(st)
+    assert np.isfinite(dd["KE"]) and dd["KE"] < 100.0
+
+
+def test_gm_with_kpp_model_runs():
+    cfg = get_config("mini").with_(hmix_tracer="gm", vmix="kpp", km=20,
+                                   vert_grid="internal")
+    m = Model(cfg)
+    st = m.initial_state()
+    for _ in range(5):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])
