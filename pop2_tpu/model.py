@@ -94,7 +94,7 @@ class Model:
     def step_flags(self, nsteps_total: int) -> Tuple[bool, bool]:
         """(leapfrog, avg_ts) for 1-based step number ``nsteps_total``."""
         leapfrog = nsteps_total != 1
-        avg_ts = False
+        avg_ts = False  # robert filtering happens inside every step
         if self.cfg.time.time_mix_opt == "avg":
             avg_ts = (nsteps_total % self.cfg.time.time_mix_freq == 0
                       and nsteps_total > 1)

@@ -48,6 +48,9 @@ class State:
     fw_old: jnp.ndarray
     qice: jnp.ndarray
     aqice: jnp.ndarray
+    # Robert-filter conservation memory (source/step_mod.F90:1329-1350)
+    rf_s_prev: jnp.ndarray        # (nt,) previous-step <S> per tracer
+    rf_s_prev_valid: jnp.ndarray  # () 1.0 once rf_s_prev holds real data
 
 
 # 1992 Levitus global-mean profiles (source/initial.F90:963-1003)
@@ -101,4 +104,6 @@ def initial_state(cfg: ModelConfig, grid: Grid, passive=None) -> State:
         ubtrop_old=z2, ubtrop_cur=z2, vbtrop_old=z2, vbtrop_cur=z2,
         psurf_old=z2, psurf_cur=z2,
         gradpx_old=z2, gradpx_cur=z2, gradpy_old=z2, gradpy_cur=z2,
-        pguess=z2, fw_old=z2, qice=z2, aqice=z2)
+        pguess=z2, fw_old=z2, qice=z2, aqice=z2,
+        rf_s_prev=jnp.zeros((nt,), dt),
+        rf_s_prev_valid=jnp.zeros((), dt))

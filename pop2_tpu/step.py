@@ -109,7 +109,8 @@ def _avg_filter(cfg: ModelConfig, grid: Grid, ts_range, state: State,
         gradpy_cur=avg(state.gradpy_cur, new.gradpy_cur),
         pguess=0.5 * (new.pguess + new.psurf_cur),
         fw_old=0.5 * (new.fw_old + state.fw_old),
-        qice=new.qice, aqice=new.aqice)
+        qice=new.qice, aqice=new.aqice,
+        rf_s_prev=new.rf_s_prev, rf_s_prev_valid=new.rf_s_prev_valid)
 
 
 def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
@@ -153,12 +154,148 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
         psurf_old=state.psurf_cur, psurf_cur=tout.psurf_new,
         gradpx_old=state.gradpx_cur, gradpx_cur=tout.gradpx_new,
         gradpy_old=state.gradpy_cur, gradpy_cur=tout.gradpy_new,
-        pguess=pguess, fw_old=forcing.fw, qice=qice, aqice=aqice)
+        pguess=pguess, fw_old=forcing.fw, qice=qice, aqice=aqice,
+        rf_s_prev=state.rf_s_prev,
+        rf_s_prev_valid=state.rf_s_prev_valid)
 
     # 7. time filtering (source/step_mod.F90:663-832)
-    if avg_ts:
+    if cfg.time.time_mix_opt == "robert":
+        new = _robert_filter(cfg, grid, bc, ts_range, state, new, forcing,
+                             passive=passive)
+    elif avg_ts:
         new = _avg_filter(cfg, grid, ts_range, state, new)
 
     diags = StepDiagnostics(solver_iters=tout.solver_iters,
                             solver_rr=tout.solver_rr)
     return new, diags
+
+
+def _robert_filter(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
+                   state: State, new: State, forcing: Forcing,
+                   passive=None) -> State:
+    """Robert-Asselin time filter (step_RF, source/step_mod.F90:919-1354).
+
+    With the default robert_alpha = 1, robert_newtime = 0 and only the
+    current time level is filtered:
+      W = old + new - 2*cur;  cur += 0.5*nu*W
+    Tracers are filtered thickness-weighted at the surface, PSURF and the
+    tracers receive global conservation adjustments, and ice formation /
+    passive resets / density recomputation happen on the filtered fields.
+
+    ``new`` is the post-step rotated state (f_old = pre-step cur,
+    f_cur = new-time values); ``state`` is the pre-step state.
+    """
+    rc = 0.5 * cfg.time.robert_nu * cfg.time.robert_alpha
+    rn = 0.5 * cfg.time.robert_nu * (cfg.time.robert_alpha - 1.0)
+    nonzero_new = cfg.time.robert_alpha != 1.0
+    if cfg.sfc_layer != "varthick":
+        raise NotImplementedError(
+            "Robert filter requires the variable-thickness surface layer "
+            "(source/step_mod.F90:1152)")
+
+    def filt(o, c, n):
+        w = o + n - 2.0 * c
+        c2 = c + rc * w
+        n2 = n + rn * w if nonzero_new else n
+        return c2, n2
+
+    ub_c, ub_n = filt(state.ubtrop_old, state.ubtrop_cur, new.ubtrop_cur)
+    vb_c, vb_n = filt(state.vbtrop_old, state.vbtrop_cur, new.vbtrop_cur)
+    gx_c, gx_n = filt(state.gradpx_old, state.gradpx_cur, new.gradpx_cur)
+    gy_c, gy_n = filt(state.gradpy_old, state.gradpy_cur, new.gradpy_cur)
+    u_c, u_n = filt(state.u_old, state.u_cur, new.u_cur)
+    v_c, v_n = filt(state.v_old, state.v_cur, new.v_cur)
+
+    t_old, t_cur, t_new = state.tracer_old, state.tracer_cur, new.tracer_cur
+    p_old, p_cur, p_new = state.psurf_old, state.psurf_cur, new.psurf_cur
+    dz1 = grid.vgrid.dz[0]
+
+    # interior tracer filter (k >= 2); store S for conservation
+    store_rf = t_old + t_new - 2.0 * t_cur
+    t_cur_f = t_cur.at[:, 1:].add(rc * store_rf[:, 1:])
+    t_new_f = t_new.at[:, 1:].add(rn * store_rf[:, 1:]) if nonzero_new \
+        else t_new
+
+    # surface: thickness-weighted filter (source/step_mod.F90:1071-1144)
+    thick_o = dz1 + p_old / const.GRAV
+    thick_c = dz1 + p_cur / const.GRAV
+    thick_n = dz1 + p_new / const.GRAV
+    s_sfc = (thick_o[None] * t_old[:, 0] + thick_n[None] * t_new[:, 0]
+             - 2.0 * thick_c[None] * t_cur[:, 0])
+    store_rf = store_rf.at[:, 0].set(s_sfc)
+
+    # accumulate masked volume*S for conservation (:1051-1097)
+    mask3 = jnp.where(grid.kmask_t, 1.0, 0.0)
+    dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
+    svol = jnp.sum(grid.TAREA[None, None] * mask3[None] * dzc[None]
+                   * store_rf.at[:, 0].set(0.0), axis=(1, 2, 3))
+    svol = svol + jnp.sum(grid.TAREA[None] * mask3[0][None] * s_sfc,
+                          axis=(1, 2))
+
+    tth_c = thick_c[None] * t_cur[:, 0] + rc * s_sfc
+    tth_n = (thick_n[None] * t_new[:, 0] + rn * s_sfc) if nonzero_new \
+        else None
+
+    # filter PSURF with its own conservation adjustment (:1099-1131)
+    workb = p_old + p_new - 2.0 * p_cur
+    p_cur_f = p_cur + rc * workb
+    p_new_f = p_new + rn * workb if nonzero_new else p_new
+    area = jnp.sum(grid.TAREA * grid.RCALCT)
+    rf_sump = jnp.sum(workb * grid.TAREA * grid.RCALCT) / area
+    p_cur_f = p_cur_f - rc * rf_sump * grid.RCALCT
+    if nonzero_new:
+        p_new_f = p_new_f - rn * rf_sump * grid.RCALCT
+
+    # recover surface tracers from thickness-weighted values (:1132-1142)
+    thick_c_f = dz1 + p_cur_f / const.GRAV
+    t_cur_f = t_cur_f.at[:, 0].set(tth_c / thick_c_f[None])
+    if nonzero_new:
+        thick_n_f = dz1 + p_new_f / const.GRAV
+        t_new_f = t_new_f.at[:, 0].set(tth_n / thick_n_f[None])
+
+    # global tracer conservation adjustment (:1160-1209)
+    vol = (jnp.sum(mask3[1:] * dzc[1:] * grid.TAREA[None])
+           + jnp.sum(mask3[0] * thick_c_f * grid.TAREA))
+    rf_s = svol / vol
+    # stabilized factor: average with the previous step's value once valid
+    # (:1178-1184)
+    factor = jnp.where(state.rf_s_prev_valid > 0.5,
+                       0.5 * (rf_s + state.rf_s_prev), rf_s)
+    t_cur_f = t_cur_f - (rc * factor)[:, None, None, None] * mask3[None]
+    if nonzero_new:
+        t_new_f = t_new_f - (rn * rf_s)[:, None, None, None] * mask3[None]
+
+    # ice formation on both filtered levels + passive resets (:1239-1279)
+    qice, aqice = new.qice, new.aqice
+    if cfg.liceform:
+        from pop2_tpu import ice as ice_mod
+        t_cur_f, qice, aqice = ice_mod.ice_formation(
+            cfg, grid, t_cur_f, p_cur_f, qice, aqice, 1.0)
+        t_new_f, qice, aqice = ice_mod.ice_formation(
+            cfg, grid, t_new_f, p_new_f, qice, aqice, 1.0)
+    if passive is not None and passive.packages:
+        t_cur_f = passive.reset(cfg, grid, t_cur_f)
+        if nonzero_new:
+            t_new_f = passive.reset(cfg, grid, t_new_f)
+
+    # recompute densities for both levels (:1281-1288)
+    rho_c = jnp.where(grid.kmask_t, eos.state(
+        cfg, grid.vgrid.pressz, t_cur_f[0], t_cur_f[1], ts_range), 0.0)
+    rho_n = jnp.where(grid.kmask_t, eos.state(
+        cfg, grid.vgrid.pressz, t_new_f[0], t_new_f[1], ts_range), 0.0)
+
+    # pressure guess from filtered levels (:1310-1316)
+    pguess = 3.0 * (p_new_f - p_cur_f) + state.psurf_old
+
+    return State(
+        tracer_old=t_cur_f, tracer_cur=t_new_f,
+        u_old=u_c, u_cur=u_n, v_old=v_c, v_cur=v_n,
+        rho_old=rho_c, rho_cur=rho_n,
+        ubtrop_old=ub_c, ubtrop_cur=ub_n,
+        vbtrop_old=vb_c, vbtrop_cur=vb_n,
+        psurf_old=p_cur_f, psurf_cur=p_new_f,
+        gradpx_old=gx_c, gradpx_cur=gx_n,
+        gradpy_old=gy_c, gradpy_cur=gy_n,
+        pguess=pguess, fw_old=forcing.fw, qice=qice, aqice=aqice,
+        rf_s_prev=rf_s, rf_s_prev_valid=jnp.ones_like(
+            state.rf_s_prev_valid))
