@@ -35,7 +35,11 @@ RADIAN = 180.0 / math.pi     # degrees per radian
 MOMENTUM_FACTOR = 10.0                       # N/m^2 -> (cm/s)^2 * g/cm^3
 HFLUX_FACTOR = 1000.0 / (RHO_SW * CP_SW)     # W/m^2 -> degC*cm/s
 FWFLUX_FACTOR = 1.0e-4                       # kg/m^2/s -> cm/s (fresh water)
-SALINITY_FACTOR = -OCN_REF_SALINITY * 1.0e-4 * PPT_TO_SALT * CMPERM / RHO_FW
+# fwflux_factor = 1e-4 converts kg(freshwater)/m^2/s to msu*cm/s per psu
+# (source/pop_constants.F90:336-365)
+FWFLUX_FACTOR_SALT = 1.0e-4
+SALINITY_FACTOR = -OCN_REF_SALINITY * FWFLUX_FACTOR_SALT  # (msu*cm/s)/(kg/m^2/s)
+SFLUX_FACTOR = 0.1            # kg(salt)/m^2/s -> msu*cm/s
 FWMASS_TO_FWFLUX = 0.1                       # kg/m^2/s -> cm/s
 
 # sea water freezing point (linear, psu-based; source/pop_constants.F90)

@@ -40,3 +40,20 @@ def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:
         smf=smf.astype(dt), smft=smft.astype(dt),
         stf=jnp.zeros((nt, ny, nx), dt), tfw=jnp.zeros((nt, ny, nx), dt),
         shf_qsw=z, fw=z, atm_press=z)
+
+
+def restoring_forcing(cfg: ModelConfig, grid: Grid, base: Forcing,
+                      sst_data=None, sss_data=None,
+                      state_sst=None, state_sss=None,
+                      tau_days: float = 30.0) -> Forcing:
+    """Surface restoring toward prescribed SST/SSS climatology
+    (shf_formulation='restoring', source/forcing_shf.F90 and
+    source/forcing_sfwf.F90): STF = dz1*(data - model)/tau."""
+    dz1 = grid.vgrid.dz[0]
+    tau = tau_days * 86400.0
+    stf = base.stf
+    if sst_data is not None and state_sst is not None:
+        stf = stf.at[0].add(grid.RCALCT * dz1 * (sst_data - state_sst) / tau)
+    if sss_data is not None and state_sss is not None:
+        stf = stf.at[1].add(grid.RCALCT * dz1 * (sss_data - state_sss) / tau)
+    return base.replace(stf=stf)
