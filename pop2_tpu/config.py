@@ -130,6 +130,26 @@ class ModelConfig:
     ah: Optional[float] = None         # horizontal diffusivity; None -> auto
     am4: float = -0.6e20               # biharmonic viscosity
     ah4: float = -0.2e20               # biharmonic diffusivity
+    # anisotropic viscosity (source/hmix_aniso.F90:202-226 defaults)
+    aniso_alignment: str = "east"      # 'flow' | 'east' | 'grid'
+    lvariable_hmix_aniso: bool = True  # CCSM spatially-varying coeffs
+    lsmag_aniso: bool = False          # Smagorinsky nonlinear viscosity
+    visc_para: float = 0.0             # constant parallel viscosity
+    visc_perp: float = 0.0             # constant perpendicular viscosity
+    c_para: float = 8.0                # smag dimensionless coefficients
+    c_perp: float = 8.0
+    u_para: float = 5.0                # smag background velocity scales
+    u_perp: float = 5.0
+    vconst_1: float = 1.0e7            # ccsm variable-viscosity params
+    vconst_2: float = 24.5
+    vconst_3: float = 0.2
+    vconst_4: float = 1.0e-8           # 1/cm
+    vconst_5: int = 3                  # western-boundary buffer (cells)
+    vconst_6: float = 1.0e7
+    vconst_7: float = 45.0             # degrees latitude
+    smag_lat: float = 20.0             # smag latitude dependence
+    smag_lat_fact: float = 0.98
+    smag_lat_gauss: float = 98.0
     const_vvc: float = 0.25            # constant vertical viscosity (cm^2/s)
     const_vdc: float = 0.25            # constant vertical diffusivity (cm^2/s)
     # Richardson vmix (source/vmix_rich.F90)

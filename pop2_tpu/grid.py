@@ -147,6 +147,9 @@ class Grid:
     # (source/POP_SolversMod.F90:888-898)
     residual_norm: jnp.ndarray
 
+    # anisotropic-viscosity statics (None unless hmix_momentum == 'aniso')
+    aniso: Optional["object"] = None
+
 
 def pressure_bars(depth_m: np.ndarray) -> np.ndarray:
     """Pressure (bars) from depth (m); Levitus-mean hydrostatic fit
@@ -419,7 +422,15 @@ def build_grid(cfg: ModelConfig) -> Grid:
                   zt=f(zt), zw=f(zw), dzw=f(dzw), dzwr=f(dzwr),
                   pressz=f(pressz))
 
+    aniso = None
+    if cfg.hmix_momentum == "aniso":
+        from pop2_tpu import hmix_aniso  # deferred: avoids import cycle
+        aniso = hmix_aniso.build_statics(
+            cfg, BC(ew=cfg.ew_boundary, ns=cfg.ns_boundary),
+            HTN, HTE, DXU, DYU, DXUR, DYUR, ULAT, KMU)
+
     return Grid(
+        aniso=aniso,
         DXU=f(DXU), DYU=f(DYU), DXT=f(DXT), DYT=f(DYT),
         DXUR=f(DXUR), DYUR=f(DYUR), DXTR=f(DXTR), DYTR=f(DYTR),
         HTN=f(HTN), HTE=f(HTE), HUS=f(HUS), HUW=f(HUW),

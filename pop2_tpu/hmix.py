@@ -133,4 +133,8 @@ def hdiffu(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
         return hdiffu_del2(cfg, grid, bc, umixk, vmixk)
     if cfg.hmix_momentum == "del4":
         return hdiffu_del4(cfg, grid, bc, umixk, vmixk)
+    if cfg.hmix_momentum == "aniso":
+        from pop2_tpu import hmix_aniso
+        return hmix_aniso.hdiffu_aniso(cfg, grid, bc, grid.aniso,
+                                       umixk, vmixk)
     raise NotImplementedError(f"hmix_momentum {cfg.hmix_momentum}")
