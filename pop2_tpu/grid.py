@@ -220,51 +220,120 @@ def _np_shift(f: np.ndarray, di: int, dj: int, ew: str, ns: str,
     return g
 
 
+def _tpoints_from_upoints(ULAT, ULON, sh):
+    """T-point lat/lon as the Cartesian 4-point average of the surrounding
+    U points, with linear extrapolation on the south row
+    (source/grid.F90:2939-3104 calc_tpoints)."""
+    z = np.cos(ULAT)
+    x = np.cos(ULON) * z
+    y = np.sin(ULON) * z
+    z = np.sin(ULAT)
+    tx = 0.25 * (x + sh(x, -1, 0) + sh(x, 0, -1) + sh(x, -1, -1))
+    ty = 0.25 * (y + sh(y, -1, 0) + sh(y, 0, -1) + sh(y, -1, -1))
+    tz = 0.25 * (z + sh(z, -1, 0) + sh(z, 0, -1) + sh(z, -1, -1))
+    da = np.maximum(np.sqrt(tx ** 2 + ty ** 2 + tz ** 2), 1e-30)
+    TLAT = np.arcsin(np.clip(tz / da, -1.0, 1.0))
+    TLON = np.where((tx != 0.0) | (ty != 0.0), np.arctan2(ty, tx), 0.0)
+    TLON[0, :] = TLON[1, :]
+    TLAT[0, :] = 2.0 * TLAT[1, :] - TLAT[2, :]
+    TLON = np.where(TLON > const.PI2, TLON - const.PI2, TLON)
+    TLON = np.where(TLON < 0.0, TLON + const.PI2, TLON)
+    return TLAT, TLON
+
+
+def _anglet_from_angle(ANGLE, UAREA, TAREA_R, sh):
+    """ANGLET as the area-weighted 4-point average of ANGLE with branch-cut
+    adjustment (source/grid.F90:686-726); south row zeroed."""
+    at0 = UAREA * 0.25 * TAREA_R
+    ats = sh(UAREA, 0, -1) * 0.25 * TAREA_R
+    atw = sh(UAREA, -1, 0) * 0.25 * TAREA_R
+    atsw = sh(UAREA, -1, -1) * 0.25 * TAREA_R
+    a0 = ANGLE
+    aw, as_, asw = sh(ANGLE, -1, 0), sh(ANGLE, 0, -1), sh(ANGLE, -1, -1)
+    neg = a0 < 0.0
+    aw = np.where(neg & (np.abs(aw - a0) > const.PI), aw - const.PI2, aw)
+    as_ = np.where(neg & (np.abs(as_ - a0) > const.PI), as_ - const.PI2, as_)
+    asw = np.where(neg & (np.abs(asw - a0) > const.PI), asw - const.PI2, asw)
+    ANGLET = a0 * at0 + aw * atw + as_ * ats + asw * atsw
+    ANGLET[0, :] = 0.0
+    return ANGLET
+
+
 def build_grid(cfg: ModelConfig) -> Grid:
-    """Generate the full grid for the given config (internal grids only for
-    now; file-based grids arrive with the gx3/gx1 support)."""
-    if cfg.horiz_grid != "internal":
-        raise NotImplementedError("file-based horizontal grids: see io.grids")
+    """Generate the full grid for the given config, from the internal
+    analytic lat/lon generator or from POP-format grid files
+    (io/grid_files.py)."""
     nx, ny, km = cfg.nx, cfg.ny, cfg.km
     ew, ns = cfg.ew_boundary, cfg.ns_boundary
 
     def sh(f, di, dj, fill=0.0):
         return _np_shift(f, di, dj, ew, ns, fill)
 
-    # ---- horizontal grid (source/grid.F90:1226-1298) -----------------------
-    dlon = 360.0 / nx
-    dlat = 180.0 / ny
-    i = np.arange(1, nx + 1)
-    j = np.arange(1, ny + 1)
-    ulon_deg = i * dlon
-    ulon_deg = np.where(ulon_deg > 180.0, ulon_deg - 360.0, ulon_deg)
-    ulat_deg = -90.0 + j * dlat
-    ULON = np.broadcast_to(ulon_deg[None, :] / const.RADIAN, (ny, nx)).copy()
-    ULAT = np.broadcast_to(ulat_deg[:, None] / const.RADIAN, (ny, nx)).copy()
-    lathalf_deg = -90.0 + (j - 0.5) * dlat
-    TLAT = np.broadcast_to(lathalf_deg[:, None] / const.RADIAN, (ny, nx)).copy()
-    TLON = ULON - (dlon / 2.0) / const.RADIAN
+    if cfg.horiz_grid == "internal":
+        # ---- analytic lat/lon grid (source/grid.F90:1226-1298) -------------
+        dlon = 360.0 / nx
+        dlat = 180.0 / ny
+        i = np.arange(1, nx + 1)
+        j = np.arange(1, ny + 1)
+        ulon_deg = i * dlon
+        ulon_deg = np.where(ulon_deg > 180.0, ulon_deg - 360.0, ulon_deg)
+        ulat_deg = -90.0 + j * dlat
+        ULON = np.broadcast_to(ulon_deg[None, :] / const.RADIAN,
+                               (ny, nx)).copy()
+        ULAT = np.broadcast_to(ulat_deg[:, None] / const.RADIAN,
+                               (ny, nx)).copy()
+        lathalf_deg = -90.0 + (j - 0.5) * dlat
+        TLAT = np.broadcast_to(lathalf_deg[:, None] / const.RADIAN,
+                               (ny, nx)).copy()
+        TLON = ULON - (dlon / 2.0) / const.RADIAN
 
-    dx_cm = dlon * const.RADIUS / const.RADIAN
-    dy_cm = dlat * const.RADIUS / const.RADIAN
-    HTE = np.full((ny, nx), dy_cm)
-    HUW = np.full((ny, nx), dy_cm)
-    DYT = np.full((ny, nx), dy_cm)
-    DYU = np.full((ny, nx), dy_cm)
-    HTN = dx_cm * np.cos(ULAT)
-    DXU = HTN.copy()
-    HUS = dx_cm * np.cos(TLAT)
-    # DXT(j) = dx * p5*(cos(ULAT(j)) + cos(ULAT(j-1))); j-1 wraps to ny
-    # for j=1 as in the reference (source/grid.F90:1261-1287)
-    cos_ulat = np.cos(ULAT)
-    cos_ulat_jm1 = np.roll(cos_ulat, 1, axis=0)
-    DXT = dx_cm * 0.5 * (cos_ulat + cos_ulat_jm1)
+        dx_cm = dlon * const.RADIUS / const.RADIAN
+        dy_cm = dlat * const.RADIUS / const.RADIAN
+        HTE = np.full((ny, nx), dy_cm)
+        HUW = np.full((ny, nx), dy_cm)
+        DYT = np.full((ny, nx), dy_cm)
+        DYU = np.full((ny, nx), dy_cm)
+        HTN = dx_cm * np.cos(ULAT)
+        DXU = HTN.copy()
+        HUS = dx_cm * np.cos(TLAT)
+        # DXT(j) = dx * p5*(cos(ULAT(j)) + cos(ULAT(j-1))); j-1 wraps to ny
+        # for j=1 as in the reference (source/grid.F90:1261-1287)
+        cos_ulat = np.cos(ULAT)
+        cos_ulat_jm1 = np.roll(cos_ulat, 1, axis=0)
+        DXT = dx_cm * 0.5 * (cos_ulat + cos_ulat_jm1)
 
-    # guard against zero at the poles (land there anyway)
-    HTN = np.maximum(HTN, 1.0e-20)
-    HUS = np.maximum(HUS, 1.0e-20)
-    DXU = np.maximum(DXU, 1.0e-20)
-    DXT = np.maximum(DXT, 1.0e-20)
+        ANGLE = np.zeros((ny, nx))
+        ANGLET = None  # zeros, set after the area computation
+    elif cfg.horiz_grid == "file":
+        # ---- POP 7-record binary grid file (grid.F90:1314-1542) ------------
+        from pop2_tpu.io import grid_files
+        hg = grid_files.read_horiz_grid(cfg.horiz_grid_file, ny, nx)
+        ULAT, ULON = hg["ULAT"], hg["ULON"]
+        HTN, HTE = hg["HTN"], hg["HTE"]
+        HUS, HUW = hg["HUS"], hg["HUW"]
+        ANGLE = hg["ANGLE"]
+        DXU = 0.5 * (HTN + sh(HTN, 1, 0))
+        DXT = 0.5 * (HTN + sh(HTN, 0, -1))
+        DYT = 0.5 * (HTE + sh(HTE, -1, 0))
+        DYU = 0.5 * (HTE + sh(HTE, 0, 1))
+        if ns == "tripole":
+            DYU[-1, :] = HTE[-1, :]  # tripole correction (grid.F90:1490-1497)
+        TLAT, TLON = _tpoints_from_upoints(ULAT, ULON, sh)
+        ANGLET = "pending"  # computed below once areas exist
+    else:
+        raise ValueError(f"unknown horiz_grid option {cfg.horiz_grid}")
+
+    # guard against zero/negative spacings (land; reference sets them to 1
+    # but we keep the analytic branch's tighter floor)
+    floor = 1.0 if cfg.horiz_grid == "file" else 1.0e-20
+    HTN = np.where(HTN <= 0.0, floor, HTN)
+    HTE = np.where(HTE <= 0.0, floor, HTE)
+    HUS = np.where(HUS <= 0.0, floor, HUS)
+    HUW = np.where(HUW <= 0.0, floor, HUW)
+    DXU = np.where(DXU <= 0.0, floor, DXU)
+    DYU = np.where(DYU <= 0.0, floor, DYU)
+    DXT = np.where(DXT <= 0.0, floor, DXT)
+    DYT = np.where(DYT <= 0.0, floor, DYT)
 
     DXUR, DYUR = 1.0 / DXU, 1.0 / DYU
     DXTR, DYTR = 1.0 / DXT, 1.0 / DYT
@@ -272,8 +341,10 @@ def build_grid(cfg: ModelConfig) -> Grid:
     TAREA = DXT * DYT
     UAREA_R, TAREA_R = 1.0 / UAREA, 1.0 / TAREA
 
-    ANGLE = np.zeros((ny, nx))
-    ANGLET = np.zeros((ny, nx))
+    if ANGLET is None:
+        ANGLET = np.zeros((ny, nx))
+    elif isinstance(ANGLET, str):
+        ANGLET = _anglet_from_angle(ANGLE, UAREA, TAREA_R, sh)
 
     # Coriolis (source/grid.F90:1154-1172)
     if cfg.lconst_coriolis:
@@ -285,12 +356,14 @@ def build_grid(cfg: ModelConfig) -> Grid:
 
     # ---- vertical grid -----------------------------------------------------
     if cfg.vert_grid == "internal":
-        dz_m = _vert_grid_internal(km)
+        dz = _vert_grid_internal(km) * const.CMPERM
     elif cfg.vert_grid == "uniform":
-        dz_m = np.full(km, 5500.0 / km)
+        dz = np.full(km, 5500.0 / km) * const.CMPERM
+    elif cfg.vert_grid == "file":
+        from pop2_tpu.io import grid_files
+        dz = grid_files.read_vert_grid(cfg.vert_grid_file, km)  # already cm
     else:
-        raise NotImplementedError("file-based vertical grids: see io.grids")
-    dz = dz_m * const.CMPERM
+        raise ValueError(f"unknown vert_grid option {cfg.vert_grid}")
     # derived vertical quantities (source/grid.F90:786-803)
     dzw = np.zeros(km + 1)
     dzw[0] = 0.5 * dz[0]
@@ -310,8 +383,18 @@ def build_grid(cfg: ModelConfig) -> Grid:
         KMT = _topography_internal(ULAT * const.RADIAN, ULON * const.RADIAN, km)
         if cfg.flat_bottom:
             KMT = np.where(KMT != 0, km, 0).astype(np.int32)
+    elif cfg.topography == "file":
+        from pop2_tpu.io import grid_files
+        KMT = grid_files.read_topography(cfg.topography_file, ny, nx)
+        KMT = np.clip(KMT, 0, km).astype(np.int32)
+        if cfg.ns_boundary == "closed":
+            KMT[0, :] = 0
+            KMT[-1, :] = 0
+        if cfg.ew_boundary == "closed":
+            KMT[:, 0] = 0
+            KMT[:, -1] = 0
     else:
-        raise NotImplementedError("file-based topography: see io.grids")
+        raise ValueError(f"unknown topography option {cfg.topography}")
 
     # KMU = min of 4 surrounding KMTs (source/grid.F90:978-985)
     KMU = np.minimum(np.minimum(KMT, sh(KMT, 1, 0)),
