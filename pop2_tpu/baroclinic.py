@@ -109,8 +109,34 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     if passive is not None and passive.packages:
         ft = ft.at[2:].add(passive.set_interior(
             cfg, grid, state.tracer_old, state.tracer_cur))
-    # T/S interior restoring sources are zero in the standalone analytic
-    # configuration
+    # T/S interior restoring (set_pt_interior, forcing_pt_interior.F90:569-
+    # 668; set_s_interior, forcing_s_interior.F90): restore toward the 3-D
+    # climatology down to restore_max_level, optionally excluding the
+    # surface layer
+    kidx = jnp.arange(cfg.km)[:, None, None]
+    for n, data, tau_d, maxlev, sfc in (
+            (0, forcing.pt_interior_data, cfg.pt_interior_restore_tau_days,
+             cfg.pt_interior_restore_max_level,
+             cfg.pt_interior_surface_restore),
+            (1, forcing.s_interior_data, cfg.s_interior_restore_tau_days,
+             cfg.s_interior_restore_max_level,
+             cfg.s_interior_surface_restore)):
+        if data is not None:
+            rtau = 1.0 / (tau_d * 86400.0)
+            mask = grid.kmask_t & (kidx < maxlev)
+            if not sfc:
+                mask = mask & (kidx > 0)
+            ft = ft.at[n].add(jnp.where(
+                mask, rtau * (data - state.tracer_cur[n]), 0.0))
+    # geothermal bottom heat flux (geoheatflux.F90:69-232 +
+    # vertical_mix.F90:1428-1443: VTFB = -geoflux at k == KMT where
+    # zw(k) >= geoheatflux_depth; enters the tendency as +geoflux*dzr)
+    if cfg.geoheatflux_const != 0.0:
+        bottom = ((kidx == grid.KMT[None] - 1)
+                  & (grid.vgrid.zw[:, None, None] >= cfg.geoheatflux_depth))
+        geo = cfg.geoheatflux_const * const.HFLUX_FACTOR
+        ft = ft.at[0].add(jnp.where(
+            bottom, geo * grid.vgrid.dzr[:, None, None], 0.0))
 
     # ---- build RHS / predictor update (source/baroclinic.F90:2212-2300) ---
     c2dtt_b = jnp.reshape(c2dtt, (1, cfg.km, 1, 1))

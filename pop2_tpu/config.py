@@ -124,6 +124,18 @@ class ModelConfig:
     liceform: bool = False
     sw_absorption: str = "none"        # 'none' | 'jerlov'
     jerlov_water_type: int = 3
+    # interior T/S restoring (forcing_pt_interior.F90 / forcing_s_interior)
+    pt_interior_restore_tau_days: float = 365.0
+    pt_interior_restore_max_level: int = 0
+    pt_interior_surface_restore: bool = False
+    s_interior_restore_tau_days: float = 365.0
+    s_interior_restore_max_level: int = 0
+    s_interior_surface_restore: bool = False
+    # geothermal bottom heat flux (geoheatflux.F90:84-90)
+    geoheatflux_const: float = 0.0     # W/m^2
+    geoheatflux_depth: float = 1000.0e2  # cm; applied below this depth
+    # velocity damping (damping.F90)
+    ldamp_uv: bool = False
 
     # -- mixing coefficients
     am: Optional[float] = None         # horizontal viscosity; None -> auto

@@ -9,6 +9,8 @@ File-based and coupled forcing arrive with the gx-grid support.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -25,6 +27,10 @@ class Forcing:
     shf_qsw: jnp.ndarray   # (ny, nx) penetrating shortwave
     fw: jnp.ndarray        # (ny, nx) freshwater flux (cm/s)
     atm_press: jnp.ndarray  # (ny, nx) atmospheric pressure
+    # optional 3-D interior restoring targets (km, ny, nx)
+    # (source/forcing_pt_interior.F90 / forcing_s_interior.F90)
+    pt_interior_data: Optional[jnp.ndarray] = None
+    s_interior_data: Optional[jnp.ndarray] = None
 
 
 def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:

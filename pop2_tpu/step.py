@@ -140,6 +140,12 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 5. full velocity = baroclinic' + barotropic (source/step_mod.F90:572)
     u_new = jnp.where(grid.kmask_u, bout.u_new + tout.ubtrop_new[None], 0.0)
     v_new = jnp.where(grid.kmask_u, bout.v_new + tout.vbtrop_new[None], 0.0)
+    if cfg.ldamp_uv:
+        # optional velocity damping of the new time level
+        # (damping.F90 damping_uv, called from step_mod.F90:600-602)
+        spy = 365.0 * 86400.0 / cfg.time.dtt
+        u_new = u_new * (1.0 - jnp.minimum(0.99, jnp.abs(u_new) / spy))
+        v_new = v_new * (1.0 - jnp.minimum(0.99, jnp.abs(v_new) / spy))
 
     # 6. pressure guess extrapolation (source/step_mod.F90:634-640)
     pguess = (3.0 * (tout.psurf_new - state.psurf_cur) + state.psurf_old)
