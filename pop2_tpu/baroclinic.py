@@ -84,6 +84,15 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
     else:
         ft = hmix.hdifft(cfg, grid, bc, tmix)
+    if cfg.lsubmeso:
+        # submesoscale mixed-layer restratification (mix_submeso.F90,
+        # called alongside hdifft in tracer_update)
+        from pop2_tpu import submeso as submeso_mod
+        hmxl = coeffs.kpp.hmxl if (cfg.vmix == "kpp"
+                                   and coeffs.kpp is not None) else None
+        gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
+                                                 tmix, hmxl=hmxl)
+        ft = ft + gtk_sm
     fv = advect.comp_flux_vel(grid, bc, state.u_cur, state.v_cur, dh)
     ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur)
     ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,

@@ -136,6 +136,21 @@ class ModelConfig:
     geoheatflux_depth: float = 1000.0e2  # cm; applied below this depth
     # velocity damping (damping.F90)
     ldamp_uv: bool = False
+    # tidal mixing, Jayne/St Laurent method (tidal_mixing.F90:679-709)
+    ltidal_mixing: bool = False
+    tidal_mix_max: float = 100.0             # cm^2/s cap
+    tidal_local_mixing_fraction: float = 0.33
+    tidal_mixing_efficiency: float = 0.20
+    tidal_vertical_decay_scale: float = 500.0e2  # cm
+    tidal_energy_file: Optional[str] = None  # POP binary E(x,y) record
+    tidal_energy_const: float = 0.0          # W/m^2 fallback when no file
+    # submesoscale mixed-layer eddies (mix_submeso.F90:183-188)
+    lsubmeso: bool = False
+    submeso_efficiency: float = 0.07
+    submeso_timescale: float = 3.456e5       # seconds (4 days)
+    submeso_const_hls: bool = False
+    submeso_hor_length_scale: float = 5.0e5  # cm (5 km)
+    submeso_max_grid_scale: float = 111.0e5  # cm (~1 degree)
 
     # -- mixing coefficients
     am: Optional[float] = None         # horizontal viscosity; None -> auto

@@ -40,15 +40,20 @@ class GMOut(NamedTuple):
     vdc_gm: jnp.ndarray    # (km, ny, nx) addition to implicit diffusivity
 
 
-def _slopes(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix):
-    """Tracer face differences and isopycnal slopes
+def face_density_diffs(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
+                       tmix):
+    """Tracer face differences and face/vertical density differences
+    shared by GM and the submesoscale scheme
     (tracer_diffs_and_isopyc_slopes,
     source/hmix_gm_submeso_share.F90:149-434).
 
-    Returns (tx, ty, tz, slx, sly) with
+    Returns (tx, ty, tz, rx, ry, rz_ktp_raw, rz_kbt_raw) with
       tx/ty: (nt, km, ny, nx) masked east/north face differences,
       tz:    (nt, km, ny, nx) with tz[:, k] = T_{k-1} - T_k (tz[:, 0] = 0),
-      slx:   (2 faces, 2 halves, km, ny, nx) x-slopes, sly likewise.
+      rx/ry: (2 faces, km, ny, nx) density diffs (0 = east/north,
+             1 = west/south, the reference's ieast/iwest, jnorth/jsouth),
+      rz_*:  unclamped vertical density differences at the interface above
+             (ktp) / below (kbt) each level, level-k coefficients.
     """
     km = cfg.km
     kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
@@ -71,18 +76,35 @@ def _slopes(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix):
                               ts_range, want_drhodt=True, want_drhods=True)
 
     # face density differences with this cell's expansion coefficients
-    rx_e = drdt * txp + drds * tx[1]
-    rx_w = drdt * bc.w(txp) + drds * bc.w(tx[1])
-    ry_n = drdt * typ + drds * ty[1]
-    ry_s = drdt * bc.s(typ) + drds * bc.s(ty[1])
+    rx = jnp.stack([drdt * txp + drds * tx[1],
+                    drdt * bc.w(txp) + drds * bc.w(tx[1])])
+    ry = jnp.stack([drdt * typ + drds * ty[1],
+                    drdt * bc.s(typ) + drds * bc.s(ty[1])])
 
     # vertical density differences: for the bottom half of level k the
     # interface below k uses level-k coefficients with TZ at k+1; for the
     # top half the interface above k uses level-k coefficients with TZ at k
     tzp_kp1 = jnp.concatenate([tzp_c[1:], jnp.zeros_like(tzp_c[:1])], axis=0)
     tzs_kp1 = jnp.concatenate([tz[1, 1:], jnp.zeros_like(tz[1, :1])], axis=0)
-    rz_kbt = jnp.minimum(drdt * tzp_kp1 + drds * tzs_kp1, -EPS2)
-    rz_ktp = jnp.minimum(drdt * tzp_c + drds * tz[1], -EPS2)
+    rz_kbt_raw = drdt * tzp_kp1 + drds * tzs_kp1
+    rz_ktp_raw = drdt * tzp_c + drds * tz[1]
+    return tx, ty, tz, rx, ry, rz_ktp_raw, rz_kbt_raw
+
+
+def _slopes(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix):
+    """Isopycnal slopes per quarter cell (see face_density_diffs).
+
+    Returns (tx, ty, tz, slx, sly) with
+      slx:   (2 faces, 2 halves, km, ny, nx) x-slopes, sly likewise.
+    """
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    tx, ty, tz, rx, ry, rz_ktp_raw, rz_kbt_raw = face_density_diffs(
+        cfg, grid, bc, ts_range, tmix)
+    rx_e, rx_w = rx[0], rx[1]
+    ry_n, ry_s = ry[0], ry[1]
+    rz_kbt = jnp.minimum(rz_kbt_raw, -EPS2)
+    rz_ktp = jnp.minimum(rz_ktp_raw, -EPS2)
 
     below_mask = (kidx < grid.KMT[None])      # k < KMT
     in_mask = (kidx <= grid.KMT[None])

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from pop2_tpu import constants as const
-from pop2_tpu import eos
+from pop2_tpu import eos, tidal_mixing
 from pop2_tpu.config import ModelConfig
 from pop2_tpu.grid import Grid
 from pop2_tpu.stencil import BC, tgrid_to_ugrid, ugrid_to_tgrid
@@ -72,6 +72,7 @@ class KPPStatics(NamedTuple):
     pair_k: jnp.ndarray        # (P,) target-level index of each (k,m) pair
     pair_m: jnp.ndarray        # (P,) source-level index
     pair_w: jnp.ndarray        # (km, P) sparse weights: RHOAVG_k = W @ rho_p
+    tidal_coef: Optional[jnp.ndarray] = None  # (km, ny, nx) Gamma*q*E*F(z)
 
 
 class KPPOut(NamedTuple):
@@ -139,6 +140,9 @@ def build_statics(cfg: ModelConfig, grid: Grid) -> KPPStatics:
         pair_k=jnp.asarray(np.array(pair_k), jnp.int32),
         pair_m=jnp.asarray(np.array(pair_m), jnp.int32),
         pair_w=jnp.asarray(pw, dt),
+        tidal_coef=(jnp.asarray(
+            tidal_mixing.build_tidal_coef(cfg, grid), dt)
+            if cfg.ltidal_mixing else None),
     )
 
 
@@ -259,8 +263,20 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
 
     bck_vdc = jnp.reshape(st.bckgrnd_vdc, (km, 1, 1))
     bck_vvc = jnp.reshape(st.bckgrnd_vvc, (km, 1, 1))
-    visc_k = bck_vvc + (fshear if cfg.kpp_lrich else 0.0)
-    vdc_k = bck_vdc + (fshear if cfg.kpp_lrich else 0.0)
+    if cfg.ltidal_mixing and st.tidal_coef is not None:
+        # kappa_tidal = COEF / N^2 at interface k, capped at tidal_mix_max
+        # (vmix_kpp.F90:1773-1835, tidal_compute_diff :3046-3140)
+        n2 = dbloc / jnp.reshape(dzw[1:km + 1], (km, 1, 1))
+        tdiff = jnp.where(n2 > 0.0, st.tidal_coef / (n2 + EPS), 0.0)
+        tdiff = jnp.minimum(tdiff, cfg.tidal_mix_max)
+        pr = cfg.prandtl
+        visc_k = pr * jnp.minimum(bck_vvc / pr + tdiff, cfg.tidal_mix_max) \
+            + (fshear if cfg.kpp_lrich else 0.0)
+        vdc_k = jnp.minimum(bck_vdc + tdiff, cfg.tidal_mix_max) \
+            + (fshear if cfg.kpp_lrich else 0.0)
+    else:
+        visc_k = bck_vvc + (fshear if cfg.kpp_lrich else 0.0)
+        vdc_k = bck_vdc + (fshear if cfg.kpp_lrich else 0.0)
 
     # zero at/below sea floor (:1913-1921)
     below = kidx >= grid.KMT[None]

@@ -1,0 +1,82 @@
+"""Tidal mixing tests (reference: source/tidal_mixing.F90 + vmix_kpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pop2_tpu import constants as const
+from pop2_tpu import tidal_mixing
+from pop2_tpu.config import get_config
+from pop2_tpu.grid import build_grid
+from pop2_tpu.model import Model
+
+
+def _cfg(**kw):
+    base = dict(vmix="kpp", ltidal_mixing=True, tidal_energy_const=0.001)
+    base.update(kw)
+    return get_config("mini").with_(**base)
+
+
+def test_vertical_func_normalized():
+    """sum_k F(z_k) dzw_k over the interior column is 1, so the energy
+    deposited integrates to Gamma*q*E (init_tidal_mixing2:1280-1299)."""
+    cfg = _cfg()
+    grid = build_grid(cfg)
+    coef = tidal_mixing.build_tidal_coef(cfg, grid)
+    dzw = np.asarray(grid.vgrid.dzw)[1:cfg.km + 1]
+    kmt = np.asarray(grid.KMT)
+    kidx = np.arange(1, cfg.km + 1)[:, None, None]
+    interior = kidx < kmt[None]
+    colsum = np.sum(np.where(interior, coef * dzw[:, None, None], 0.0),
+                    axis=0)
+    expected = (cfg.tidal_mixing_efficiency / const.RHO_FW
+                * cfg.tidal_local_mixing_fraction * 1000.0
+                * cfg.tidal_energy_const)
+    ocean = (kmt > 1)
+    np.testing.assert_allclose(colsum[ocean], expected, rtol=1e-10)
+    assert (coef[:, ~(kmt > 0)] == 0.0).all()
+
+
+def test_decay_concentrates_near_bottom():
+    """With a small decay scale the coefficient is largest just above the
+    bottom (St Laurent 2002 exponential)."""
+    cfg = _cfg(tidal_vertical_decay_scale=100.0e2)
+    grid = build_grid(cfg)
+    coef = tidal_mixing.build_tidal_coef(cfg, grid)
+    kmt = np.asarray(grid.KMT)
+    j, i = np.argwhere(kmt == cfg.km)[0]
+    col = coef[:, j, i]
+    assert col[kmt[j, i] - 2] == col[:kmt[j, i] - 1].max()
+
+
+def test_tidal_raises_interior_diffusivity():
+    cfg_t = _cfg()
+    cfg_0 = _cfg(ltidal_mixing=False)
+    mt, m0 = Model(cfg_t), Model(cfg_0)
+    st_t = mt.initial_state()
+    st_0 = m0.initial_state()
+    for _ in range(3):
+        st_t, _ = mt.advance(st_t)
+        st_0, _ = m0.advance(st_0)
+    assert np.isfinite(mt.diagnostics(st_t)["KE"])
+    # deep temperature evolves differently (stronger deep mixing)
+    dT = np.abs(np.asarray(st_t.tracer_cur[0, -2])
+                - np.asarray(st_0.tracer_cur[0, -2]))
+    assert dT.max() > 0.0
+
+
+def test_tidal_diff_capped():
+    """Weak stratification -> kappa_tidal would blow up; must cap at
+    tidal_mix_max (tidal_compute_diff:3137)."""
+    cfg = _cfg(tidal_energy_const=10.0, tidal_mix_max=50.0,
+               kpp_lrich=False)
+    m = Model(cfg)
+    st = m.initial_state()
+    from pop2_tpu import kpp as kpp_mod
+    dbloc, _ = kpp_mod.buoydiff(cfg, m.grid, m.kpp_statics, st.tracer_cur)
+    visc, vdc_s = kpp_mod.ri_iwmix(cfg, m.grid, m.bc, m.kpp_statics,
+                                   dbloc, st.u_cur, st.v_cur)
+    assert np.isfinite(np.asarray(vdc_s)).all()
+    assert float(jnp.max(vdc_s)) <= cfg.tidal_mix_max + 1e-9
+    assert float(jnp.max(visc)) <= cfg.prandtl * cfg.tidal_mix_max + 1e-9
+    # and the tidal contribution is actually present (above background)
+    assert float(jnp.max(vdc_s)) > float(jnp.max(m.kpp_statics.bckgrnd_vdc))
