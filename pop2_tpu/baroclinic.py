@@ -69,7 +69,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # (set_sflux_passive_tracers, source/passive_tracers.F90:988)
     stf = forcing.stf
     if passive is not None and passive.packages:
-        stf = stf.at[2:].add(passive.set_sflux(cfg, grid, state.tracer_cur))
+        stf = stf.at[2:].add(passive.set_sflux(
+            cfg, grid, state.tracer_old, state.tracer_cur, forcing))
     forcing = forcing.replace(stf=stf)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----

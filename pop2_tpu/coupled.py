@@ -32,6 +32,7 @@ IMPORT_FIELDS = (
     "snow", "rain", "evap", "melt", "rofl", "rofi",  # water (kg/m^2/s)
     "salt",                   # salt flux (kg/m^2/s)
     "ifrac", "pslv",          # ice fraction, sea-level pressure (Pa)
+    "duu10n",                 # 10-m wind speed squared (m^2/s^2)
 )
 
 
@@ -86,7 +87,10 @@ def ocn_import(cfg: ModelConfig, grid: Grid, x2o: Dict[str, jnp.ndarray],
 
     return Forcing(smf=smf, smft=smft, stf=stf,
                    tfw=jnp.zeros_like(stf), shf_qsw=shf_qsw, fw=fw,
-                   atm_press=atm_press)
+                   atm_press=atm_press,
+                   u10_sqr=(x2o["duu10n"] * const.CMPERM ** 2 * r
+                            if "duu10n" in x2o else None),
+                   ifrac=(x2o["ifrac"] * r if "ifrac" in x2o else None))
 
 
 def ocn_export(cfg: ModelConfig, grid: Grid, state: State,

@@ -31,6 +31,10 @@ class Forcing:
     # (source/forcing_pt_interior.F90 / forcing_s_interior.F90)
     pt_interior_data: Optional[jnp.ndarray] = None
     s_interior_data: Optional[jnp.ndarray] = None
+    # optional gas-exchange inputs (cfc_mod.F90 'model' formulation)
+    u10_sqr: Optional[jnp.ndarray] = None   # (ny, nx) 10-m wind^2 (cm^2/s^2)
+    ifrac: Optional[jnp.ndarray] = None     # (ny, nx) sea-ice fraction
+    tracer_atm: Optional[jnp.ndarray] = None  # (n_gas, 2) (nh, sh) per gas
 
 
 def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:

@@ -46,7 +46,8 @@ class TracerPackage:
         return jnp.zeros((self.n_tracers(), cfg.km, cfg.ny, cfg.nx),
                          cfg.jnp_dtype)
 
-    def set_sflux(self, cfg: ModelConfig, grid: Grid, tracers_cur):
+    def set_sflux(self, cfg: ModelConfig, grid: Grid, tracers_old,
+                  tracers_cur, forcing=None):
         """(n, ny, nx) surface fluxes (STF units)."""
         return jnp.zeros((self.n_tracers(), cfg.ny, cfg.nx), cfg.jnp_dtype)
 
@@ -70,8 +71,20 @@ class IdealAge(TracerPackage):
         return tracer_block.at[:, 0].set(0.0)
 
 
+def _make_cfc():
+    from pop2_tpu.gas_tracers import GasTracers
+    return GasTracers(("CFC11", "CFC12"))
+
+
+def _make_sf6():
+    from pop2_tpu.gas_tracers import GasTracers
+    return GasTracers(("SF6",))
+
+
 REGISTRY = {
     "iage": IdealAge,
+    "cfc": _make_cfc,      # source/cfc_mod.F90
+    "sf6": _make_sf6,      # source/sf6_mod.F90
 }
 
 
@@ -83,6 +96,7 @@ class PassiveTracers:
         self.packages: List[TracerPackage] = [REGISTRY[p]() for p in packages]
         self.names: List[str] = []
         for p in self.packages:
+            p.slot0 = 2 + len(self.names)  # this package's tracer offset
             self.names.extend(p.names)
         if 2 + len(self.names) != cfg.nt:
             raise ValueError(
@@ -100,9 +114,9 @@ class PassiveTracers:
             [p.set_interior(cfg, grid, tracers_old, tracers_cur)
              for p in self.packages], axis=0)
 
-    def set_sflux(self, cfg, grid, tracers_cur):
+    def set_sflux(self, cfg, grid, tracers_old, tracers_cur, forcing=None):
         return jnp.concatenate(
-            [p.set_sflux(cfg, grid, tracers_cur)
+            [p.set_sflux(cfg, grid, tracers_old, tracers_cur, forcing)
              for p in self.packages], axis=0)
 
     def reset(self, cfg, grid, tracer_new):
