@@ -51,6 +51,7 @@ class Model:
             from pop2_tpu.passive_tracers import PassiveTracers
             self.passive = PassiveTracers(cfg, cfg.passive_tracers)
         self.tavg_streams = []
+        self.history_streams = []
         self._tavg_outdir = "."
         self.tavg_files = []
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
@@ -114,8 +115,34 @@ class Model:
         self._tavg_outdir = outdir
         return stream
 
+    def enable_history(self, contents, freq_steps: int, outdir: str = ".",
+                       prefix: str = "pop2_tpu.h"):
+        """Add an instantaneous snapshot stream (source/history.F90)."""
+        from pop2_tpu.history import HistoryStream
+        stream = HistoryStream(self.cfg, self.grid, contents, freq_steps,
+                               outfile_prefix=prefix)
+        self.history_streams.append(stream)
+        self._tavg_outdir = outdir
+        return stream
+
+    def enable_movie(self, contents, freq_steps: int, outdir: str = ".",
+                     level: int = 0, prefix: str = "pop2_tpu.m"):
+        """Add a 2-D snapshot stream (source/movie.F90)."""
+        from pop2_tpu.history import MovieStream
+        stream = MovieStream(self.cfg, self.grid, contents, freq_steps,
+                             level=level, outfile_prefix=prefix)
+        self.history_streams.append(stream)
+        self._tavg_outdir = outdir
+        return stream
+
     def _output_driver(self, state: State):
-        """Per-step output hook (output_driver, source/output.F90:53)."""
+        """Per-step output hook: history -> movie -> tavg
+        (output_driver, source/output.F90:53)."""
+        for stream in self.history_streams:
+            if stream.due(self.nsteps_total):
+                self.tavg_files.append(
+                    stream.write(self._tavg_outdir, state,
+                                 self.nsteps_total))
         for stream in self.tavg_streams:
             stream.accumulate(state)
             if stream.ready:
@@ -130,7 +157,7 @@ class Model:
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
         out = self._step(state, forcing or self.forcing,
                          leapfrog=leapfrog, avg_ts=avg_ts)
-        if self.tavg_streams:
+        if self.tavg_streams or self.history_streams:
             self._output_driver(out[0])
         return out
 
@@ -149,7 +176,7 @@ class Model:
         remainders run individually). Only two executables are ever
         compiled per flag set. Returns (state, last_diags)."""
         forcing = forcing or self.forcing
-        if self.tavg_streams:
+        if self.tavg_streams or self.history_streams:
             # per-step accumulation requires the unfused path; compiled-in
             # accumulation inside the scan is a later optimization
             diags = None

@@ -83,6 +83,43 @@ _register("SALT2", "Salinity**2", "(g/g)^2", 3,
           lambda c, g, s: s.tracer_cur[1] ** 2)
 
 
+def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,
+                        step_number: int = 0) -> str:
+    """Shared NetCDF3-classic writer with z_t/TLAT/TLONG coordinates
+    (the reference's io_netcdf.F90 field-writing path). ``arrays`` maps
+    field name -> numpy array shaped per FIELDS[name].ndims."""
+    from scipy.io import netcdf_file
+    with netcdf_file(fname, "w") as f:
+        f.createDimension("time", 1)
+        f.createDimension("z_t", cfg.km)
+        f.createDimension("nlat", cfg.ny)
+        f.createDimension("nlon", cfg.nx)
+
+        zt = f.createVariable("z_t", "d", ("z_t",))
+        zt[:] = np.asarray(grid.vgrid.zt)
+        zt.units = b"centimeters"
+        tlat = f.createVariable("TLAT", "d", ("nlat", "nlon"))
+        tlat[:] = np.asarray(grid.TLAT) * const.RADIAN
+        tlat.units = b"degrees_north"
+        tlon = f.createVariable("TLONG", "d", ("nlat", "nlon"))
+        tlon[:] = np.asarray(grid.TLON) * const.RADIAN
+        tlon.units = b"degrees_east"
+        tvar = f.createVariable("time", "d", ("time",))
+        tvar[:] = [float(step_number)]
+        tvar.units = b"steps"
+
+        for n in contents:
+            d = FIELDS[n]
+            arr = np.asarray(arrays[n])
+            dims = (("time", "z_t", "nlat", "nlon") if arr.ndim == 3
+                    else ("time", "nlat", "nlon"))
+            v = f.createVariable(n, "f", dims)
+            v[:] = arr[None].astype(np.float32)
+            v.units = d.units.encode()
+            v.long_name = d.long_name.encode()
+    return fname
+
+
 class TavgStream:
     """One output stream: a set of fields accumulated every step and written
     every ``freq_steps`` steps (reference stream mechanism,
@@ -137,39 +174,12 @@ class TavgStream:
 
     def write(self, path: str, step_number: int = 0) -> str:
         """Write the normalized averages as NetCDF3 classic; returns path."""
-        from scipy.io import netcdf_file
-        cfg, grid = self.cfg, self.grid
         fname = f"{path}/{self.prefix}.{step_number:08d}.nc" \
             if not path.endswith(".nc") else path
-        with netcdf_file(fname, "w") as f:
-            f.createDimension("time", 1)
-            f.createDimension("z_t", cfg.km)
-            f.createDimension("nlat", cfg.ny)
-            f.createDimension("nlon", cfg.nx)
-
-            zt = f.createVariable("z_t", "d", ("z_t",))
-            zt[:] = np.asarray(grid.vgrid.zt)
-            zt.units = b"centimeters"
-            tlat = f.createVariable("TLAT", "d", ("nlat", "nlon"))
-            tlat[:] = np.asarray(grid.TLAT) * const.RADIAN
-            tlat.units = b"degrees_north"
-            tlon = f.createVariable("TLONG", "d", ("nlat", "nlon"))
-            tlon[:] = np.asarray(grid.TLON) * const.RADIAN
-            tlon.units = b"degrees_east"
-            tvar = f.createVariable("time", "d", ("time",))
-            tvar[:] = [float(step_number)]
-            tvar.units = b"steps"
-
-            norm = 1.0 / max(self.nsamples, 1)
-            for n in self.contents:
-                d = FIELDS[n]
-                dims = (("time", "z_t", "nlat", "nlon") if d.ndims == 3
-                        else ("time", "nlat", "nlon"))
-                v = f.createVariable(n, "f", dims)
-                v[:] = (np.asarray(self.sums[n]) * norm)[None].astype(
-                    np.float32)
-                v.units = d.units.encode()
-                v.long_name = d.long_name.encode()
+        norm = 1.0 / max(self.nsamples, 1)
+        arrays = {n: np.asarray(self.sums[n]) * norm for n in self.contents}
+        write_fields_netcdf(self.cfg, self.grid, fname, self.contents,
+                            arrays, step_number)
         return fname
 
     # -- accumulator checkpointing (read_tavg/write_tavg,
