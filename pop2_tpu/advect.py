@@ -103,11 +103,14 @@ def advu(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel, dhu):
     # 4-point averages of T-face fluxes onto U-cell faces
     # (source/advection.F90:1307-1339)
     uuw = (0.25 * (a + bc.w(a))
-           + 0.125 * (bc.s(a) + bc.sw(a) + bc.n(a) + bc.nw(a)))
+           + 0.125 * (bc.s(a) + bc.sw(a) + bc.n(a, "necorner", "vector")
+                      + bc.nw(a, "necorner", "vector")))
     uue = bc.e(uuw)
     vus = (0.25 * (b + bc.s(b))
            + 0.125 * (bc.w(b) + bc.sw(b) + bc.e(b) + bc.se(b)))
-    vun = bc.n(vus)
+    # vus folds as an E-face vector given the degenerate top-row
+    # antisymmetry of b (enforced each step for tripole grids)
+    vun = bc.n(vus, "eface", "vector")
 
     # vertical velocity at U-box bottoms by continuity, integrated from the
     # surface value DHU (source/advection.F90:1352-1357)
@@ -118,9 +121,11 @@ def advu(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel, dhu):
                            wukb[:-1]], axis=0)
 
     cc = vun - vus + uue - uuw
-    luk = 0.5 * (cc * uvel + vun * bc.n(uvel) - vus * bc.s(uvel)
+    luk = 0.5 * (cc * uvel + vun * bc.n(uvel, "necorner", "vector")
+                 - vus * bc.s(uvel)
                  + uue * bc.e(uvel) - uuw * bc.w(uvel)) * grid.UAREA_R
-    lvk = 0.5 * (cc * vvel + vun * bc.n(vvel) - vus * bc.s(vvel)
+    lvk = 0.5 * (cc * vvel + vun * bc.n(vvel, "necorner", "vector")
+                 - vus * bc.s(vvel)
                  + uue * bc.e(vvel) - uuw * bc.w(vvel)) * grid.UAREA_R
 
     # vertical advection through top/bottom of U box
@@ -221,10 +226,10 @@ def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
     alfxp, betxp, gamxp, alfxm, betxm, delxm = _upwind3_horiz_coeffs(
         grid.DXT, bc.w(grid.DXT), bc.e(grid.DXT), bc.e(bc.e(grid.DXT)))
     alfyp, betyp, gamyp, alfym, betym, delym = _upwind3_horiz_coeffs(
-        grid.DYT, bc.s(grid.DYT), bc.n(grid.DYT), bc.n(bc.n(grid.DYT)))
+        grid.DYT, bc.s(grid.DYT), bc.n(grid.DYT), bc.nn(grid.DYT))
 
     kmtee = bc.e(bc.e(grid.KMT.astype(jnp.int32)))
-    kmtnn = bc.n(bc.n(grid.KMT.astype(jnp.int32)))
+    kmtnn = bc.nn(grid.KMT.astype(jnp.int32))
 
     def faceval(X, c_pos, mask_up1, mask_dn1, mask_up2,
                 alfp, betp, gamp, alfm, betm, delm, sh_p1, sh_m1, sh_p2):
@@ -257,7 +262,7 @@ def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
     mask_nn = (kidx <= kmtnn[None])[None]
     tr_n = faceval(trcr, cn > 0, mask_n, mask_s, mask_nn,
                    alfyp, betyp, gamyp, alfym, betym, delym,
-                   bc.n, bc.s, lambda x: bc.n(bc.n(x)))
+                   bc.n, bc.s, bc.nn)
 
     ltk = (ce * tr_e + cw * bc.w(tr_e)
            + cn * tr_n + cs * bc.s(tr_n))

@@ -259,8 +259,15 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
                               + w4[None] * bc.e(tz_kp1))
         w1 = kisop[0] * sly[0, 0] * dz - sf_sly[0, 0]
         w2 = kisop[1] * sly[0, 1] * dz - sf_sly[0, 1]
-        w3 = bc.n(kisop[0] * sly[1, 0] * dz - sf_sly[1, 0])
-        w4 = bc.n(kisop[1] * sly[1, 1] * dz - sf_sly[1, 1])
+        # tripole: the south-face y-slope's ghost row is the fold of the
+        # north-face counterpart with a sign flip (face swap under the
+        # 180-degree rotation)
+        w3 = bc.n_partner(kisop[0] * sly[1, 0] * dz - sf_sly[1, 0],
+                          kisop[0] * sly[0, 0] * dz - sf_sly[0, 0],
+                          "center", "vector")
+        w4 = bc.n_partner(kisop[1] * sly[1, 1] * dz - sf_sly[1, 1],
+                          kisop[1] * sly[0, 1] * dz - sf_sly[0, 1],
+                          "center", "vector")
         fy = fy - cy[None] * (w1[None] * tz + w2[None] * tz_kp1
                               + w3[None] * bc.n(tz)
                               + w4[None] * bc.n(tz_kp1))

@@ -203,9 +203,39 @@ def _topography_internal(ulat_deg: np.ndarray, ulon_deg: np.ndarray,
     return kmt
 
 
+def _np_fold_row(f: np.ndarray, n: int, loc: str, kind: str) -> np.ndarray:
+    """Host-side tripole ghost row ny-1+n (numpy mirror of
+    tripole.fold_rows; mpi/POP_HaloMod.F90:1961-2050)."""
+    sign = -1.0 if kind == "vector" else 1.0
+    ny = f.shape[0]
+    if loc == "center":
+        return sign * f[ny - n, ::-1]
+    if loc == "necorner":
+        return sign * np.roll(f[ny - 1 - n, ::-1], -1)
+    if loc == "eface":
+        return sign * np.roll(f[ny - n, ::-1], -1)
+    if loc == "nface":
+        return sign * f[ny - 1 - n, ::-1]
+    raise ValueError(f"unknown location {loc}")
+
+
 def _np_shift(f: np.ndarray, di: int, dj: int, ew: str, ns: str,
-              fill=0.0) -> np.ndarray:
-    """Host-side shift: result[j,i] = f[j+dj, i+di] with boundary handling."""
+              fill=0.0, loc: str = "center",
+              kind: str = "scalar") -> np.ndarray:
+    """Host-side shift: result[j,i] = f[j+dj, i+di] with boundary handling.
+    For a tripole north boundary, northward shifts fill the ghost rows from
+    the fold of the given field location/kind (fold first, then the
+    east/west shift, matching ghost-cell indexing)."""
+    if ns == "tripole" and dj > 0:
+        g = np.roll(np.asarray(f, dtype=np.float64), -dj, axis=0)
+        ny = f.shape[0]
+        for n in range(1, dj + 1):
+            g[ny - 1 - dj + n, :] = _np_fold_row(f, n, loc, kind)
+        if di != 0:
+            g = _np_shift(g, di, 0, ew, ns, fill)
+        return g
+    if ns == "tripole":
+        ns = "closed"  # the south boundary of a tripole grid is closed
     g = np.roll(f, (-dj, -di), axis=(0, 1))
     if ns == "closed" and dj != 0:
         if dj > 0:
@@ -266,8 +296,8 @@ def build_grid(cfg: ModelConfig) -> Grid:
     nx, ny, km = cfg.nx, cfg.ny, cfg.km
     ew, ns = cfg.ew_boundary, cfg.ns_boundary
 
-    def sh(f, di, dj, fill=0.0):
-        return _np_shift(f, di, dj, ew, ns, fill)
+    def sh(f, di, dj, fill=0.0, loc="center", kind="scalar"):
+        return _np_shift(f, di, dj, ew, ns, fill, loc, kind)
 
     if cfg.horiz_grid == "internal":
         # ---- analytic lat/lon grid (source/grid.F90:1226-1298) -------------
@@ -315,7 +345,7 @@ def build_grid(cfg: ModelConfig) -> Grid:
         DXU = 0.5 * (HTN + sh(HTN, 1, 0))
         DXT = 0.5 * (HTN + sh(HTN, 0, -1))
         DYT = 0.5 * (HTE + sh(HTE, -1, 0))
-        DYU = 0.5 * (HTE + sh(HTE, 0, 1))
+        DYU = 0.5 * (HTE + sh(HTE, 0, 1, loc="eface"))
         if ns == "tripole":
             DYU[-1, :] = HTE[-1, :]  # tripole correction (grid.F90:1490-1497)
         TLAT, TLON = _tpoints_from_upoints(ULAT, ULON, sh)
@@ -436,31 +466,33 @@ def build_grid(cfg: ModelConfig) -> Grid:
     # momentum (source/hmix_del2.F90:317-404)
     w1 = (HUS / HTE)
     DUS = w1 * UAREA_R
-    DUN = sh(w1, 0, 1) * UAREA_R
+    DUN = sh(w1, 0, 1, loc="eface") * UAREA_R
     w1 = (HUW / HTN)
     DUW = w1 * UAREA_R
     DUE = sh(w1, 1, 0) * UAREA_R
     DUC = -(DUN + DUS + DUE + DUW)
 
     KXU = (sh(HUW, 1, 0) - HUW) * UAREA_R
-    KYU = (sh(HUS, 0, 1) - HUS) * UAREA_R
+    KYU = (sh(HUS, 0, 1, loc="eface") - HUS) * UAREA_R
 
+    # kxt/kyt are x-/y-directional metric derivatives: they change sign
+    # under the tripole 180-degree fold (kind='vector')
     kxt = (HTE - sh(HTE, -1, 0)) * TAREA_R
-    w2 = 0.5 * (kxt + sh(kxt, 0, 1))
+    w2 = 0.5 * (kxt + sh(kxt, 0, 1, kind="vector"))
     DXKX = (sh(w2, 1, 0) - w2) * DXUR
     w2 = 0.5 * (kxt + sh(kxt, 1, 0))
-    DYKX = (sh(w2, 0, 1) - w2) * DYUR
+    DYKX = (sh(w2, 0, 1, loc="eface", kind="vector") - w2) * DYUR
 
     kyt = (HTN - sh(HTN, 0, -1)) * TAREA_R
     w2 = 0.5 * (kyt + sh(kyt, 1, 0))
-    DYKY = (sh(w2, 0, 1) - w2) * DYUR
-    w2 = 0.5 * (kyt + sh(kyt, 0, 1))
+    DYKY = (sh(w2, 0, 1, loc="eface", kind="vector") - w2) * DYUR
+    w2 = 0.5 * (kyt + sh(kyt, 0, 1, kind="vector"))
     DXKY = (sh(w2, 1, 0) - w2) * DXUR
 
     DUM = -(DXKX + DYKY + 2.0 * (KXU ** 2 + KYU ** 2))
     DMC = DXKY - DYKX
     DME = 2.0 * KYU / (HTN + sh(HTN, 1, 0))
-    DMN = -2.0 * KXU / (HTE + sh(HTE, 0, 1))
+    DMN = -2.0 * KXU / (HTE + sh(HTE, 0, 1, loc="eface"))
     DMW = -DME
     DMS = -DMN
 

@@ -43,14 +43,16 @@ def hdiffu_del2(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
     Returns (hduk, hdvk) masked to zero over land."""
     am = cfg.auto_am
     cc = grid.DUC + grid.DUM
-    lap_u = (cc * umixk + grid.DUN * bc.n(umixk) + grid.DUS * bc.s(umixk)
+    nu = bc.n(umixk, "necorner", "vector")
+    nv = bc.n(vmixk, "necorner", "vector")
+    lap_u = (cc * umixk + grid.DUN * nu + grid.DUS * bc.s(umixk)
              + grid.DUE * bc.e(umixk) + grid.DUW * bc.w(umixk))
-    lap_v = (cc * vmixk + grid.DUN * bc.n(vmixk) + grid.DUS * bc.s(vmixk)
+    lap_v = (cc * vmixk + grid.DUN * nv + grid.DUS * bc.s(vmixk)
              + grid.DUE * bc.e(vmixk) + grid.DUW * bc.w(vmixk))
-    mix_v = (grid.DMC * vmixk + grid.DMN * bc.n(vmixk)
+    mix_v = (grid.DMC * vmixk + grid.DMN * nv
              + grid.DMS * bc.s(vmixk) + grid.DME * bc.e(vmixk)
              + grid.DMW * bc.w(vmixk))
-    mix_u = (grid.DMC * umixk + grid.DMN * bc.n(umixk)
+    mix_u = (grid.DMC * umixk + grid.DMN * nu
              + grid.DMS * bc.s(umixk) + grid.DME * bc.e(umixk)
              + grid.DMW * bc.w(umixk))
     hduk = am * (lap_u + mix_v)
@@ -93,13 +95,15 @@ def _mom_lap(cfg, grid, bc, u, v):
     """Momentum Laplacian with U/V-mixing metric terms (shared stencil of
     del2/del4; source/hmix_del4.F90:727-770)."""
     cc = grid.DUC + grid.DUM
-    lap_u = (cc * u + grid.DUN * bc.n(u) + grid.DUS * bc.s(u)
+    nu = bc.n(u, "necorner", "vector")
+    nv = bc.n(v, "necorner", "vector")
+    lap_u = (cc * u + grid.DUN * nu + grid.DUS * bc.s(u)
              + grid.DUE * bc.e(u) + grid.DUW * bc.w(u))
-    lap_v = (cc * v + grid.DUN * bc.n(v) + grid.DUS * bc.s(v)
+    lap_v = (cc * v + grid.DUN * nv + grid.DUS * bc.s(v)
              + grid.DUE * bc.e(v) + grid.DUW * bc.w(v))
-    mix_v = (grid.DMC * v + grid.DMN * bc.n(v) + grid.DMS * bc.s(v)
+    mix_v = (grid.DMC * v + grid.DMN * nv + grid.DMS * bc.s(v)
              + grid.DME * bc.e(v) + grid.DMW * bc.w(v))
-    mix_u = (grid.DMC * u + grid.DMN * bc.n(u) + grid.DMS * bc.s(u)
+    mix_u = (grid.DMC * u + grid.DMN * nu + grid.DMS * bc.s(u)
              + grid.DME * bc.e(u) + grid.DMW * bc.w(u))
     return lap_u + mix_v, lap_v - mix_u
 

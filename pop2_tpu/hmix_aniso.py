@@ -50,25 +50,13 @@ class AnisoStatics:
     f_perp_smag: Optional[jnp.ndarray]  # (ny, nx) smag latitude factor
 
 
-def _np_shift(f, di: int, dj: int, bc: BC):
+def _np_shift(f, di: int, dj: int, bc: BC, loc: str = "center",
+              kind: str = "scalar"):
     """Value at (i+di, j+dj) on host numpy arrays with the model BCs
-    (matches the reference's halo-filled eoshift usage)."""
-    g = f
-    if di:
-        g = np.roll(g, -di, axis=-1)
-        if bc.ew == "closed":
-            if di > 0:
-                g[..., :, -di:] = 0.0
-            else:
-                g[..., :, :-di] = 0.0
-    if dj:
-        g = np.roll(g, -dj, axis=-2)
-        if bc.ns == "closed":
-            if dj > 0:
-                g[..., -dj:, :] = 0.0
-            else:
-                g[..., :-dj, :] = 0.0
-    return g
+    (matches the reference's halo-filled eoshift usage), incl. tripole."""
+    from pop2_tpu.grid import _np_shift as gsh
+    return gsh(np.asarray(f, dtype=np.float64), di, dj, bc.ew, bc.ns,
+               0.0, loc, kind)
 
 
 def _west_boundary_distance(kmu: np.ndarray, htn: np.ndarray, k: int,
@@ -114,7 +102,7 @@ def build_statics(cfg: ModelConfig, bc: BC, HTN, HTE, DXU, DYU, DXUR, DYUR,
     HTE = np.asarray(HTE, dtype=np.float64)
     h2s = HTE
     h1w = HTN
-    h2n = _np_shift(h2s, 0, 1, bc)
+    h2n = _np_shift(h2s, 0, 1, bc, loc="eface")
     h1e = _np_shift(h1w, 1, 0, bc)
 
     wa = h2s + h2n
@@ -125,7 +113,7 @@ def build_statics(cfg: ModelConfig, bc: BC, HTN, HTE, DXU, DYU, DXUR, DYUR,
     wa = h1w + h1e
     wb = _np_shift(wa, 0, -1, bc)
     k2s = 2.0 * (wa - wb) / np.maximum(wa + wb, 1e-30) / h2s
-    k2n = _np_shift(k2s, 0, 1, bc)
+    k2n = _np_shift(k2s, 0, 1, bc, loc="eface", kind="vector")
 
     DXUR = np.asarray(DXUR)
     DYUR = np.asarray(DYUR)
@@ -184,8 +172,10 @@ def hdiffu_aniso(cfg: ModelConfig, grid, bc: BC, st: AnisoStatics,
     No partial bottom cells: the depth ratios GE/GW/GN/GS are 1 (:700).
     """
     u, v = umixk, vmixk
-    uw, ue, us, un = bc.w(u), bc.e(u), bc.s(u), bc.n(u)
-    vw, ve, vs, vn = bc.w(v), bc.e(v), bc.s(v), bc.n(v)
+    uw, ue, us = bc.w(u), bc.e(u), bc.s(u)
+    un = bc.n(u, "necorner", "vector")
+    vw, ve, vs = bc.w(v), bc.e(v), bc.s(v)
+    vn = bc.n(v, "necorner", "vector")
     h1w, h1e, h2s, h2n = st.h1w, st.h1e, st.h2s, st.h2n
     k1w, k1e, k2s, k2n = st.k1w, st.k1e, st.k2s, st.k2n
 
@@ -273,7 +263,9 @@ def hdiffu_aniso(cfg: ModelConfig, grid, bc: BC, st: AnisoStatics,
     pair_e22 = h2s * s22[3] + h2n * s22[2]
 
     fx = 0.25 * (pair_e11 + bc.e(pair_w11) - pair_w11 - bc.w(pair_e11))
-    fx = fx + 0.25 * ((pair_n12 + bc.n(pair_s12))
+    # tripole: a south pair's ghost row folds from its north counterpart
+    fx = fx + 0.25 * ((pair_n12
+                       + bc.n_partner(pair_s12, pair_n12, "necorner"))
                       * (1.0 + 0.5 * h2n * k2n)
                       - (pair_s12 + bc.s(pair_n12))
                       * (1.0 - 0.5 * h2s * k2s))
@@ -287,12 +279,15 @@ def hdiffu_aniso(cfg: ModelConfig, grid, bc: BC, st: AnisoStatics,
     pair_s11 = h1w * s11[0] + h1e * s11[3]
     pair_n11 = h1w * s11[1] + h1e * s11[2]
 
-    fy = 0.25 * (pair_n22 + bc.n(pair_s22) - pair_s22 - bc.s(pair_n22))
+    fy = 0.25 * (pair_n22 + bc.n_partner(pair_s22, pair_n22, "necorner")
+                 - pair_s22 - bc.s(pair_n22))
     fy = fy + 0.25 * ((pair_e12 + bc.e(pair_w12))
                       * (1.0 + 0.5 * h1e * k1e)
                       - (pair_w12 + bc.w(pair_e12))
                       * (1.0 - 0.5 * h1w * k1w))
-    fy = fy - 0.125 * ((pair_n11 + bc.n(pair_s11)) * h2n * k2n
+    fy = fy - 0.125 * ((pair_n11
+                        + bc.n_partner(pair_s11, pair_n11, "necorner"))
+                       * h2n * k2n
                        + (pair_s11 + bc.s(pair_n11)) * h2s * k2s)
 
     zero = jnp.zeros_like(fx)

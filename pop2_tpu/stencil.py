@@ -42,8 +42,11 @@ def _shift_x(f, sign: int, bc: str):
 def _shift_y(f, sign: int, bc: str):
     """sign=+1 -> value at (j+1) ('north'), sign=-1 -> value at (j-1)."""
     if bc == "tripole":
-        raise NotImplementedError(
-            "tripole fold is applied at the halo level; use HaloOps")
+        if sign > 0:
+            raise NotImplementedError(
+                "northward shifts on tripole grids need the field "
+                "location/kind; use BC.n / BC.nn / BC.n_partner")
+        bc = "closed"  # the southern boundary of a tripole grid is closed
     g = jnp.roll(f, -sign, axis=-2)
     if bc == "closed":
         if sign > 0:
@@ -98,24 +101,51 @@ class BC:
         self.ew = ew
         self.ns = ns
 
-    # shorthand shift methods
+    # shorthand shift methods. Northward shifts take the field's horizontal
+    # location and kind, which select the tripole fold mapping
+    # (mpi/POP_HaloMod.F90:1961-2050); ignored for closed/cyclic ns.
+    # Southward and pure east/west shifts never cross the fold.
     def e(self, f):
         return shift_e(f, self.ew)
 
     def w(self, f):
         return shift_w(f, self.ew)
 
-    def n(self, f):
+    def n(self, f, loc: str = "center", kind: str = "scalar"):
+        if self.ns == "tripole":
+            from pop2_tpu.tripole import shift_n_tripole
+            return shift_n_tripole(f, 1, loc, kind)
         return shift_n(f, self.ns)
+
+    def nn(self, f, loc: str = "center", kind: str = "scalar"):
+        """Distance-2 northward shift (value at j+2)."""
+        if self.ns == "tripole":
+            from pop2_tpu.tripole import shift_n_tripole
+            return shift_n_tripole(f, 2, loc, kind)
+        return shift_n(shift_n(f, self.ns), self.ns)
+
+    def n_partner(self, f, partner, loc: str = "center",
+                  kind: str = "scalar"):
+        """Northward shift of a south-face-type derived field whose tripole
+        ghost values come from folding its north-face counterpart
+        ``partner`` (the face-swap under the 180-degree fold; see e.g. the
+        reference's ghost-zone evaluation of SLY(:,j+1,jsouth) in
+        hmix_gm.F90). Equals ``n(f)`` for closed/cyclic boundaries."""
+        if self.ns != "tripole":
+            return shift_n(f, self.ns)
+        from pop2_tpu.tripole import fold_rows
+        g = jnp.roll(f, -1, axis=-2)
+        return g.at[..., -1, :].set(fold_rows(partner, 1, loc, kind))
 
     def s(self, f):
         return shift_s(f, self.ns)
 
-    def ne(self, f):
-        return shift_n(shift_e(f, self.ew), self.ns)
+    def ne(self, f, loc: str = "center", kind: str = "scalar"):
+        # fold first, then shift east: matches ghost-cell indexing
+        return shift_e(self.n(f, loc, kind), self.ew)
 
-    def nw(self, f):
-        return shift_n(shift_w(f, self.ew), self.ns)
+    def nw(self, f, loc: str = "center", kind: str = "scalar"):
+        return shift_w(self.n(f, loc, kind), self.ew)
 
     def se(self, f):
         return shift_s(shift_e(f, self.ew), self.ns)

@@ -150,16 +150,30 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 6. pressure guess extrapolation (source/step_mod.F90:634-640)
     pguess = (3.0 * (tout.psurf_new - state.psurf_cur) + state.psurf_old)
 
+    ubtrop_new, vbtrop_new = tout.ubtrop_new, tout.vbtrop_new
+    gradpx_new, gradpy_new = tout.gradpx_new, tout.gradpy_new
+    if cfg.ns_boundary == "tripole":
+        # the top U row lies on the fold and is degenerate: each point
+        # coincides with its index-reversed partner; keep them consistent
+        # after every update (mpi/POP_HaloMod.F90:1977-1986)
+        from pop2_tpu.tripole import enforce_top_symmetry as ets
+        u_new = ets(u_new)
+        v_new = ets(v_new)
+        ubtrop_new = ets(ubtrop_new)
+        vbtrop_new = ets(vbtrop_new)
+        gradpx_new = ets(gradpx_new)
+        gradpy_new = ets(gradpy_new)
+
     new = State(
         tracer_old=state.tracer_cur, tracer_cur=tracer_new,
         u_old=state.u_cur, u_cur=u_new,
         v_old=state.v_cur, v_cur=v_new,
         rho_old=state.rho_cur, rho_cur=rho_new,
-        ubtrop_old=state.ubtrop_cur, ubtrop_cur=tout.ubtrop_new,
-        vbtrop_old=state.vbtrop_cur, vbtrop_cur=tout.vbtrop_new,
+        ubtrop_old=state.ubtrop_cur, ubtrop_cur=ubtrop_new,
+        vbtrop_old=state.vbtrop_cur, vbtrop_cur=vbtrop_new,
         psurf_old=state.psurf_cur, psurf_cur=tout.psurf_new,
-        gradpx_old=state.gradpx_cur, gradpx_cur=tout.gradpx_new,
-        gradpy_old=state.gradpy_cur, gradpy_cur=tout.gradpy_new,
+        gradpx_old=state.gradpx_cur, gradpx_cur=gradpx_new,
+        gradpy_old=state.gradpy_cur, gradpy_cur=gradpy_new,
         pguess=pguess, fw_old=forcing.fw, qice=qice, aqice=aqice,
         rf_s_prev=state.rf_s_prev,
         rf_s_prev_valid=state.rf_s_prev_valid)

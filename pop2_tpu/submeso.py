@@ -134,8 +134,11 @@ def gtk(cfg: ModelConfig, grid: Grid, bc: BC, sfx, sfy, tmix, tx, ty, tz):
                      + bc.e(sfx[1, 0])[None] * bc.e(tz)
                      + bc.e(sfx[1, 1])[None] * bc.e(tz_kp1))
     fy = cy[None] * (sfy[0, 0][None] * tz + sfy[0, 1][None] * tz_kp1
-                     + bc.n(sfy[1, 0])[None] * bc.n(tz)
-                     + bc.n(sfy[1, 1])[None] * bc.n(tz_kp1))
+                     + bc.n_partner(sfy[1, 0], sfy[0, 0],
+                                    "center", "vector")[None] * bc.n(tz)
+                     + bc.n_partner(sfy[1, 1], sfy[0, 1],
+                                    "center", "vector")[None]
+                     * bc.n(tz_kp1))
 
     hyxw = bc.w(hyx)
     hxys = bc.s(hxy)

@@ -46,21 +46,18 @@ def fold_rows(f, n: int, loc: str = "center", kind: str = "scalar"):
 
     f: (..., ny, nx). Returns (..., nx).
     """
-    sign = -1.0 if kind == "vector" else 1.0
     ny = f.shape[-2]
-    if loc in ("center",):
-        src = f[..., ny - n, :]
-        return sign * _rev_center(src)
-    if loc in ("necorner",):
-        src = f[..., ny - 1 - n, :]
-        return sign * _rev_corner(src)
-    if loc in ("eface",):
-        src = f[..., ny - n, :]
-        return sign * _rev_corner(src)
-    if loc in ("nface",):
-        src = f[..., ny - 1 - n, :]
-        return sign * _rev_center(src)
-    raise ValueError(f"unknown location {loc}")
+    if loc == "center":
+        out = _rev_center(f[..., ny - n, :])
+    elif loc == "necorner":
+        out = _rev_corner(f[..., ny - 1 - n, :])
+    elif loc == "eface":
+        out = _rev_corner(f[..., ny - n, :])
+    elif loc == "nface":
+        out = _rev_center(f[..., ny - 1 - n, :])
+    else:
+        raise ValueError(f"unknown location {loc}")
+    return -out if kind == "vector" else out
 
 
 def shift_n_tripole(f, dist: int = 1, loc: str = "center",
