@@ -144,6 +144,19 @@ class ModelConfig:
     tidal_vertical_decay_scale: float = 500.0e2  # cm
     tidal_energy_file: Optional[str] = None  # POP binary E(x,y) record
     tidal_energy_const: float = 0.0          # W/m^2 fallback when no file
+    # near-inertial wave mixing (niw_mixing.F90:112-130)
+    lniw_mixing: bool = False
+    niw_boundary_layer_absorption: float = 0.7
+    niw_local_mixing_fraction: float = 0.5
+    niw_mixing_efficiency: float = 0.2
+    niw_obs2model_ratio: float = 1.0
+    niw_vert_decay_scale: float = 2000.0e2   # cm
+    niw_mix_max: float = 100.0               # cm^2/s
+    niw_energy_file: Optional[str] = None
+    niw_energy_const: float = 0.0            # W/m^2 fallback
+    # topographic stress / Neptune (topostress.F90)
+    ltopostress: bool = False
+    nsmooth_topo: int = 1
     # submesoscale mixed-layer eddies (mix_submeso.F90:183-188)
     lsubmeso: bool = False
     submeso_efficiency: float = 0.07

@@ -149,6 +149,10 @@ class Grid:
 
     # anisotropic-viscosity statics (None unless hmix_momentum == 'aniso')
     aniso: Optional["object"] = None
+    # topographic-stress equilibrium velocities (None unless ltopostress;
+    # source/topostress.F90:119-235)
+    TSU: Optional[jnp.ndarray] = None
+    TSV: Optional[jnp.ndarray] = None
 
 
 def pressure_bars(depth_m: np.ndarray) -> np.ndarray:
@@ -537,6 +541,35 @@ def build_grid(cfg: ModelConfig) -> Grid:
                   zt=f(zt), zw=f(zw), dzw=f(dzw), dzwr=f(dzwr),
                   pressz=f(pressz))
 
+    TSU = TSV = None
+    if cfg.ltopostress:
+        # Neptune topographic stress (topostress.F90:119-301): smooth the
+        # depth field, form the streamfunction TSP = -f*L^2*H, and take its
+        # corner gradient as an equilibrium bottom velocity
+        htnew = HT.copy()
+        wet = (KMT > 0).astype(np.float64)
+        for _ in range(cfg.nsmooth_topo):
+            def s9(f):
+                return (4.0 * f
+                        + 2.0 * (sh(f, 1, 0) + sh(f, -1, 0)
+                                 + sh(f, 0, 1) + sh(f, 0, -1))
+                        + sh(f, 1, 1) + sh(f, 1, -1)
+                        + sh(f, -1, 1) + sh(f, -1, -1))
+            nb = s9(wet)
+            htnew = np.where((KMT > 0) & (nb > 0),
+                             s9(htnew * wet) / np.where(nb > 0, nb, 1.0),
+                             0.0)
+        tslse, tslsp = 12.0e5, 3.0e5
+        scale = tslsp + (tslse - tslsp) * (0.5 + 0.5 * np.cos(2.0 * TLAT))
+        tsp = np.where(KMT > 0, -FCORT * scale ** 2 * htnew, 0.0)
+        t_ne = sh(tsp, 1, 1)
+        t_n = sh(tsp, 0, 1)
+        t_e = sh(tsp, 1, 0)
+        TSV = DXUR * 0.5 * HUR * (t_ne - tsp - t_n + t_e)
+        TSU = -DYUR * 0.5 * HUR * (t_ne - tsp + t_n - t_e)
+        TSU = np.where(KMU > 0, TSU, 0.0)
+        TSV = np.where(KMU > 0, TSV, 0.0)
+
     aniso = None
     if cfg.hmix_momentum == "aniso":
         from pop2_tpu import hmix_aniso  # deferred: avoids import cycle
@@ -546,6 +579,8 @@ def build_grid(cfg: ModelConfig) -> Grid:
 
     return Grid(
         aniso=aniso,
+        TSU=None if TSU is None else f(TSU),
+        TSV=None if TSV is None else f(TSV),
         DXU=f(DXU), DYU=f(DYU), DXT=f(DXT), DYT=f(DYT),
         DXUR=f(DXUR), DYUR=f(DYUR), DXTR=f(DXTR), DYTR=f(DYTR),
         HTN=f(HTN), HTE=f(HTE), HUS=f(HUS), HUW=f(HUW),

@@ -42,6 +42,11 @@ def hdiffu_del2(cfg: ModelConfig, grid: Grid, bc: BC, umixk, vmixk):
     (source/hmix_del2.F90:892-936). umixk/vmixk: (km, ny, nx).
     Returns (hduk, hdvk) masked to zero over land."""
     am = cfg.auto_am
+    if cfg.ltopostress:
+        # subtract the Neptune equilibrium velocity so friction relaxes the
+        # flow toward it (source/hmix_del2.F90:765-772)
+        umixk = jnp.where(grid.kmask_u, umixk - grid.TSU, umixk)
+        vmixk = jnp.where(grid.kmask_u, vmixk - grid.TSV, vmixk)
     cc = grid.DUC + grid.DUM
     nu = bc.n(umixk, "necorner", "vector")
     nv = bc.n(vmixk, "necorner", "vector")

@@ -73,6 +73,7 @@ class KPPStatics(NamedTuple):
     pair_m: jnp.ndarray        # (P,) source-level index
     pair_w: jnp.ndarray        # (km, P) sparse weights: RHOAVG_k = W @ rho_p
     tidal_coef: Optional[jnp.ndarray] = None  # (km, ny, nx) Gamma*q*E*F(z)
+    niw_energy: Optional[jnp.ndarray] = None  # (ny, nx) NIW flux (erg/s/cm^2)
 
 
 class KPPOut(NamedTuple):
@@ -143,7 +144,21 @@ def build_statics(cfg: ModelConfig, grid: Grid) -> KPPStatics:
         tidal_coef=(jnp.asarray(
             tidal_mixing.build_tidal_coef(cfg, grid), dt)
             if cfg.ltidal_mixing else None),
+        niw_energy=_niw_energy_field(cfg, dt),
     )
+
+
+def _niw_energy_field(cfg, dt):
+    """External NIW energy flux field, W/m^2 -> erg/s/cm^2
+    (niw_mixing.F90:361-365); None when no file is configured (the
+    constant cfg.niw_energy_const is used instead)."""
+    if not cfg.lniw_mixing or cfg.niw_energy_file is None:
+        return None
+    raw = np.fromfile(cfg.niw_energy_file, dtype=">f8")
+    n = cfg.ny * cfg.nx
+    if raw.size < n:
+        raise ValueError("niw_energy_file too small")
+    return jnp.asarray(1000.0 * raw[:n].reshape(cfg.ny, cfg.nx), dt)
 
 
 def _rho_full(cfg, T, S, press):
@@ -644,6 +659,64 @@ def hmxl_diag(cfg: ModelConfig, grid: Grid, dbsfc):
     return hmxl
 
 
+def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
+            visc, vdc_t, vdc_s):
+    """Near-inertial-wave mixing (source/niw_mixing.F90 niw_mix :472-700):
+    the NIW energy flux En deposits diffusivity kappa = En/N^2 below the
+    boundary layer with an exponential decay away from its base, normalized
+    over the column; within the boundary layer the kbl value applies, and
+    the whole column is capped by it and by ``niw_mix_max``.
+
+    The external-energy-flux option is supported (En from
+    ``cfg.niw_energy_const`` W/m^2 or a file via KPPStatics.niw_energy);
+    visc/vdc are (km+2, ...) interface arrays as in ri_iwmix.
+    """
+    km = cfg.km
+    zw = grid.vgrid.zw[:, None, None]
+    dzw = grid.vgrid.dzw[1:km + 1, None, None]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+
+    coef = (cfg.niw_local_mixing_fraction * cfg.niw_mixing_efficiency
+            * cfg.niw_obs2model_ratio
+            * (1.0 - cfg.niw_boundary_layer_absorption) / const.RHO_FW)
+    en_flux = (st.niw_energy if st.niw_energy is not None
+               else jnp.asarray(cfg.niw_energy_const * 1000.0, hblt.dtype))
+    en = coef * en_flux * grid.RCALCT
+
+    active = (kidx >= kbl[None]) & (kidx < grid.KMT[None])
+    decay = jnp.exp(-(zw - hblt[None]) / cfg.niw_vert_decay_scale)
+    norm = jnp.sum(jnp.where(active, decay * dzw, 0.0), axis=0)
+
+    n2 = dbloc / dzw
+    kap_n2 = jnp.where(n2 > 0.0, en[None] / jnp.where(n2 > 0.0, n2, 1.0),
+                       0.0)
+    kvniw = jnp.where((norm > 0.0)[None] & active,
+                      kap_n2 * decay / jnp.where(norm > 0.0, norm, 1.0)
+                      [None], 0.0)
+
+    kvniw = jnp.where(active,
+                      jnp.minimum(jnp.maximum(vdc_t[1:km + 1], kvniw),
+                                  cfg.niw_mix_max), 0.0)
+    # value at k == kbl fills the boundary layer and caps the column
+    at_kbl = kidx == kbl[None]
+    w4 = jnp.sum(jnp.where(at_kbl, kvniw, 0.0), axis=0)
+    in_bl = kidx < kbl[None]
+
+    def apply(vk):
+        out = jnp.where(active, kvniw, vk[1:km + 1])
+        out = jnp.where(in_bl, w4[None], out)
+        out = jnp.minimum(out, w4[None])
+        return vk.at[1:km + 1].set(out)
+
+    vdc_t = apply(vdc_t)
+    vdc_s = apply(vdc_s)
+    visc_mid = jnp.where(active, cfg.prandtl * kvniw, visc[1:km + 1])
+    visc_mid = jnp.where(in_bl, cfg.prandtl * w4[None], visc_mid)
+    visc_mid = jnp.minimum(visc_mid, cfg.prandtl * w4[None])
+    visc = visc.at[1:km + 1].set(visc_mid)
+    return visc, vdc_t, vdc_s
+
+
 def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
                tmix, umix, vmix_, stf, shf_qsw, smft,
                convect_diff: float, convect_visc: float) -> KPPOut:
@@ -658,6 +731,9 @@ def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     hblt, ustar, bfsfc, stable, kbl = bldepth(
         cfg, grid, bc, st, dbloc, dbsfc, tmix, umix, vmix_, stf, shf_qsw,
         smft)
+    if cfg.lniw_mixing:
+        visc, vdc_t, vdc_s = niw_mix(cfg, grid, st, dbloc, hblt, kbl,
+                                     visc, vdc_t, vdc_s)
     visc, vdc_t, vdc_s, ghat = blmix(
         cfg, grid, st, visc, vdc_t, vdc_s, hblt, ustar, bfsfc, stable, kbl)
 

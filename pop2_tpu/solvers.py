@@ -80,15 +80,17 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
            / op.resid_norm)  # source/POP_SolversMod.F90:906
     ncheck = sol.convergence_check_freq
 
-    # initial residual + one pass of the standard algorithm
+    # initial residual + one pass of the standard algorithm; divisions are
+    # guarded so an already-converged (e.g. zero-RHS) system stays finite
     r = b - apply_op(op, x0, bc)
+    rr_init = _masked_sum(r * r, op.mask)
     z = r * a0r
     s = z
     q = apply_op(op, s, bc)
     sums = jnp.stack([_masked_sum(r * z, op.mask),
                       _masked_sum(s * q, op.mask)])
     rho_old, sigma = sums[0], sums[1]
-    alpha = rho_old / sigma
+    alpha = rho_old / jnp.where(sigma != 0.0, sigma, 1.0)
     x = x0 + alpha * s
     r = r - alpha * q
 
@@ -103,9 +105,9 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
         sums = jnp.stack([_masked_sum(r * z, op.mask),
                           _masked_sum(az * z, op.mask)])
         rho, delta = sums[0], sums[1]
-        beta = rho / rho_old
+        beta = rho / jnp.where(rho_old != 0.0, rho_old, 1.0)
         sigma_new = delta - beta ** 2 * sigma
-        alpha = rho / sigma_new
+        alpha = rho / jnp.where(sigma_new != 0.0, sigma_new, 1.0)
         s_new = z + beta * s
         q_new = az + beta * q
         x_new = x + alpha * s_new
@@ -124,9 +126,10 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
         return (x_new, r_new, s_new, q_new, rho, sigma_new, rr_new,
                 m + 1, done_new)
 
-    rr0 = jnp.asarray(jnp.inf, x0.dtype)
+    rr0 = jnp.where(rr_init < tol, rr_init,
+                    jnp.asarray(jnp.inf, x0.dtype))
     carry = (x, r, s, q, rho_old, sigma, rr0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+             jnp.asarray(0, jnp.int32), rr_init < tol)
     x, r, s, q, rho_old, sigma, rr, m, done = jax.lax.while_loop(
         cond, body, carry)
     return x, m, rr
@@ -201,9 +204,10 @@ def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
         x, r, s, eta_old, rr, m, done = carry
         z = r * a0r
         eta = _masked_sum(r * z, op.mask)
-        s_new = z + s * (eta / eta_old)
+        s_new = z + s * (eta / jnp.where(eta_old != 0.0, eta_old, 1.0))
         q = apply_op(op, s_new, bc)
-        alpha = eta / _masked_sum(s_new * q, op.mask)
+        sq = _masked_sum(s_new * q, op.mask)
+        alpha = eta / jnp.where(sq != 0.0, sq, 1.0)
         x_new = x + alpha * s_new
         r_new = r - alpha * q
 
