@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from pop2_tpu.config import ModelConfig
-from pop2_tpu.grid import Grid
+from pop2_tpu.grid import Grid, thickness_t, thickness_u
 from pop2_tpu.stencil import BC
 
 
@@ -30,7 +30,8 @@ class FluxVel(NamedTuple):
     wtkb: jnp.ndarray  # (km, ny, nx) vertical velocity at BOTTOM of T box
 
 
-def comp_flux_vel(grid: Grid, bc: BC, uvel, vvel, dh) -> FluxVel:
+def comp_flux_vel(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel,
+                  dh) -> FluxVel:
     """Flux velocities across T-cell faces and w from continuity
     (source/advection.F90:2066-2127), all levels at once.
 
@@ -40,16 +41,19 @@ def comp_flux_vel(grid: Grid, bc: BC, uvel, vvel, dh) -> FluxVel:
     per-level recurrence because masking can only first apply at k = KMT.
     """
     km = uvel.shape[0]
-    a = uvel * grid.DYU
-    b = vvel * grid.DXU
+    dzu = thickness_u(cfg, grid)
+    a = uvel * grid.DYU * dzu
+    b = vvel * grid.DXU * dzu
     ute = 0.5 * (a + bc.s(a))
     utw = bc.w(ute)
     vtn = 0.5 * (b + bc.w(b))
     vts = bc.s(vtn)
 
+    # fluxes carry the layer thickness (volume fluxes, cm^3/s; the
+    # reference's partial-bottom-cell form, advection.F90:2066-2127, which
+    # reduces to dz(k) times the uniform-cell form)
     fc = (vtn - vts + ute - utw) * grid.TAREA_R
-    dz = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
-    wtkb = dh[None] + jnp.cumsum(dz * fc, axis=0)
+    wtkb = dh[None] + jnp.cumsum(fc, axis=0)
     below = jnp.concatenate(  # k < KMT
         [grid.kmask_t[1:], jnp.zeros_like(grid.kmask_t[:1])])
     wtkb = jnp.where(below, wtkb, 0.0)
@@ -66,18 +70,20 @@ def advt_centered(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
     Returns L(T), (nt, km, ny, nx) — the caller subtracts it from FT.
     """
     km = cfg.km
+    dzt = thickness_t(cfg, grid)
     ute, vtn = fv.ute[None], fv.vtn[None]
     uts = fv.vts[None]
     utw = fv.utw[None]
     cc = vtn - uts + ute - utw
     ltk = 0.5 * (cc * trcr
                  + vtn * bc.n(trcr) - uts * bc.s(trcr)
-                 + ute * bc.e(trcr) - utw * bc.w(trcr)) * grid.TAREA_R
+                 + ute * bc.e(trcr) - utw * bc.w(trcr)) \
+        * grid.TAREA_R / dzt[None]
 
     # vertical advection (source/advection.F90:2266-2301); for the
     # variable-thickness surface layer there is no advection through the
     # surface at k=1
-    dz2r = jnp.reshape(grid.vgrid.dz2r, (1, km, 1, 1))
+    dz2r = 0.5 / dzt[None]
     t_km1 = jnp.concatenate([trcr[:, :1], trcr[:, :-1]], axis=1)
     t_kp1 = jnp.concatenate([trcr[:, 1:], trcr[:, -1:]], axis=1)
     top = fv.wtk[None] * (t_km1 + trcr)
@@ -98,10 +104,12 @@ def advu(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel, dhu):
     Returns (luk, lvk), each (km, ny, nx), masked to zero on land.
     """
     km = cfg.km
-    a = uvel * grid.DYU
-    b = vvel * grid.DXU
-    # 4-point averages of T-face fluxes onto U-cell faces
-    # (source/advection.F90:1307-1339)
+    dzu = thickness_u(cfg, grid)
+    a = uvel * grid.DYU * dzu
+    b = vvel * grid.DXU * dzu
+    # 4-point averages of T-face fluxes onto U-cell faces, thickness-
+    # weighted (the reference's partial-bottom-cell form,
+    # source/advection.F90:1245-1339; reduces to dz(k)x the uniform form)
     uuw = (0.25 * (a + bc.w(a))
            + 0.125 * (bc.s(a) + bc.sw(a) + bc.n(a, "necorner", "vector")
                       + bc.nw(a, "necorner", "vector")))
@@ -113,25 +121,26 @@ def advu(cfg: ModelConfig, grid: Grid, bc: BC, uvel, vvel, dhu):
     vun = bc.n(vus, "eface", "vector")
 
     # vertical velocity at U-box bottoms by continuity, integrated from the
-    # surface value DHU (source/advection.F90:1352-1357)
-    c2dz = jnp.reshape(grid.vgrid.c2dz, (km, 1, 1))
-    fc = 0.5 * (vun - vus + uue - uuw) * grid.UAREA_R
-    wukb = dhu[None] + jnp.cumsum(c2dz * fc, axis=0)
+    # surface value DHU (source/advection.F90:1345-1357)
+    fc = (vun - vus + uue - uuw) * grid.UAREA_R
+    wukb = dhu[None] + jnp.cumsum(fc, axis=0)
     wuk = jnp.concatenate([jnp.broadcast_to(dhu[None], wukb[:1].shape),
                            wukb[:-1]], axis=0)
 
     cc = vun - vus + uue - uuw
     luk = 0.5 * (cc * uvel + vun * bc.n(uvel, "necorner", "vector")
                  - vus * bc.s(uvel)
-                 + uue * bc.e(uvel) - uuw * bc.w(uvel)) * grid.UAREA_R
+                 + uue * bc.e(uvel) - uuw * bc.w(uvel)) \
+        * grid.UAREA_R / dzu
     lvk = 0.5 * (cc * vvel + vun * bc.n(vvel, "necorner", "vector")
                  - vus * bc.s(vvel)
-                 + uue * bc.e(vvel) - uuw * bc.w(vvel)) * grid.UAREA_R
+                 + uue * bc.e(vvel) - uuw * bc.w(vvel)) \
+        * grid.UAREA_R / dzu
 
     # vertical advection through top/bottom of U box
     # (source/advection.F90:1439-1471)
-    dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
-    dz2r = jnp.reshape(grid.vgrid.dz2r, (km, 1, 1))
+    dzr = 1.0 / dzu
+    dz2r = 0.5 / dzu
     u_km1 = jnp.concatenate([uvel[:1], uvel[:-1]], axis=0)
     v_km1 = jnp.concatenate([vvel[:1], vvel[:-1]], axis=0)
     u_kp1 = jnp.concatenate([uvel[1:], uvel[-1:]], axis=0)
@@ -264,8 +273,9 @@ def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
                    alfyp, betyp, gamyp, alfym, betym, delym,
                    bc.n, bc.s, bc.nn)
 
+    dzt = thickness_t(cfg, grid)
     ltk = (ce * tr_e + cw * bc.w(tr_e)
-           + cn * tr_n + cs * bc.s(tr_n))
+           + cn * tr_n + cs * bc.s(tr_n)) / dzt[None]
 
     # -- vertical (source/advection.F90:2402-2476) --------------------------
     talfzp, tbetzp, tgamzp, talfzm, tbetzm, tdelzm = _upwind3_vert_coeffs(
@@ -291,12 +301,12 @@ def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
     aux = jnp.concatenate([jnp.zeros_like(auxb[:, :1]), auxb[:, :-1]],
                           axis=1)
 
-    dz2r = kcol(grid.vgrid.dz2r)
+    dz2r = 0.5 / dzt[None]
     vert = dz2r * (aux - auxb)
     if cfg.sfc_layer != "varthick":
         vert = vert.at[:, 0].set(
-            grid.vgrid.dzr[0] * fv.wtk[0][None] * trcr[:, 0]
-            - grid.vgrid.dz2r[0] * auxb[:, 0])
+            fv.wtk[0][None] * trcr[:, 0] / dzt[0]
+            - 0.5 * auxb[:, 0] / dzt[0])
     return jnp.where(grid.kmask_t[None], ltk + vert, 0.0)
 
 

@@ -21,7 +21,7 @@ from pop2_tpu import advect, eos, hmix, pgrad, tridiag, vmix
 from pop2_tpu import constants as const
 from pop2_tpu.config import ModelConfig
 from pop2_tpu.forcing import Forcing
-from pop2_tpu.grid import Grid
+from pop2_tpu.grid import Grid, thickness_t, thickness_u
 from pop2_tpu.state import State
 from pop2_tpu.stencil import BC
 
@@ -34,6 +34,16 @@ class BaroclinicOut(NamedTuple):
     zx: jnp.ndarray          # (ny, nx) vertically-averaged forcing
     zy: jnp.ndarray
     vdc: jnp.ndarray         # (2, km, ny, nx) diffusivity used, for corrector
+
+
+def _dzt_arg(cfg: ModelConfig, grid: Grid):
+    """Thickness argument for the implicit tracer solve: the 1-D profile
+    normally, the 3-D DZT under partial bottom cells."""
+    return grid.DZT if grid.DZT is not None else grid.vgrid.dz
+
+
+def _dzu_arg(cfg: ModelConfig, grid: Grid):
+    return grid.DZU if grid.DZU is not None else grid.vgrid.dz
 
 
 def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
@@ -94,7 +104,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
                                                  tmix, hmxl=hmxl)
         ft = ft + gtk_sm
-    fv = advect.comp_flux_vel(grid, bc, state.u_cur, state.v_cur, dh)
+    fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur, state.v_cur,
+                                  dh)
     ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur)
     ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
                           forcing.stf)
@@ -170,7 +181,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             for n in range(2):
                 dT = tridiag.impvmixt(
                     rhs[n], coeffs.vdc[min(n, 1)], state.psurf_cur,
-                    grid.KMT, grid.vgrid.dz, grid.vgrid.dzwr, c2dtt,
+                    grid.KMT, _dzt_arg(cfg, grid), grid.vgrid.dzwr, c2dtt,
                     cfg.aidif, varthick=True)
                 dts.append(state.tracer_old[n] + dT)
             tracer_new = jnp.concatenate(
@@ -181,7 +192,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             for n in range(cfg.nt):
                 dT = tridiag.impvmixt(
                     rhs[n], coeffs.vdc[min(n, 1)], state.psurf_cur,
-                    grid.KMT, grid.vgrid.dz, grid.vgrid.dzwr, c2dtt,
+                    grid.KMT, _dzt_arg(cfg, grid), grid.vgrid.dzwr, c2dtt,
                     cfg.aidif, varthick=False)
                 dts.append(state.tracer_old[n] + dT)
             tracer_new = jnp.stack(dts)
@@ -246,15 +257,16 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         rhs_u = c2dtu * fx
         rhs_v = c2dtu * fy
 
-    # vertical average of forcing (source/baroclinic.F90:1035-1057)
-    dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
+    # vertical average of forcing, thickness-weighted under partial bottom
+    # cells (source/baroclinic.F90:1035-1057)
+    dzc = thickness_u(cfg, grid)  # fx/fy are already zero below the bottom
     zx = grid.HUR * jnp.sum(fx * dzc, axis=0)
     zy = grid.HUR * jnp.sum(fy * dzc, axis=0)
 
     # implicit vertical friction (source/baroclinic.F90:1066-1069)
     if cfg.implicit_vertical_mix:
         rhs_u, rhs_v = tridiag.impvmixu(
-            rhs_u, rhs_v, coeffs.vvc, grid.KMU, grid.vgrid.dz,
+            rhs_u, rhs_v, coeffs.vvc, grid.KMU, _dzu_arg(cfg, grid),
             grid.vgrid.dzwr, c2dtu, cfg.aidif)
 
     # unnormalized baroclinic velocity (source/baroclinic.F90:1077-1080)

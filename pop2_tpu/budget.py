@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from pop2_tpu import constants as const
 from pop2_tpu.config import ModelConfig
 from pop2_tpu.forcing import Forcing
-from pop2_tpu.grid import Grid
+from pop2_tpu.grid import Grid, thickness_t
 from pop2_tpu.state import State
 
 
@@ -23,7 +23,7 @@ def tracer_totals(cfg: ModelConfig, grid: Grid, state: State):
     using the current time level. With a variable-thickness surface layer
     the top-cell volume includes the SSH contribution psurf/g
     (diag_for_tracer_budgets, budget_diagnostics.F90)."""
-    dzvol = grid.vgrid.dz[:, None, None] * grid.TAREA[None]
+    dzvol = thickness_t(cfg, grid) * grid.TAREA[None]
     tot = jnp.sum(jnp.where(grid.kmask_t[None],
                             state.tracer_cur * dzvol[None], 0.0),
                   axis=(1, 2, 3))

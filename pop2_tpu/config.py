@@ -101,6 +101,7 @@ class ModelConfig:
     topography_file: Optional[str] = None
     flat_bottom: bool = True           # internal topography is flat-bottomed
     partial_bottom_cells: bool = False
+    bottom_cell_file: Optional[str] = None  # DZBC record (grid.F90:2116)
     sfc_layer: str = "varthick"        # 'varthick' | 'rigid' | 'oldfree'
     n_topo_smooth: int = 0
 

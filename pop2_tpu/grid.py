@@ -153,6 +153,12 @@ class Grid:
     # source/topostress.F90:119-235)
     TSU: Optional[jnp.ndarray] = None
     TSV: Optional[jnp.ndarray] = None
+    # partial-bottom-cell thicknesses (None unless partial_bottom_cells;
+    # source/grid.F90:917-1010): layer thickness per column, reduced in the
+    # bottom cell; dz(k) elsewhere (incl. below the bottom, as in the
+    # reference, to avoid divides by zero)
+    DZT: Optional[jnp.ndarray] = None   # (km, ny, nx)
+    DZU: Optional[jnp.ndarray] = None
 
 
 def pressure_bars(depth_m: np.ndarray) -> np.ndarray:
@@ -434,10 +440,37 @@ def build_grid(cfg: ModelConfig) -> Grid:
     KMU = np.minimum(np.minimum(KMT, sh(KMT, 1, 0)),
                      np.minimum(sh(KMT, 0, 1), sh(KMT, 1, 1))).astype(np.int32)
 
-    # depth at T, U points (source/grid.F90:1024-1043), no partial bottom cells
+    # depth at T, U points (source/grid.F90:1024-1043)
     zw_pad = np.concatenate([[0.0], zw])
     HT = zw_pad[KMT]
     HU = zw_pad[KMU]
+
+    DZT = DZU = None
+    if cfg.partial_bottom_cells:
+        # bottom-cell thickness DZBC (source/grid.F90:917-1010 +
+        # read_bottom_cell :2116): one (ny, nx) big-endian f8 record;
+        # without a file, the full dz(KMT) is used (degenerate PBC)
+        if cfg.bottom_cell_file is not None:
+            raw = np.fromfile(cfg.bottom_cell_file, dtype=">f8")
+            if raw.size < ny * nx:
+                raise ValueError("bottom_cell_file too small")
+            DZBC = raw[:ny * nx].reshape(ny, nx).astype(np.float64)
+        else:
+            DZBC = np.where(KMT > 0, dz[np.maximum(KMT, 1) - 1], dz[0])
+        kidx1 = np.arange(1, km + 1)[:, None, None]
+        DZT = np.where(kidx1 == KMT[None], DZBC[None],
+                       dz[:, None, None] * np.ones((km, ny, nx)))
+        DZU = np.minimum(np.minimum(DZT, _np_shift3(DZT, 1, 0, ew, ns)),
+                         np.minimum(_np_shift3(DZT, 0, 1, ew, ns),
+                                    _np_shift3(DZT, 1, 1, ew, ns)))
+        DZU = np.where(kidx1 > KMU[None], dz[:, None, None], DZU)
+        # depths from the actual bottom-cell thickness (grid.F90:1001-1010)
+        HT = np.where(KMT > 0, zw_pad[np.maximum(KMT - 1, 0)] + DZBC, 0.0)
+        dzu_bot = np.take_along_axis(
+            DZU, np.maximum(KMU - 1, 0)[None], axis=0)[0]
+        HU = np.where(KMU > 0, zw_pad[np.maximum(KMU - 1, 0)] + dzu_bot,
+                      0.0)
+
     HUR = np.where(HU > 0.0, 1.0 / np.where(HU > 0.0, HU, 1.0), 0.0)
 
     # landmasks (source/grid.F90:2555-2571)
@@ -581,6 +614,8 @@ def build_grid(cfg: ModelConfig) -> Grid:
         aniso=aniso,
         TSU=None if TSU is None else f(TSU),
         TSV=None if TSV is None else f(TSV),
+        DZT=None if DZT is None else f(DZT),
+        DZU=None if DZU is None else f(DZU),
         DXU=f(DXU), DYU=f(DYU), DXT=f(DXT), DYT=f(DYT),
         DXUR=f(DXUR), DYUR=f(DYUR), DXTR=f(DXTR), DYTR=f(DYTR),
         HTN=f(HTN), HTE=f(HTE), HUS=f(HUS), HUW=f(HUW),
@@ -604,6 +639,26 @@ def build_grid(cfg: ModelConfig) -> Grid:
         area_t=f(area_t), volume_t=f(volume_t),
         residual_norm=f(residual_norm),
     )
+
+
+def _np_shift3(f, di, dj, ew, ns):
+    """Apply _np_shift over the leading k axis of a (km, ny, nx) array."""
+    return np.stack([_np_shift(f[k], di, dj, ew, ns, 0.0, "center",
+                               "scalar") for k in range(f.shape[0])])
+
+
+def thickness_t(cfg: ModelConfig, grid: Grid):
+    """Layer thickness at T points: (km, ny, nx) under partial bottom
+    cells, else a (km, 1, 1) broadcast of dz (free in XLA)."""
+    if grid.DZT is not None:
+        return grid.DZT
+    return jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
+
+
+def thickness_u(cfg: ModelConfig, grid: Grid):
+    if grid.DZU is not None:
+        return grid.DZU
+    return jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
 
 
 def grid_bc(cfg: ModelConfig) -> BC:

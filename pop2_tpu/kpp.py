@@ -280,8 +280,12 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     bck_vvc = jnp.reshape(st.bckgrnd_vvc, (km, 1, 1))
     if cfg.ltidal_mixing and st.tidal_coef is not None:
         # kappa_tidal = COEF / N^2 at interface k, capped at tidal_mix_max
-        # (vmix_kpp.F90:1773-1835, tidal_compute_diff :3046-3140)
-        n2 = dbloc / jnp.reshape(dzw[1:km + 1], (km, 1, 1))
+        # (vmix_kpp.F90:1773-1835, tidal_compute_diff :3046-3140); the
+        # interface spacing uses DZT under partial bottom cells (:1775-1780)
+        from pop2_tpu.grid import thickness_t
+        dzt = thickness_t(cfg, grid)
+        dzt_kp1 = jnp.concatenate([dzt[1:], dzt[-1:]], axis=0)
+        n2 = dbloc / (0.5 * (dzt + dzt_kp1))
         tdiff = jnp.where(n2 > 0.0, st.tidal_coef / (n2 + EPS), 0.0)
         tdiff = jnp.minimum(tdiff, cfg.tidal_mix_max)
         pr = cfg.prandtl

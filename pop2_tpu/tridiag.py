@@ -25,6 +25,22 @@ import jax.numpy as jnp
 from pop2_tpu import constants as const
 
 
+def _as3(a, km):
+    """(km,) profile -> (km, 1, 1); pass 3-D thickness arrays through."""
+    return a if a.ndim == 3 else jnp.reshape(a, (km, 1, 1))
+
+
+def _mid_spacing_r(dz, dzwr, km):
+    """Reciprocal interface spacing below each layer. For 1-D profiles use
+    the precomputed dzwr (bitwise-identical to the historical path); for
+    3-D partial-bottom-cell thickness compute 1/(0.5*(dz_k + dz_{k+1}))
+    (vertical_mix.F90 partial_bottom_cells branches)."""
+    if dz.ndim == 3:
+        dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]], axis=0)
+        return 1.0 / (0.5 * (dz + dz_kp1))
+    return jnp.reshape(dzwr[1:km + 1], (km, 1, 1))
+
+
 def _thomas(hfac, H1, A, kmax, rhs_terms):
     """Shared forward-elimination / back-substitution sweep.
 
@@ -111,11 +127,11 @@ def impvmixt(rhs, vdc, psurf, kmt, dz, dzwr, c2dtt, aidif: float,
     """
     km = rhs.shape[0]
     c2dtt = jnp.reshape(c2dtt, (km, 1, 1))
-    hfac = jnp.reshape(dz, (km, 1, 1)) / c2dtt
-    A = aidif * jnp.reshape(dzwr[1:km + 1], (km, 1, 1)) * vdc
+    hfac = _as3(dz, km) / c2dtt
+    A = aidif * _mid_spacing_r(dz, dzwr, km) * vdc
     A = A.at[-1].set(0.0)
-    H1 = hfac[0, 0, 0] + (psurf / (const.GRAV * c2dtt[0, 0, 0])
-                          if varthick else 0.0)
+    H1 = hfac[0] + (psurf / (const.GRAV * c2dtt[0, 0, 0])
+                    if varthick else 0.0)
     H1 = jnp.broadcast_to(H1, rhs.shape[1:])
     rhs_terms = [hfac * rhs]
     (dT,) = _thomas(hfac, H1, A, kmt, rhs_terms)
@@ -140,10 +156,10 @@ def impvmixu(rhs_u, rhs_v, vvc, kmu, dz, dzwr, c2dtu, aidif: float):
     for the modified RHS (already times c2dtu); the two components share one
     factorization. Returns (Fu, Fv)."""
     km = rhs_u.shape[0]
-    hfac = jnp.reshape(dz, (km, 1, 1)) / c2dtu
-    A = aidif * jnp.reshape(dzwr[1:km + 1], (km, 1, 1)) * vvc
+    hfac = _as3(dz, km) / c2dtu
+    A = aidif * _mid_spacing_r(dz, dzwr, km) * vvc
     A = A.at[-1].set(0.0)
-    H1 = jnp.broadcast_to(hfac[0, 0, 0], rhs_u.shape[1:])
+    H1 = jnp.broadcast_to(hfac[0], rhs_u.shape[1:])
     rhs_terms = [hfac * rhs_u, hfac * rhs_v]
     Fu, Fv = _thomas(hfac, H1, A, kmu, rhs_terms)
     return Fu, Fv

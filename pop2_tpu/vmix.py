@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from pop2_tpu import constants as const
 from pop2_tpu import eos
 from pop2_tpu.config import ModelConfig
-from pop2_tpu.grid import Grid
+from pop2_tpu.grid import Grid, thickness_t, thickness_u
 from pop2_tpu.stencil import BC, tgrid_to_ugrid, ugrid_to_tgrid
 
 EPS = 1.0e-10
@@ -113,15 +113,18 @@ def vdifft(cfg: ModelConfig, grid: Grid, vdc, told, stf):
     vdc_n = vdc[mt2]  # (nt, km, ny, nx)
 
     t_kp1 = jnp.concatenate([told[:, 1:], told[:, -1:]], axis=1)
-    dzwr_k = jnp.reshape(grid.vgrid.dzwr[1:km + 1], (1, km, 1, 1))
+    # interface spacing 0.5*(DZT_k + DZT_{k+1}) — the partial-bottom-cell
+    # form (vertical_mix.F90:786-800), identical to dzw for full cells
+    dzt = thickness_t(cfg, grid)
+    dzt_kp1 = jnp.concatenate([dzt[1:], dzt[-1:]], axis=0)
+    dzwr_k = (1.0 / (0.5 * (dzt + dzt_kp1)))[None]
     below = jnp.concatenate(  # k < KMT, broadcast over tracers
         [grid.kmask_t[1:], jnp.zeros_like(grid.kmask_t[:1])])[None]
     vtfb = jnp.where(below, vdc_n * (told - t_kp1) * dzwr_k, 0.0)
 
     sfc_flux = jnp.where(grid.kmask_t[0][None], stf, 0.0)[:, None]
     vtf = jnp.concatenate([sfc_flux, vtfb[:, :-1]], axis=1)
-    dzr = jnp.reshape(grid.vgrid.dzr, (1, km, 1, 1))
-    return jnp.where(grid.kmask_t[None], (vtf - vtfb) * dzr, 0.0)
+    return jnp.where(grid.kmask_t[None], (vtf - vtfb) / dzt[None], 0.0)
 
 
 def vdiffu(cfg: ModelConfig, grid: Grid, vvc, uold, vold, smf):
@@ -132,7 +135,9 @@ def vdiffu(cfg: ModelConfig, grid: Grid, vvc, uold, vold, smf):
     km = uold.shape[0]
     u_kp1 = jnp.concatenate([uold[1:], uold[-1:]], axis=0)
     v_kp1 = jnp.concatenate([vold[1:], vold[-1:]], axis=0)
-    dzwr_k = jnp.reshape(grid.vgrid.dzwr[1:km + 1], (km, 1, 1))
+    dzu = thickness_u(cfg, grid)
+    dzu_kp1 = jnp.concatenate([dzu[1:], dzu[-1:]], axis=0)
+    dzwr_k = 1.0 / (0.5 * (dzu + dzu_kp1))
     vufb = vvc * (uold - u_kp1) * dzwr_k
     vvfb = vvc * (vold - v_kp1) * dzwr_k
 
@@ -147,9 +152,8 @@ def vdiffu(cfg: ModelConfig, grid: Grid, vvc, uold, vold, smf):
     sfc_v = jnp.where(grid.kmask_u[0], smf[1], 0.0)[None]
     vuf = jnp.concatenate([sfc_u, vufb[:-1]], axis=0)
     vvf = jnp.concatenate([sfc_v, vvfb[:-1]], axis=0)
-    dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
-    du = jnp.where(grid.kmask_u, (vuf - vufb) * dzr, 0.0)
-    dv = jnp.where(grid.kmask_u, (vvf - vvfb) * dzr, 0.0)
+    du = jnp.where(grid.kmask_u, (vuf - vufb) / dzu, 0.0)
+    dv = jnp.where(grid.kmask_u, (vvf - vvfb) / dzu, 0.0)
     return du, dv
 
 

@@ -19,19 +19,19 @@ def _rand_state(cfg, grid, seed=0):
 
 def test_flux_vel_continuity(test_cfg, test_grid):
     """WTKB must satisfy the discrete continuity equation level by level:
-    WTKB_k - WTK_k = dz_k * FC_k for k < KMT (source/advection.F90:2101-2114).
+    WTKB_k - WTK_k = FC_k for k < KMT, where the face fluxes carry the
+    layer thickness (source/advection.F90:2101-2114, PBC-general form).
     """
     cfg, grid = test_cfg, test_grid
     bc = grid_bc(cfg)
     u, v = _rand_state(cfg, grid)
     dh = jnp.zeros((cfg.ny, cfg.nx))
-    fv = advect.comp_flux_vel(grid, bc, u, v, dh)
+    fv = advect.comp_flux_vel(cfg, grid, bc, u, v, dh)
     fc = (fv.vtn - fv.vts + fv.ute - fv.utw) * grid.TAREA_R
-    dz = np.asarray(grid.vgrid.dz)[:, None, None]
     below = np.concatenate([np.asarray(grid.kmask_t)[1:],
                             np.zeros_like(np.asarray(grid.kmask_t)[:1])])
     lhs = np.asarray(fv.wtkb - fv.wtk)[below]
-    rhs = (dz * np.asarray(fc))[below]
+    rhs = np.asarray(fc)[below]
     np.testing.assert_allclose(lhs, rhs, atol=1e-8)
 
 
@@ -42,7 +42,7 @@ def test_advt_centered_constant_tracer(test_cfg, test_grid):
     bc = grid_bc(cfg)
     u, v = _rand_state(cfg, grid)
     dh = jnp.zeros((cfg.ny, cfg.nx))
-    fv = advect.comp_flux_vel(grid, bc, u, v, dh)
+    fv = advect.comp_flux_vel(cfg, grid, bc, u, v, dh)
     trcr = jnp.ones((cfg.nt, cfg.km, cfg.ny, cfg.nx)) * 3.7
     ltk = np.asarray(advect.advt_centered(cfg, grid, bc, fv, trcr))
     # interior: above the bottom level and ocean
@@ -60,7 +60,7 @@ def test_advt_conserves_volume_integral(test_cfg, test_grid):
     bc = grid_bc(cfg)
     u, v = _rand_state(cfg, grid, seed=4)
     dh = jnp.zeros((cfg.ny, cfg.nx))
-    fv = advect.comp_flux_vel(grid, bc, u, v, dh)
+    fv = advect.comp_flux_vel(cfg, grid, bc, u, v, dh)
     rng = np.random.RandomState(5)
     trcr = jnp.asarray(
         rng.randn(cfg.nt, cfg.km, cfg.ny, cfg.nx)
@@ -186,7 +186,7 @@ def test_advt_upwind3_conserves_and_runs(test_cfg, test_grid):
     bc = grid_bc(cfg)
     u, v = _rand_state(cfg, grid, seed=10)
     dh = jnp.zeros((cfg.ny, cfg.nx))
-    fv = advect.comp_flux_vel(grid, bc, u, v, dh)
+    fv = advect.comp_flux_vel(cfg, grid, bc, u, v, dh)
     rng = np.random.RandomState(11)
     kmask = np.asarray(grid.kmask_t)
     trcr = jnp.asarray(rng.randn(cfg.nt, cfg.km, cfg.ny, cfg.nx)
