@@ -57,7 +57,8 @@ def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
 def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
            leapfrog: bool, kpp_statics=None,
-           sw_profile=None, passive=None) -> BaroclinicOut:
+           sw_profile=None, passive=None,
+           ovf_statics=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -149,6 +150,12 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                 mask = mask & (kidx > 0)
             ft = ft.at[n].add(jnp.where(
                 mask, rtau * (data - state.tracer_cur[n]), 0.0))
+    # overflow parameterization (ovf_driver, source/overflows.F90:3477;
+    # conservative regional exchange form, see overflows.py)
+    if cfg.overflows and ovf_statics is not None:
+        from pop2_tpu import overflows as ovf_mod
+        ft = ft + ovf_mod.tendency(cfg, grid, ovf_statics,
+                                   state.tracer_cur)
     # geothermal bottom heat flux (geoheatflux.F90:69-232 +
     # vertical_mix.F90:1428-1443: VTFB = -geoflux at k == KMT where
     # zw(k) >= geoheatflux_depth; enters the tendency as +geoflux*dzr)

@@ -21,6 +21,34 @@ import jax.numpy as jnp
 
 
 @dataclass(frozen=True)
+class RegionBox:
+    """Inclusive index box (0-based) in (k, j, i) for overflow regions."""
+    kmin: int
+    kmax: int
+    jmin: int
+    jmax: int
+    imin: int
+    imax: int
+
+
+@dataclass(frozen=True)
+class OverflowSpec:
+    """One overflow's parameters (source/overflows.F90 ovf_params plus
+    the region definitions the reference reads from overflows_infile)."""
+    name: str
+    lat: float                 # degrees, for f
+    width: float               # Ws (cm)
+    source_thick: float        # hu (cm)
+    distnc_str_ssb: float      # xse (cm)
+    bottom_slope: float        # alpha
+    bottom_drag: float         # cd
+    inf: RegionBox
+    src: RegionBox
+    ent: RegionBox
+    prd: RegionBox
+
+
+@dataclass(frozen=True)
 class SolverConfig:
     """Barotropic elliptic solver options (source/POP_SolversMod.F90:502-700)."""
 
@@ -158,6 +186,8 @@ class ModelConfig:
     # topographic stress / Neptune (topostress.F90)
     ltopostress: bool = False
     nsmooth_topo: int = 1
+    # overflows (source/overflows.F90; empty tuple = off)
+    overflows: Tuple[OverflowSpec, ...] = ()
     # submesoscale mixed-layer eddies (mix_submeso.F90:183-188)
     lsubmeso: bool = False
     submeso_efficiency: float = 0.07

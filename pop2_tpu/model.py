@@ -50,6 +50,10 @@ class Model:
         if cfg.passive_tracers:
             from pop2_tpu.passive_tracers import PassiveTracers
             self.passive = PassiveTracers(cfg, cfg.passive_tracers)
+        self.ovf_statics = None
+        if cfg.overflows:
+            from pop2_tpu import overflows as ovf_mod
+            self.ovf_statics = ovf_mod.build_statics(cfg, self.grid)
         self.tavg_streams = []
         self.history_streams = []
         self._tavg_outdir = "."
@@ -69,7 +73,8 @@ class Model:
                                  self._pcsi_eigs.get(leapfrog),
                                  kpp_statics=self.kpp_statics,
                                  sw_profile=self.sw_profile,
-                                 passive=self.passive)
+                                 passive=self.passive,
+                                 ovf_statics=self.ovf_statics)
 
         self._step = _step
 
@@ -84,7 +89,8 @@ class Model:
                     leapfrog=True, avg_ts=False,
                     pcsi_eigs=self._pcsi_eigs.get(True),
                     kpp_statics=self.kpp_statics,
-                    sw_profile=self.sw_profile, passive=self.passive)
+                    sw_profile=self.sw_profile, passive=self.passive,
+                    ovf_statics=self.ovf_statics)
                 return st, diags
             state, diags = jax.lax.scan(body, state, None, length=nsteps)
             return state, jax.tree_util.tree_map(lambda a: a[-1], diags)

@@ -116,8 +116,8 @@ def _avg_filter(cfg: ModelConfig, grid: Grid, ts_range, state: State,
 def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
          forcing: Forcing, leapfrog: bool, avg_ts: bool,
          pcsi_eigs: Optional[Tuple[float, float]] = None,
-         kpp_statics=None, sw_profile=None, passive=None
-         ) -> Tuple[State, StepDiagnostics]:
+         kpp_statics=None, sw_profile=None, passive=None,
+         ovf_statics=None) -> Tuple[State, StepDiagnostics]:
     """Advance one timestep (leapfrog, Euler-forward for the first step,
     optional averaging filter). All flags are static for jit."""
     # 1. surface height change (source/step_mod.F90:361)
@@ -126,7 +126,8 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 2. explicit baroclinic update (source/step_mod.F90:375)
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
                              dh, dhu, leapfrog, kpp_statics=kpp_statics,
-                             sw_profile=sw_profile, passive=passive)
+                             sw_profile=sw_profile, passive=passive,
+                             ovf_statics=ovf_statics)
 
     # 3. implicit barotropic solve (source/step_mod.F90:437)
     tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
