@@ -134,6 +134,34 @@ def moc_streamfunction(cfg: ModelConfig, grid: Grid, state: State,
     return np.asarray(edges), moc
 
 
+def meridional_transport(cfg: ModelConfig, grid: Grid, state: State,
+                         nlat_bins: int = 36):
+    """Northward heat and salt transport on the auxiliary latitude grid
+    (diags_on_lat_aux_grid.F90 N_HEAT/N_SALT): zonally binned
+    sum of v * T * dz * dx, advective part. Returns
+    (lat_edges_deg, heat_pw[nbins], salt_sv_ppt[nbins])."""
+    from pop2_tpu.grid import thickness_u
+    from pop2_tpu.stencil import BC
+    bc = BC(ew=cfg.ew_boundary, ns=cfg.ns_boundary)
+    dz = thickness_u(cfg, grid)
+    # tracer at the U point's latitude: average the two T rows around the
+    # U row (B-grid; the reference interpolates to the aux grid)
+    t_u = jnp.stack([
+        0.5 * (state.tracer_cur[n]
+               + bc.n(state.tracer_cur[n])) for n in range(2)])
+    vdx = jnp.where(grid.kmask_u, state.v_cur * grid.DXU * dz, 0.0)
+    lat = grid.ULAT * const.RADIAN
+    edges = jnp.linspace(-90.0, 90.0, nlat_bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, lat) - 1, 0, nlat_bins - 1)
+    one_hot = jax.nn.one_hot(idx, nlat_bins, dtype=vdx.dtype)
+    heat = jnp.einsum("kyx,yxb->b", vdx * t_u[0], one_hot)
+    salt = jnp.einsum("kyx,yxb->b", vdx * t_u[1], one_hot)
+    # heat: degC cm^3/s -> PW via rho cp; salt: msu cm^3/s -> Sv*ppt
+    heat_pw = heat * const.RHO_SW * const.CP_SW * 1.0e-22
+    salt_svppt = salt * const.SALT_TO_PPT * 1.0e-12
+    return np.asarray(edges), heat_pw, salt_svppt
+
+
 def diag_print(cfg: ModelConfig, grid: Grid, state: State, step: int,
                prev: Optional[State] = None,
                solver_iters: Optional[int] = None) -> str:

@@ -71,6 +71,30 @@ class IdealAge(TracerPackage):
         return tracer_block.at[:, 0].set(0.0)
 
 
+class IRF(TracerPackage):
+    """Impulse-response-function tracer (source/IRF_mod.F90): a passive
+    dye initialized as a unit impulse in a prescribed box, advected and
+    mixed with no interior sources — the transport-matrix diagnostic. The
+    reference reads impulse locations from a file; the default impulse
+    fills the surface layer of the domain's central quarter."""
+
+    names = ("IRF",)
+
+    def __init__(self, box=None):
+        #: (kmin, kmax, jmin, jmax, imin, imax), inclusive, 0-based
+        self.box = box
+
+    def init_values(self, cfg, grid):
+        v = np.zeros((1, cfg.km, cfg.ny, cfg.nx))
+        if self.box is None:
+            b = (0, 0, cfg.ny // 4, 3 * cfg.ny // 4,
+                 cfg.nx // 4, 3 * cfg.nx // 4)
+        else:
+            b = self.box
+        v[0, b[0]:b[1] + 1, b[2]:b[3] + 1, b[4]:b[5] + 1] = 1.0
+        return v * np.asarray(grid.kmask_t)[None]
+
+
 def _make_cfc():
     from pop2_tpu.gas_tracers import GasTracers
     return GasTracers(("CFC11", "CFC12"))
@@ -85,6 +109,7 @@ REGISTRY = {
     "iage": IdealAge,
     "cfc": _make_cfc,      # source/cfc_mod.F90
     "sf6": _make_sf6,      # source/sf6_mod.F90
+    "irf": IRF,            # source/IRF_mod.F90
 }
 
 
@@ -92,8 +117,11 @@ class PassiveTracers:
     """Stacked view over the active packages; slot 0 of the stacked source
     array corresponds to tracer index 2 of the model state."""
 
-    def __init__(self, cfg: ModelConfig, packages: Sequence[str]):
-        self.packages: List[TracerPackage] = [REGISTRY[p]() for p in packages]
+    def __init__(self, cfg: ModelConfig, packages):
+        """packages: names from REGISTRY or TracerPackage instances."""
+        self.packages: List[TracerPackage] = [
+            p if isinstance(p, TracerPackage) else REGISTRY[p]()
+            for p in packages]
         self.names: List[str] = []
         for p in self.packages:
             p.slot0 = 2 + len(self.names)  # this package's tracer offset

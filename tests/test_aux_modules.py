@@ -1,0 +1,117 @@
+"""Estuary VSF, marginal-sea balancing, MCOG, running means, named fields,
+IRF tracer, and meridional transports."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pop2_tpu import constants as const
+from pop2_tpu import diagnostics as diag
+from pop2_tpu import estuary, mcog, ms_balance
+from pop2_tpu.config import get_config
+from pop2_tpu.grid import build_grid
+from pop2_tpu.model import Model
+from pop2_tpu.named_fields import NamedFieldRegistry
+from pop2_tpu.running_mean import RunningMeans
+
+
+def test_estuary_river_vsf_conserves_global_salt(mini_cfg, mini_grid):
+    ny, nx = mini_cfg.ny, mini_cfg.nx
+    rng = np.random.default_rng(0)
+    roff = jnp.asarray(np.abs(rng.normal(size=(ny, nx))) * 1e-5)
+    roff = roff * mini_grid.RCALCT
+    s = jnp.asarray(0.034 + 0.002 * rng.random((ny, nx)))
+    stf_local = estuary.river_vsf(mini_cfg, mini_grid, roff, s)
+    stf_ref = roff * const.SALINITY_FACTOR * mini_grid.RCALCT
+    # same global integral as the reference-salinity form...
+    a = float(jnp.sum(stf_local * mini_grid.TAREA))
+    b = float(jnp.sum(stf_ref * mini_grid.TAREA))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+    # ...but locally different (uses local salinity)
+    assert float(jnp.abs(stf_local - stf_ref).max()) > 0.0
+
+
+def test_ms_balancing_moves_flux(mini_cfg, mini_grid):
+    ny, nx = mini_cfg.ny, mini_cfg.nx
+    ocean = np.asarray(mini_grid.RCALCT) > 0
+    ms = np.zeros((ny, nx))
+    jj, ii = np.argwhere(ocean)[5]
+    ms[jj - 1:jj + 2, ii - 1:ii + 2] = 1.0
+    dist_pt = tuple(np.argwhere(ocean)[50])
+    reg = ms_balance.build_region(mini_grid, ms, [tuple(dist_pt)])
+    flux = jnp.where(mini_grid.RCALCT > 0, 2.0e-5, 0.0)
+    out = ms_balance.ms_balancing(mini_cfg, mini_grid, flux, [reg])
+    # global integral preserved
+    np.testing.assert_allclose(float(jnp.sum(out * mini_grid.TAREA)),
+                               float(jnp.sum(flux * mini_grid.TAREA)),
+                               rtol=1e-12)
+    # marginal sea now integrates to zero net
+    net_ms = float(jnp.sum(out * mini_grid.TAREA * reg.ms_mask))
+    assert abs(net_ms) < 1e-10 * abs(
+        float(jnp.sum(flux * mini_grid.TAREA * reg.ms_mask)))
+    # distribution point received it
+    assert float(out[dist_pt[0], dist_pt[1]]) > float(
+        flux[dist_pt[0], dist_pt[1]])
+
+
+def test_mcog_aggregate():
+    frac = jnp.asarray([[[0.5]], [[0.25]], [[0.25]]])
+    qsw = jnp.asarray([[[100.0]], [[50.0]], [[10.0]]])
+    agg = mcog.aggregate(frac, qsw)
+    np.testing.assert_allclose(float(agg[0, 0]), 65.0)
+    # unnormalized fractions renormalize
+    agg2 = mcog.aggregate(2.0 * frac, qsw)
+    np.testing.assert_allclose(float(agg2[0, 0]), 65.0)
+    anom = mcog.per_category_anomaly(frac, qsw)
+    np.testing.assert_allclose(float(anom[0, 0, 0]), 35.0)
+
+
+def test_running_means():
+    rm = RunningMeans(dt_seconds=100.0)
+    rm.define("x", timescale_seconds=1000.0, init_value=0.0)
+    for _ in range(200):
+        rm.update("x", 1.0)
+    assert 0.99 < float(rm.get("x")) <= 1.0
+    ckpt = rm.save()
+    rm2 = RunningMeans(100.0)
+    rm2.define("x", 1000.0, 0.0)
+    rm2.restore(ckpt)
+    np.testing.assert_allclose(float(rm2.get("x")), float(rm.get("x")))
+
+
+def test_named_fields():
+    import pytest
+    reg = NamedFieldRegistry()
+    reg.register("SW_PEN", (4, 5))
+    assert reg.registered("SW_PEN")
+    reg.set("SW_PEN", jnp.ones((4, 5)))
+    assert float(reg.get("SW_PEN").sum()) == 20.0
+    with pytest.raises(ValueError):
+        reg.set("SW_PEN", jnp.ones((3, 3)))
+    with pytest.raises(KeyError):
+        reg.get_index("MISSING")
+
+
+def test_irf_tracer_advects_conserved():
+    cfg = get_config("mini").with_(nt=3, passive_tracers=("irf",))
+    m = Model(cfg)
+    st = m.initial_state()
+    from pop2_tpu import budget
+    tot0 = float(budget.tracer_totals(cfg, m.grid, st)[2])
+    assert tot0 > 0.0
+    for _ in range(6):
+        st, _ = m.advance(st)
+    tot1 = float(budget.tracer_totals(cfg, m.grid, st)[2])
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-9)
+    # the impulse spreads: max decreases
+    assert np.asarray(st.tracer_cur[2]).max() <= 1.0 + 1e-9
+
+
+def test_meridional_transport(mini_cfg):
+    m = Model(mini_cfg)
+    st = m.initial_state()
+    for _ in range(5):
+        st, _ = m.advance(st)
+    edges, heat, salt = diag.meridional_transport(mini_cfg, m.grid, st)
+    assert heat.shape == (36,)
+    assert np.isfinite(np.asarray(heat)).all()
+    assert np.isfinite(np.asarray(salt)).all()
