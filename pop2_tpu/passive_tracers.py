@@ -105,11 +105,17 @@ def _make_sf6():
     return GasTracers(("SF6",))
 
 
+def _make_abio_dic():
+    from pop2_tpu.abio_dic import AbioDIC
+    return AbioDIC()
+
+
 REGISTRY = {
     "iage": IdealAge,
     "cfc": _make_cfc,      # source/cfc_mod.F90
     "sf6": _make_sf6,      # source/sf6_mod.F90
     "irf": IRF,            # source/IRF_mod.F90
+    "abio_dic": _make_abio_dic,  # source/abio_dic_dic14_mod.F90
 }
 
 
