@@ -27,8 +27,11 @@ def main():
     # Euler first step, a single leapfrog step, the fused scan chunk, and an
     # averaging step (first one at time_mix_freq=17)
     nsteps_warm = int(os.environ.get("BENCH_WARMUP", "20"))
-    nsteps = int(os.environ.get("BENCH_STEPS", "30"))
-    preset = os.environ.get("BENCH_GRID", "test")
+    nsteps = int(os.environ.get("BENCH_STEPS", "32"))
+    # 'prod' (384x256x40) is the flagship benchmark resolution: it is the
+    # smallest grid that saturates one chip (~40% more points/s than the
+    # 'test' grid; larger grids become latency-chain-bound again)
+    preset = os.environ.get("BENCH_GRID", "prod")
 
     cfg = get_config(preset).with_(
         dtype="float32",

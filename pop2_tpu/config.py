@@ -287,6 +287,7 @@ PRESETS = {
     # (input_templates/test_domain_size.F90:26-46, input_templates/test_pop2_in)
     "test": ModelConfig(),
     # small test grid for CI: same physics, tiny dims
+    "prod": ModelConfig(nx=384, ny=256, km=40),
     "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",
                         time=TimeConfig(dt_option="steps_per_day",
                                         dt_count=96.0)),
