@@ -18,7 +18,7 @@ def test_co2calc_known_values():
     from pop2_tpu import co2calc as cc
     c = cc.surface_coeffs(jnp.asarray(20.0), jnp.asarray(35.0))
     ta_back = cc._ta_of_h(r.h, jnp.asarray(2050e-6), c, 0.0, 0.0)
-    np.testing.assert_allclose(float(ta_back), 2300e-6, rtol=1e-9)
+    np.testing.assert_allclose(float(ta_back), 2300e-6, rtol=1e-8)
 
 
 def test_co2calc_monotonicity():
