@@ -310,11 +310,227 @@ def advt_upwind3(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
     return jnp.where(grid.kmask_t[None], ltk + vert, 0.0)
 
 
-def advt(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr):
+# ---------------------------------------------------------------------------
+# 2nd-order forward-in-time advection with 1-D flux limiters (lw_lim)
+# (source/advection.F90:2684-3331)
+# ---------------------------------------------------------------------------
+
+def _limit(dTR, dOther, LW, MU, base_plus, base_minus, upwind_pos):
+    """One-dimensional Lax-Wendroff limiter (the psi_dTR pattern repeated
+    throughout source/advection.F90:3100-3258): where dTR and the adjacent
+    difference share a sign, blend toward the LW face value; otherwise fall
+    back to pure upwind. ``upwind_pos`` selects the + (upstream-cell) form
+    TRACER = base_plus + psi_dTR vs the - form TRACER = base_minus - psi_dTR.
+    """
+    both_pos = (dTR > 0.0) & (dOther > 0.0)
+    both_neg = (dTR < 0.0) & (dOther < 0.0)
+    psi = jnp.where(both_pos, jnp.minimum(LW * dTR, MU * dOther),
+                    jnp.where(both_neg, jnp.maximum(LW * dTR, MU * dOther),
+                              0.0))
+    return jnp.where(upwind_pos, base_plus + psi, base_minus - psi)
+
+
+def _lw_face_coeffs(vel_dt, d_c, d_dn):
+    """LW_/MU_ face coefficients along one horizontal direction
+    (source/advection.F90:2995-3065): ``vel_dt`` = dt * face velocity,
+    ``d_c``/``d_dn`` the cell widths at (i) and (i+1). Returns (LW, MU)."""
+    p5phr = 1.0 / (d_c + d_dn)
+    LW = jnp.where(vel_dt > 0.0, (d_c - vel_dt) * p5phr,
+                   jnp.where(vel_dt < 0.0, (d_dn + vel_dt) * p5phr,
+                             d_c * p5phr))
+    return LW
+
+
+def _mu_coeffs(vel_dt, vel_dt_up, vel_dt_dn, d_c, d_dn, LW_up, LW_dn):
+    """MU face coefficients (second factor of the limiter) along one
+    direction. ``*_up``/``*_dn`` are the same quantities at the (i-1)/(i+1)
+    faces (source/advection.F90:2986-3065)."""
+    safe = jnp.where(vel_dt != 0.0, vel_dt, 1.0)
+    mu_pos = jnp.where(vel_dt_up > 0.0, (d_c - vel_dt_up) / safe,
+                       jnp.where(vel_dt_up < 0.0,
+                                 -vel_dt_up / safe * LW_up, 0.0))
+    mu_neg = jnp.where(vel_dt_dn < 0.0, -(d_dn + vel_dt_dn) / safe,
+                       jnp.where(vel_dt_dn > 0.0,
+                                 -vel_dt_dn / safe * LW_dn, 0.0))
+    return jnp.where(vel_dt > 0.0, mu_pos,
+                     jnp.where(vel_dt < 0.0, mu_neg, 0.0))
+
+
+def advt_lw_lim(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, tmix,
+                c2dtt):
+    """Flux-limited Lax-Wendroff tracer advection L(T)
+    (source/advection.F90:2684-3331), all tracers and levels at once.
+
+    Unlike centered/upwind3, this scheme is forward-in-time: it advects the
+    *mix-time* tracers ``tmix`` (advt dispatch, source/advection.F90:1698) and
+    needs the advective timestep ``c2dtt`` (km,) for the limiter CFL factors.
+    The reference's per-level AUX carry (top-face flux = previous level's
+    bottom-face flux) becomes a shifted copy of the whole-column AUXB.
+
+    The total tendency reduces to pure flux form:
+      L(T) = (AUX - AUXB)/dz + CE*T_E + CW*T_E(w) + CN*T_N + CS*T_N(s),
+    the advective-form intermediates only shape XSTAR, the provisional
+    forward-updated tracer the limiters measure smoothness on.
+    """
+    km = cfg.km
+    tiny = 1.0e-20
+    dzt = jnp.broadcast_to(thickness_t(cfg, grid),
+                           (km,) + grid.KMT.shape)
+    adv_dt = jnp.reshape(c2dtt, (km, 1, 1))
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1  # 1-based
+
+    # stencil weights (advt_lw_lim :2756-2775; the PBC form with TAREA_R/DZT
+    # is uniformly correct for our volume fluxes, which carry dz)
+    ce = fv.ute * grid.TAREA_R / dzt
+    cw = -fv.utw * grid.TAREA_R / dzt
+    cn = fv.vtn * grid.TAREA_R / dzt
+    cs = -fv.vts * grid.TAREA_R / dzt
+
+    # dt * face velocities (:2758-2768 PBC form: UTE/(HTE*min(DZT,DZT_e)))
+    dzt_e = jnp.maximum(bc.e(dzt), tiny)
+    dzt_n = jnp.maximum(bc.n(dzt), tiny)
+    uvel_e_dt = adv_dt * fv.ute / (grid.HTE * jnp.minimum(dzt, dzt_e))
+    vvel_n_dt = adv_dt * fv.vtn / (grid.HTN * jnp.minimum(dzt, dzt_n))
+
+    # effective top-face velocity: no advection through the surface of a
+    # variable-thickness surface layer (:2786-2790)
+    wtk_eff = fv.wtk
+    if cfg.sfc_layer == "varthick":
+        wtk_eff = wtk_eff.at[0].set(0.0)
+    wtkb = fv.wtkb
+    wtkbp1 = jnp.concatenate([wtkb[1:], jnp.zeros_like(wtkb[:1])], axis=0)
+    wtkb_safe = jnp.where(wtkb != 0.0, wtkb, 1.0)
+
+    # -- vertical LW_z / MU_z (lw_lim :2919-2993, PBC form with edge clamp
+    #    dz(km+1):=dz(km), reproducing p5_dz_ph_r(km)=0.5/dz(km) :604-605)
+    dzt_kp1 = jnp.concatenate([dzt[1:], dzt[-1:]], axis=0)
+    dzt_kp2 = jnp.concatenate([dzt[2:], dzt[-1:], dzt[-1:]], axis=0)
+    dzt_km1 = jnp.concatenate([dzt[:1], dzt[:-1]], axis=0)
+    down = wtkb > 0.0
+    lw_z = jnp.where(down,
+                     (dzt_kp1 - adv_dt * wtkb) / (dzt + dzt_kp1),
+                     (dzt + adv_dt * wtkb) / (dzt + dzt_kp1))
+    mu_z_pos = jnp.where(
+        wtkbp1 > 0.0, (dzt_kp1 / adv_dt - wtkbp1) / wtkb_safe,
+        jnp.where(wtkbp1 < 0.0,
+                  -wtkbp1 / wtkb_safe * (dzt_kp1 + adv_dt * wtkbp1)
+                  / (dzt_kp1 + dzt_kp2), 0.0))
+    mu_z_neg = jnp.where(
+        wtk_eff < 0.0, -(dzt / adv_dt + wtk_eff) / wtkb_safe,
+        jnp.where(wtk_eff > 0.0,
+                  -wtk_eff / wtkb_safe * (dzt - adv_dt * wtk_eff)
+                  / (dzt_km1 + dzt), 0.0))
+    mu_z = jnp.where(down, mu_z_pos, mu_z_neg)
+
+    # -- vertical contribution (:3100-3160) ---------------------------------
+    X = tmix
+    x_kp1 = jnp.concatenate([X[:, 1:], X[:, -1:]], axis=1)
+    x_kp2 = jnp.concatenate([X[:, 2:], X[:, -1:], X[:, -1:]], axis=1)
+    x_km1 = jnp.concatenate([X[:, :1], X[:, :-1]], axis=1)
+
+    valid_kp1 = ((kidx + 1) <= grid.KMT[None])[None]
+    valid_kp2 = ((kidx + 2) <= grid.KMT[None])[None]
+    not_top = (kidx > 1)[None]
+
+    dTR = x_kp1 - X
+    dTRp1 = jnp.where(valid_kp2, x_kp2 - x_kp1, 0.0)
+    dTRm1 = jnp.where(not_top, X - x_km1, 0.0)
+    auxb_pos = _limit(dTR, dTRp1, lw_z[None], mu_z[None],
+                      x_kp1, x_kp1, jnp.asarray(False)) * wtkb[None]
+    auxb_neg = _limit(dTR, dTRm1, lw_z[None], mu_z[None],
+                      X, X, jnp.asarray(True)) * wtkb[None]
+    auxb = jnp.where(valid_kp1,
+                     jnp.where(down[None], auxb_pos,
+                               jnp.where((wtkb < 0.0)[None], auxb_neg, 0.0)),
+                     0.0)
+    aux_top = (wtk_eff[0] * X[:, 0])[:, None]
+    aux = jnp.concatenate([aux_top, auxb[:, :-1]], axis=1)
+    xout = (aux - auxb - (wtk_eff - wtkb)[None] * X) / dzt[None]
+    xstar = X - adv_dt[None] * xout
+
+    # -- grid-x contribution (:3162-3215) ------------------------------------
+    u = uvel_e_dt
+    u_w, u_e = bc.w(u), bc.e(u)
+    dxt = grid.DXT
+    dxt_w = jnp.maximum(bc.w(dxt), tiny)
+    dxt_e = jnp.maximum(bc.e(dxt), tiny)
+    dxt_ee = jnp.maximum(bc.e(bc.e(dxt)), tiny)
+    lw_x = _lw_face_coeffs(u, dxt, dxt_e)
+    lw_x_w = _lw_face_coeffs(u_w, dxt_w, dxt)
+    lw_x_e = _lw_face_coeffs(u_e, dxt_e, dxt_ee)
+    mu_x = _mu_coeffs(u, u_w, u_e, dxt, dxt_e, lw_x_w, lw_x_e)
+
+    kmaske = jnp.where((kidx <= grid.KMT[None])
+                       & (kidx <= grid.KMTE[None]), 1.0, 0.0)
+    kme_w = bc.w(kmaske)
+    kme_e = bc.e(kmaske)
+
+    xs_e, xs_w = bc.e(xstar), bc.w(xstar)
+    xs_ee = bc.e(xs_e)
+    dTR = (xs_e - xstar) * kmaske[None]
+    dTRm1 = (xstar - xs_w) * kme_w[None]
+    dTRp1 = (xs_ee - xs_e) * kme_e[None]
+    tr_e = jnp.where(
+        (ce > 0.0)[None],
+        _limit(dTR, dTRm1, lw_x[None], mu_x[None], xstar, xstar,
+               jnp.asarray(True)),
+        jnp.where((ce < 0.0)[None],
+                  _limit(dTR, dTRp1, lw_x[None], mu_x[None], xs_e, xs_e,
+                         jnp.asarray(False)),
+                  xstar + lw_x[None] * dTR))
+    work = ce[None] * tr_e + cw[None] * bc.w(tr_e) - (ce + cw)[None] * X
+    xout = xout + work
+    xstar = xstar - adv_dt[None] * work
+
+    # -- grid-y contribution + divergence term (:3220-3286) ------------------
+    v = vvel_n_dt
+    v_s = bc.s(v)
+    v_n = bc.n(v)
+    dyt = grid.DYT
+    dyt_s = jnp.maximum(bc.s(dyt), tiny)
+    dyt_n = jnp.maximum(bc.n(dyt), tiny)
+    dyt_nn = jnp.maximum(bc.nn(dyt), tiny)
+    lw_y = _lw_face_coeffs(v, dyt, dyt_n)
+    lw_y_s = _lw_face_coeffs(v_s, dyt_s, dyt)
+    lw_y_n = _lw_face_coeffs(v_n, dyt_n, dyt_nn)
+    mu_y = _mu_coeffs(v, v_s, v_n, dyt, dyt_n, lw_y_s, lw_y_n)
+
+    kmaskn = jnp.where((kidx <= grid.KMT[None])
+                       & (kidx <= grid.KMTN[None]), 1.0, 0.0)
+    kmn_s = bc.s(kmaskn)
+    kmn_n = bc.n(kmaskn)
+
+    xs_n, xs_s = bc.n(xstar), bc.s(xstar)
+    xs_nn = bc.n(xs_n)
+    dTR = (xs_n - xstar) * kmaskn[None]
+    dTRm1 = (xstar - xs_s) * kmn_s[None]
+    dTRp1 = (xs_nn - xs_n) * kmn_n[None]
+    tr_n = jnp.where(
+        (cn > 0.0)[None],
+        _limit(dTR, dTRm1, lw_y[None], mu_y[None], xstar, xstar,
+               jnp.asarray(True)),
+        jnp.where((cn < 0.0)[None],
+                  _limit(dTR, dTRp1, lw_y[None], mu_y[None], xs_n, xs_n,
+                         jnp.asarray(False)),
+                  xstar + lw_y[None] * dTR))
+    div = (wtk_eff - wtkb) / dzt + ce + cw + cn + cs
+    xout = xout + (cn[None] * tr_n + cs[None] * bc.s(tr_n)
+                   - (cn + cs - div)[None] * X)
+    return jnp.where(grid.kmask_t[None], xout, 0.0)
+
+
+def advt(cfg: ModelConfig, grid: Grid, bc: BC, fv: FluxVel, trcr,
+         tmix=None, c2dtt=None):
     """Tracer-advection dispatch (source/advection.F90:1684-1729); the
-    reference allows per-tracer schemes, here one scheme for all tracers."""
+    reference allows per-tracer schemes, here one scheme for all tracers.
+    ``trcr`` is the current-time tracer field (centered/upwind3); lw_lim
+    advects the mix-time field ``tmix`` with per-level timestep ``c2dtt``."""
     if cfg.tadvect == "centered":
         return advt_centered(cfg, grid, bc, fv, trcr)
     if cfg.tadvect == "upwind3":
         return advt_upwind3(cfg, grid, bc, fv, trcr)
+    if cfg.tadvect == "lw_lim":
+        if tmix is None or c2dtt is None:
+            raise ValueError("lw_lim advection needs tmix and c2dtt")
+        return advt_lw_lim(cfg, grid, bc, fv, tmix, c2dtt)
     raise NotImplementedError(f"tadvect {cfg.tadvect}")

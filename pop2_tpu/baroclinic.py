@@ -91,7 +91,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         from pop2_tpu import gm as gm_mod
         hblt = coeffs.kpp.hblt if (cfg.vmix == "kpp"
                                    and coeffs.kpp is not None) else None
-        gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix, hblt=hblt)
+        gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix, hblt=hblt,
+                                  umix=umix, vmix_m=vmix_m)
         ft = gm_out.gtk
         coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
     else:
@@ -107,7 +108,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         ft = ft + gtk_sm
     fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur, state.v_cur,
                                   dh)
-    ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur)
+    ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur,
+                          tmix=tmix, c2dtt=c2dtt)
     ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
                           forcing.stf)
     if varthick:

@@ -136,7 +136,7 @@ class ModelConfig:
     # -- physics scheme choices
     state_choice: str = "mwjf"         # 'mwjf' | 'linear' | 'jmcd'
     state_range_opt: str = "enforce"   # 'ignore' | 'enforce'
-    tadvect: str = "centered"          # 'centered' | 'upwind3'
+    tadvect: str = "centered"          # 'centered' | 'upwind3' | 'lw_lim'
     hmix_momentum: str = "del2"        # 'del2' | 'del4' | 'aniso'
     hmix_tracer: str = "del2"          # 'del2' | 'del4' | 'gm'
     vmix: str = "const"                # 'const' | 'rich' | 'kpp'
@@ -234,6 +234,16 @@ class ModelConfig:
     gm_ah_bkg_bottom: float = 0.0    # horizontal diffusion in bottom cell
     gm_slm_r: float = 0.3            # max slope for Redi tapering
     gm_slm_b: float = 0.3            # max slope for bolus tapering
+    # flow-dependent kappa (source/hmix_gm.F90:1345-1399, 2226-2659)
+    gm_kappa_isop_type: str = "const"  # 'const'|'depth'|'vmhs'|'eg'
+    gm_kappa_thic_type: str = "const"
+    gm_const_eg: float = 1.0         # Eden-Greatbatch tuning constant
+    gm_gamma_eg: float = 300.0       # EG inverse-timescale cap
+    gm_kappa_min_eg: float = 0.35e7  # cm^2/s
+    gm_kappa_max_eg: float = 5.0e7   # cm^2/s
+    gm_kappa_depth_1: float = 1.0    # depth-profile kappa parameters
+    gm_kappa_depth_2: float = 0.0
+    gm_kappa_depth_scale: float = 150000.0  # cm
     # KPP (source/vmix_kpp.F90:335-353)
     bckgrnd_vdc2: float = 0.0        # atan-profile amplitude
     bckgrnd_vdc_dpth: float = 2500.0e2   # transition depth (cm)

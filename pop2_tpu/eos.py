@@ -56,6 +56,51 @@ MWJF_DP1S0T0 = 5.30848875e-6
 MWJF_DP2S0T3 = -3.03175128e-16
 MWJF_DP3S0T1 = -1.27934137e-17
 
+# UNESCO fresh-water / surface-salinity coefficients and Jackett & McDougall
+# bulk-modulus coefficients (source/state_mod.F90:97-162, Table A1 of
+# Jackett & McDougall 1995)
+UNT0 = 999.842594
+UNT1 = 6.793952e-2
+UNT2 = -9.095290e-3
+UNT3 = 1.001685e-4
+UNT4 = -1.120083e-6
+UNT5 = 6.536332e-9
+UNS1T0 = 0.824493
+UNS1T1 = -4.0899e-3
+UNS1T2 = 7.6438e-5
+UNS1T3 = -8.2467e-7
+UNS1T4 = 5.3875e-9
+UNSQT0 = -5.72466e-3
+UNSQT1 = 1.0227e-4
+UNSQT2 = -1.6546e-6
+UNS2T0 = 4.8314e-4
+BUP0S0T0 = 1.965933e+4
+BUP0S0T1 = 1.444304e+2
+BUP0S0T2 = -1.706103
+BUP0S0T3 = 9.648704e-3
+BUP0S0T4 = -4.190253e-5
+BUP0S1T0 = 5.284855e+1
+BUP0S1T1 = -3.101089e-1
+BUP0S1T2 = 6.283263e-3
+BUP0S1T3 = -5.084188e-5
+BUP0SQT0 = 3.886640e-1
+BUP0SQT1 = 9.085835e-3
+BUP0SQT2 = -4.619924e-4
+BUP1S0T0 = 3.186519
+BUP1S0T1 = 2.212276e-2
+BUP1S0T2 = -2.984642e-4
+BUP1S0T3 = 1.956415e-6
+BUP1S1T0 = 6.704388e-3
+BUP1S1T1 = -1.847318e-4
+BUP1S1T2 = 2.059331e-7
+BUP1SQT0 = 1.480266e-4
+BUP2S0T0 = 2.102898e-4
+BUP2S0T1 = -1.202016e-5
+BUP2S0T2 = 1.394680e-7
+BUP2S1T0 = -2.040237e-6
+BUP2S1T1 = 6.128773e-8
+BUP2S1T2 = 6.207323e-10
+
 # linear EOS parameters (source/state_mod.F90:224-229)
 T_LEOS_REF = 19.0
 S_LEOS_REF = 0.035
@@ -171,6 +216,68 @@ def mwjf_rho(T, S_msu, p_bars, want_drhodt: bool = False,
     return tuple(out) if len(out) > 1 else out[0]
 
 
+def jmcd_rho(T, S_msu, p_bars, want_drhodt: bool = False,
+             want_drhods: bool = False):
+    """Jackett & McDougall (1995) EOS: UNESCO surface density + JMcD secant
+    bulk modulus (source/state_mod.F90:502-607). ``p_bars`` is the in-situ
+    reference pressure in bars. Returns rho in g/cm^3 (and optional T/S
+    derivatives; the dS derivative is per msu, the unit factors cancel as in
+    the reference).
+    """
+    p = p_bars
+    p2 = p * p
+    TQ = T
+    SQ = 1000.0 * S_msu
+    SQR = jnp.sqrt(SQ)
+    T2 = TQ * TQ
+
+    # surface (p=0) UNESCO density anomaly (:517-524)
+    work1 = UNS1T0 + UNS1T1 * TQ + (UNS1T2 + UNS1T3 * TQ + UNS1T4 * T2) * T2
+    work2 = SQR * (UNSQT0 + UNSQT1 * TQ + UNSQT2 * T2)
+    rho_s = (UNT1 * TQ + (UNT2 + UNT3 * TQ + (UNT4 + UNT5 * TQ) * T2) * T2
+             + (UNS2T0 * SQ + work1 + work2) * SQ)
+
+    # bulk modulus at pressure p (:530-545)
+    work3 = (BUP0S1T0 + BUP0S1T1 * TQ + (BUP0S1T2 + BUP0S1T3 * TQ) * T2
+             + p * (BUP1S1T0 + BUP1S1T1 * TQ + BUP1S1T2 * T2)
+             + p2 * (BUP2S1T0 + BUP2S1T1 * TQ + BUP2S1T2 * T2))
+    work4 = SQR * (BUP0SQT0 + BUP0SQT1 * TQ + BUP0SQT2 * T2 + BUP1SQT0 * p)
+    bulk_mod = (BUP0S0T0 + BUP0S0T1 * TQ
+                + (BUP0S0T2 + BUP0S0T3 * TQ + BUP0S0T4 * T2) * T2
+                + p * (BUP1S0T0 + BUP1S0T1 * TQ
+                       + (BUP1S0T2 + BUP1S0T3 * TQ) * T2)
+                + p2 * (BUP2S0T0 + BUP2S0T1 * TQ + BUP2S0T2 * T2)
+                + SQ * (work3 + work4))
+    denomk = 1.0 / (bulk_mod - p)
+    rho = ((UNT0 + rho_s) * bulk_mod * denomk) * P001
+
+    out = [rho]
+    if want_drhodt:
+        drdt0 = (UNT1 + 2.0 * UNT2 * TQ
+                 + (3.0 * UNT3 + 4.0 * UNT4 * TQ + 5.0 * UNT5 * T2) * T2
+                 + (UNS1T1 + 2.0 * UNS1T2 * TQ
+                    + (3.0 * UNS1T3 + 4.0 * UNS1T4 * TQ) * T2
+                    + (UNSQT1 + 2.0 * UNSQT2 * TQ) * SQR) * SQ)
+        dkdt = (BUP0S0T1 + 2.0 * BUP0S0T2 * TQ
+                + (3.0 * BUP0S0T3 + 4.0 * BUP0S0T4 * TQ) * T2
+                + p * (BUP1S0T1 + 2.0 * BUP1S0T2 * TQ + 3.0 * BUP1S0T3 * T2)
+                + p2 * (BUP2S0T1 + 2.0 * BUP2S0T2 * TQ)
+                + SQ * (BUP0S1T1 + 2.0 * BUP0S1T2 * TQ + 3.0 * BUP0S1T3 * T2
+                        + p * (BUP1S1T1 + 2.0 * BUP1S1T2 * TQ)
+                        + p2 * (BUP2S1T1 + 2.0 * BUP2S1T2 * TQ)
+                        + SQR * (BUP0SQT1 + 2.0 * BUP0SQT2 * TQ)))
+        out.append((denomk * (drdt0 * bulk_mod
+                              - p * (UNT0 + rho_s) * dkdt * denomk)) * P001)
+    if want_drhods:
+        drds0 = 2.0 * UNS2T0 * SQ + work1 + 1.5 * work2
+        dkds = work3 + 1.5 * work4
+        # per-msu derivative: the *1000 (psu/msu) and *0.001 (kg/m^3 ->
+        # g/cm^3) factors cancel (source/state_mod.F90:594-600)
+        out.append(denomk * (drds0 * bulk_mod
+                             - p * (UNT0 + rho_s) * dkds * denomk))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def linear_rho(T, S_msu, want_drhodt: bool = False,
                want_drhods: bool = False):
     """Linear EOS (source/state_mod.F90:664-672); returns full density."""
@@ -196,6 +303,8 @@ def state(cfg: ModelConfig, pressz, T, S, ts_range: Optional[TSRange] = None,
     TQ, SQ = _adjust_ts(cfg, T, S, ts_range)
     if cfg.state_choice == "mwjf":
         return mwjf_rho(TQ, SQ, p, want_drhodt, want_drhods)
+    if cfg.state_choice == "jmcd":
+        return jmcd_rho(TQ, SQ, p, want_drhodt, want_drhods)
     if cfg.state_choice == "linear":
         return linear_rho(TQ, SQ, want_drhodt, want_drhods)
     raise NotImplementedError(cfg.state_choice)
@@ -215,6 +324,8 @@ def state_at_level(cfg: ModelConfig, press_bars, T, S,
         S = jnp.clip(S, 0.0, 1000.0)
     if cfg.state_choice == "mwjf":
         return mwjf_rho(T, S, press_bars)
+    if cfg.state_choice == "jmcd":
+        return jmcd_rho(T, S, press_bars)
     if cfg.state_choice == "linear":
         return linear_rho(T, S)
     raise NotImplementedError(cfg.state_choice)

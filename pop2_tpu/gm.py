@@ -25,11 +25,13 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pop2_tpu import eos
+from pop2_tpu import constants as const
 from pop2_tpu.config import ModelConfig
 from pop2_tpu.grid import Grid
-from pop2_tpu.stencil import BC
+from pop2_tpu.stencil import BC, ugrid_to_tgrid
 
 EPS = 1.0e-10
 EPS2 = 1.0e-20
@@ -166,10 +168,204 @@ def _tapers(cfg: ModelConfig, grid: Grid, slx, sly, bl_depth):
     return taper1 * taper2, taper1 * taper3, taper1, taper2
 
 
+# ---------------------------------------------------------------------------
+# Flow-dependent diffusivity variants
+# (kappa_lon_lat_vmhs source/hmix_gm.F90:2226-2456,
+#  kappa_eg :2463-2659, kappa_type_depth profile :850-872)
+# ---------------------------------------------------------------------------
+
+def _btp(grid: Grid, bc: BC):
+    """Beta at T points (source/hmix_gm.F90:902-904)."""
+    lat_t = ugrid_to_tgrid(grid.ULAT, bc)
+    return 2.0 * const.OMEGA * jnp.cos(lat_t) / const.RADIUS
+
+
+def _displaced_density_diff(cfg, grid, ts_range, tmix):
+    """WORK3 = drho/dT*(T_k - T_{k+1}) + drho/dS*(S_k - S_{k+1}) with
+    level-k coefficients displaced to level-(k+1) pressure, T clamped at
+    -2C and the result clamped <= -eps2 (the shared stratification measure
+    of kappa_lon_lat_vmhs :2320-2331 and kappa_eg :2546-2556)."""
+    pz = grid.vgrid.pressz
+    pz_kp1 = jnp.concatenate([pz[1:], pz[-1:]])
+    _, drdt, drds = eos.state(cfg, pz_kp1, tmix[0], tmix[1], ts_range,
+                              want_drhodt=True, want_drhods=True)
+    tclip = jnp.maximum(tmix[0], -2.0)
+    t_kp1 = jnp.concatenate([tclip[1:], tclip[-1:]], axis=0)
+    s_kp1 = jnp.concatenate([tmix[1, 1:], tmix[1, -1:]], axis=0)
+    work3 = drdt * (tclip - t_kp1) + drds * (tmix[1] - s_kp1)
+    return jnp.minimum(work3, -EPS2)
+
+
+def kappa_vmhs(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
+               umix, vmix_m):
+    """Visbeck et al. (1997) lateral diffusivity KAPPA_LATERAL = C l^2/T
+    (kappa_lon_lat_vmhs, source/hmix_gm.F90:2226-2456). Returns (ny, nx),
+    cm^2/s, bounded to [3.0e6, 4.0e7]."""
+    km = cfg.km
+    zt = np.asarray(grid.vgrid.zt)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+
+    # integration limits: -2000m < z < -100m (:2290); k1/k2 are static
+    in_range = (zt >= 1.0e4) & (zt <= 2.0e5)
+    k1 = int(np.argmax(in_range)) + 1                       # 1-based
+    above = np.where(~in_range & (np.arange(km) + 1 > k1))[0]
+    k2 = int(above[0]) + 1 if len(above) else km            # 1-based
+
+    work3 = _displaced_density_diff(cfg, grid, ts_range, tmix)
+    ut = ugrid_to_tgrid(umix, bc)
+    vt = ugrid_to_tgrid(vmix_m, bc)
+    ut_kp1 = jnp.concatenate([ut[1:], ut[-1:]], axis=0)
+    vt_kp1 = jnp.concatenate([vt[1:], vt[-1:]], axis=0)
+
+    dzw = jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
+    contrib = (kidx >= k1) & (kidx < k2) & (kidx < grid.KMT[None])
+    rnum = -dzw / ((ut - ut_kp1) ** 2 + (vt - vt_kp1) ** 2 + EPS)
+    grate = jnp.sum(jnp.where(contrib,
+                              const.GRAV * rnum * dzw * work3, 0.0), axis=0)
+    lsc = jnp.sum(jnp.where(contrib, -const.GRAV * work3, 0.0), axis=0)
+
+    # normalize by the actually-integrated depth span (:2399-2410)
+    zt_j = jnp.asarray(zt)
+    kmt0 = jnp.maximum(grid.KMT - 1, 0)
+    zt_kmt = zt_j[kmt0]
+    zmin1 = jnp.minimum(zt[k1 - 1], zt_kmt)
+    zmin2 = jnp.minimum(zt[k2 - 1], zt_kmt)
+    span = zmin2 - zmin1
+    grate = grate / (span + EPS)               # mean Ri
+    lsc = lsc * span                           # c_g^2 = N^2 H^2
+
+    btp = _btp(grid, bc)
+    w1 = jnp.sqrt(2.0 * jnp.sqrt(jnp.maximum(lsc, 0.0)) * btp)
+    w2 = jnp.sqrt(jnp.maximum(lsc, 0.0)) / (2.0 * btp)
+    inv_t = jnp.maximum(jnp.abs(grid.FCORT), w1)
+    grate = inv_t / jnp.sqrt(jnp.maximum(grate, 0.0) + EPS)   # 1/T
+    lsc = lsc / (grid.FCORT + EPS) ** 2                       # L^2
+    lsc = jnp.minimum(lsc, w2)
+    lsc = jnp.maximum(lsc, jnp.minimum(grid.DXT ** 2, grid.DYT ** 2))
+
+    kappa = jnp.clip(0.13 * grate * lsc, 3.0e6, 4.0e7)
+    return jnp.where(grid.KMT <= k1, 3.0e6, kappa)
+
+
+def _sigma_topo_mask(grid: Grid, bc: BC, km: int):
+    """1 where k < KMT and no 8-neighbor bottom sits at exactly level k
+    (source/hmix_gm.F90:1001-1030)."""
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    kmt = grid.KMT
+    neigh = [bc.e(kmt), bc.w(kmt), bc.n(kmt), bc.s(kmt),
+             bc.ne(kmt), bc.nw(kmt), bc.se(kmt), bc.sw(kmt)]
+    at_edge = jnp.zeros(kidx.shape[:1] + kmt.shape, bool)
+    for nb in neigh:
+        at_edge = at_edge | (kidx == nb[None])
+    interior = kidx < kmt[None]
+    return jnp.where(interior & ~at_edge, 1.0, 0.0)
+
+
+def kappa_eg(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
+             umix, vmix_m, hblt=None):
+    """Eden & Greatbatch (2008) 3-D diffusivity KAPPA = c L^2 sigma
+    (kappa_eg, source/hmix_gm.F90:2463-2659). Returns (km, ny, nx) cm^2/s,
+    bounded to [gm_kappa_min_eg, gm_kappa_max_eg]."""
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    dzw = jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
+    dzwr = jnp.reshape(grid.vgrid.dzwr[1:km + 1], (km, 1, 1))
+
+    work3 = _displaced_density_diff(cfg, grid, ts_range, tmix)
+    below = kidx < grid.KMT[None]
+    n2 = jnp.where(below, -const.GRAV * work3 * dzwr, 0.0)
+
+    du2 = ((umix - jnp.concatenate([umix[1:], umix[-1:]], axis=0)) ** 2
+           + (vmix_m - jnp.concatenate([vmix_m[1:], vmix_m[-1:]],
+                                       axis=0)) ** 2)
+    du2_t = ugrid_to_tgrid(du2, bc)
+    ri = jnp.where(below, dzw ** 2 / (du2_t + EPS2) * n2, 0.0)
+
+    # first-baroclinic wave speed, Chelton et al. (1998) (:2580-2596):
+    # sum sqrt(N^2_k) dzw_k over k < KMT, plus the k=1 surface half-layer
+    # and the bottom half-layer using N^2 at KMT-1
+    sqn = jnp.sqrt(jnp.maximum(n2, 0.0))
+    dzw0 = grid.vgrid.dzw[0]
+    c_rossby = jnp.where(grid.KMT > 1, sqn[0] * dzw0, 0.0)
+    c_rossby = c_rossby + jnp.sum(jnp.where(below, sqn * dzw, 0.0), axis=0)
+    sqn_km1 = jnp.concatenate([sqn[:1], sqn[:-1]], axis=0)
+    at_bot = (kidx == grid.KMT[None]) & (kidx > 1)
+    c_rossby = c_rossby + jnp.sum(
+        jnp.where(at_bot, sqn_km1 * dzw, 0.0), axis=0)
+    c_rossby = c_rossby / jnp.pi
+
+    btp = _btp(grid, bc)
+    l_rossby = jnp.minimum(c_rossby / (jnp.abs(grid.FCORT) + EPS),
+                           jnp.sqrt(c_rossby / (2.0 * btp)))
+
+    inv_t = jnp.maximum(jnp.abs(grid.FCORT),
+                        jnp.sqrt(c_rossby * 2.0 * btp))
+    sigma = (_sigma_topo_mask(grid, bc, km) * inv_t[None]
+             / jnp.sqrt(ri + cfg.gm_gamma_eg))
+    sigma = jnp.where(below, sigma, 0.0)
+
+    lscale = jnp.minimum(l_rossby[None], sigma / btp[None])
+    kappa = cfg.gm_const_eg * sigma * lscale ** 2
+
+    # within the surface diabatic layer use the below-layer value (:2640-2648)
+    zw = np.asarray(grid.vgrid.zw)
+    bl = hblt if hblt is not None else jnp.full_like(grid.FCORT,
+                                                     float(zw[0]))
+    for k in range(km - 2, -1, -1):
+        kappa = kappa.at[k].set(
+            jnp.where(zw[k] <= bl, kappa[k + 1], kappa[k]))
+    return jnp.clip(kappa, cfg.gm_kappa_min_eg, cfg.gm_kappa_max_eg)
+
+
+def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
+                 umix=None, vmix_m=None, hblt=None):
+    """(kappa_isop, kappa_thic) diffusivities, broadcastable to (km, ny, nx)
+    (KAPPA_ISOP/KAPPA_THIC assembly, source/hmix_gm.F90:1345-1399), plus the
+    'cancellation' flag (equal isop/thic diffusivities, :970-983)."""
+    km = cfg.km
+
+    def depth_profile():
+        zt = jnp.asarray(grid.vgrid.zt)
+        prof = (cfg.gm_kappa_depth_1 + cfg.gm_kappa_depth_2
+                * jnp.exp(-zt / cfg.gm_kappa_depth_scale))
+        return jnp.reshape(prof, (km, 1, 1))
+
+    def build(ktype, ah):
+        if ktype == "const":
+            return jnp.asarray(ah)
+        if ktype == "depth":
+            return ah * depth_profile()
+        if ktype == "vmhs":
+            if umix is None:
+                raise ValueError("vmhs kappa needs mix-time velocities")
+            return kappa_vmhs(cfg, grid, bc, ts_range, tmix, umix,
+                              vmix_m)[None]
+        if ktype == "eg":
+            if umix is None:
+                raise ValueError("eg kappa needs mix-time velocities")
+            return kappa_eg(cfg, grid, bc, ts_range, tmix, umix, vmix_m,
+                            hblt)
+        raise NotImplementedError(f"gm kappa type {ktype}")
+
+    kisop = build(cfg.gm_kappa_isop_type, cfg.gm_ah)
+    if cfg.gm_kappa_thic_type == "eg" and cfg.gm_kappa_isop_type == "eg":
+        kthic = kisop  # KAPPA_THIC = KAPPA_ISOP (:1389)
+    else:
+        kthic = build(cfg.gm_kappa_thic_type, cfg.gm_ah_bolus)
+
+    same_type = cfg.gm_kappa_isop_type == cfg.gm_kappa_thic_type
+    if same_type and cfg.gm_kappa_isop_type in ("const", "depth"):
+        cancellation = cfg.gm_ah == cfg.gm_ah_bolus
+    else:
+        cancellation = same_type  # vmhs/eg ignore ah/ah_bolus scaling
+    return kisop, kthic, cancellation
+
+
 def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
-              hblt: Optional[jnp.ndarray] = None) -> GMOut:
+              hblt: Optional[jnp.ndarray] = None,
+              umix=None, vmix_m=None) -> GMOut:
     """GM/Redi tracer tendency + VDC_GM (hdifft_gm,
-    source/hmix_gm.F90:1102-2219, constant-kappa standard path)."""
+    source/hmix_gm.F90:1102-2219); kappa per cfg.gm_kappa_*_type."""
     km = cfg.km
     dz = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
     dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
@@ -182,8 +378,10 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     tap_isop, tap_thic, taper1, taper2 = _tapers(cfg, grid, slx, sly,
                                                  bl_depth)
 
-    kisop = tap_isop * cfg.gm_ah          # (half, km, ny, nx)
-    kthic = tap_thic * cfg.gm_ah_bolus
+    kappa_isop, kappa_thic, kappa_equal = kappa_fields(
+        cfg, grid, bc, ts_range, tmix, umix, vmix_m, hblt)
+    kisop = tap_isop * kappa_isop         # (half, km, ny, nx)
+    kthic = tap_thic * kappa_thic
     # boundary conditions: zero in the top quarter of level 1 and the bottom
     # quarter of the deepest cell (source/hmix_gm.F90:1650-1663)
     kisop = kisop.at[0, 0].set(0.0)
@@ -246,8 +444,7 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
 
     # skew contribution (zero when kappa_isop == kappa_thic and no
     # differential tapering: 'cancellation', source/hmix_gm.F90:970-983)
-    cancellation = (cfg.gm_ah == cfg.gm_ah_bolus
-                    and cfg.gm_slm_r == cfg.gm_slm_b)
+    cancellation = kappa_equal and cfg.gm_slm_r == cfg.gm_slm_b
     tz_kp1 = jnp.concatenate([tz[:, 1:], tz[:, -1:]], axis=1)
     if not cancellation:
         w1 = kisop[0] * slx[0, 0] * dz - sf_slx[0, 0]

@@ -31,11 +31,12 @@ __all__ = [
 def _shift_x(f, sign: int, bc: str):
     """sign=+1 -> value at (i+1) ('east'), sign=-1 -> value at (i-1)."""
     g = jnp.roll(f, -sign, axis=-1)
+    zero = jnp.zeros((), g.dtype)
     if bc == "closed":
         if sign > 0:
-            g = g.at[..., :, -1].set(0.0)
+            g = g.at[..., :, -1].set(zero)
         else:
-            g = g.at[..., :, 0].set(0.0)
+            g = g.at[..., :, 0].set(zero)
     return g
 
 
@@ -48,11 +49,12 @@ def _shift_y(f, sign: int, bc: str):
                 "location/kind; use BC.n / BC.nn / BC.n_partner")
         bc = "closed"  # the southern boundary of a tripole grid is closed
     g = jnp.roll(f, -sign, axis=-2)
+    zero = jnp.zeros((), g.dtype)
     if bc == "closed":
         if sign > 0:
-            g = g.at[..., -1, :].set(0.0)
+            g = g.at[..., -1, :].set(zero)
         else:
-            g = g.at[..., 0, :].set(0.0)
+            g = g.at[..., 0, :].set(zero)
     return g
 
 

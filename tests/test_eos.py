@@ -50,3 +50,49 @@ def test_ts_range_build(test_grid):
     tsr = eos.build_ts_range(np.asarray(test_grid.vgrid.zt), jnp.float64)
     assert float(tsr.tmax[0, 0, 0]) == 29.0
     assert float(tsr.smin[0, 0, 0]) == 28.5e-3
+
+
+def test_jmcd_unesco_surface_values():
+    """At p=0 the JMcD EOS reduces to the UNESCO-1983 surface density, whose
+    published check values are rho(S=0,T=5)=999.96675 and
+    rho(S=35,T=5)=1027.67547 kg/m^3 (source/state_mod.F90:97-122)."""
+    r0 = eos.jmcd_rho(jnp.array(5.0), jnp.array(0.0), jnp.array(0.0))
+    r35 = eos.jmcd_rho(jnp.array(5.0), jnp.array(0.035), jnp.array(0.0))
+    np.testing.assert_allclose(float(r0), 0.99996675, atol=1e-8)
+    np.testing.assert_allclose(float(r35), 1.02767547, atol=1e-8)
+
+
+def test_jmcd_derivatives_match_autodiff():
+    import jax
+    T, S, p = 10.0, 0.034, 100.0
+    rho, drdt, drds = eos.jmcd_rho(jnp.array(T), jnp.array(S), jnp.array(p),
+                                   want_drhodt=True, want_drhods=True)
+    ad_t = float(jax.grad(lambda t: eos.jmcd_rho(t, jnp.array(S),
+                                                 jnp.array(p)))(jnp.array(T)))
+    ad_s = float(jax.grad(lambda s: eos.jmcd_rho(jnp.array(T), s,
+                                                 jnp.array(p)))(jnp.array(S)))
+    np.testing.assert_allclose(float(drdt), ad_t, rtol=1e-10)
+    np.testing.assert_allclose(float(drds), ad_s, rtol=1e-10)
+
+
+def test_jmcd_close_to_mwjf():
+    """The two 'full' EOS fits agree to a few 0.01 kg/m^3 over the oceanic
+    range (they fit the same UNESCO/Feistel data)."""
+    for T, S, p in [(2.0, 0.0345, 300.0), (20.0, 0.035, 200.0),
+                    (10.0, 0.034, 50.0), (0.0, 0.0347, 500.0)]:
+        rj = float(eos.jmcd_rho(jnp.array(T), jnp.array(S), jnp.array(p)))
+        rm = float(eos.mwjf_rho(jnp.array(T), jnp.array(S), jnp.array(p)))
+        assert abs(rj - rm) < 5e-4, (T, S, p, rj, rm)
+
+
+def test_jmcd_state_dispatch(test_cfg, test_grid):
+    cfg = test_cfg.with_(state_choice="jmcd")
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    T = jnp.full((km, ny, nx), 8.0)
+    S = jnp.full((km, ny, nx), 0.0348)
+    rho, drdt, drds = eos.state(cfg, test_grid.vgrid.pressz, T, S,
+                                want_drhodt=True, want_drhods=True)
+    r = np.asarray(rho)
+    assert np.all(np.diff(r[:, 60, 60]) > 0)   # compressibility
+    assert np.all(np.asarray(drdt) < 0)        # warmer -> lighter at 8 C
+    assert np.all(np.asarray(drds) > 0)        # saltier -> denser

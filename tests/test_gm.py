@@ -95,3 +95,56 @@ def test_gm_with_kpp_model_runs():
     for _ in range(5):
         st, _ = m.advance(st)
     assert np.isfinite(m.diagnostics(st)["KE"])
+
+
+def _mix_velocities(gcfg, ggrid, amp=5.0, seed=7):
+    rng = np.random.RandomState(seed)
+    km, ny, nx = gcfg.km, gcfg.ny, gcfg.nx
+    kmask_u = np.asarray(ggrid.kmask_u)
+    u = rng.randn(km, ny, nx) * amp * kmask_u
+    v = rng.randn(km, ny, nx) * amp * kmask_u
+    return jnp.asarray(u), jnp.asarray(v)
+
+
+def test_kappa_vmhs_bounded(gcfg, ggrid):
+    """Visbeck et al. diffusivity stays in the reference's [3e6, 4e7]
+    band (source/hmix_gm.F90:2446-2453) and equals the floor over
+    shallow columns."""
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    u, v = _mix_velocities(gcfg, ggrid)
+    kap = np.asarray(gm.kappa_vmhs(gcfg, ggrid, bc, None, tr, u, v))
+    assert np.isfinite(kap).all()
+    assert kap.min() >= 3.0e6 - 1e-6
+    assert kap.max() <= 4.0e7 + 1e-6
+
+
+def test_kappa_eg_bounded(gcfg, ggrid):
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    u, v = _mix_velocities(gcfg, ggrid)
+    kap = np.asarray(gm.kappa_eg(gcfg, ggrid, bc, None, tr, u, v))
+    assert kap.shape == (gcfg.km, gcfg.ny, gcfg.nx)
+    assert np.isfinite(kap).all()
+    assert kap.min() >= gcfg.gm_kappa_min_eg - 1e-6
+    assert kap.max() <= gcfg.gm_kappa_max_eg + 1e-6
+
+
+@pytest.mark.parametrize("ktype", ["depth", "vmhs", "eg"])
+def test_gm_flow_dependent_kappa_conserves(gcfg, ggrid, ktype):
+    """Every kappa variant keeps the flux-form conservation property."""
+    cfg = gcfg.with_(gm_kappa_isop_type=ktype, gm_kappa_thic_type=ktype,
+                     gm_kappa_depth_2=0.8)
+    bc = grid_bc(cfg)
+    tr = _stratified_tracers(cfg, ggrid)
+    u, v = _mix_velocities(cfg, ggrid)
+    out = gm.hdifft_gm(cfg, ggrid, bc, None, tr, umix=u, vmix_m=v)
+    gtk = np.asarray(out.gtk)
+    assert np.isfinite(gtk).all()
+    dz = np.asarray(ggrid.vgrid.dz)[None, :, None, None]
+    w = dz * np.asarray(ggrid.TAREA)[None, None] * np.asarray(
+        ggrid.kmask_t)[None]
+    total = (gtk * w).sum(axis=(1, 2, 3))
+    scale = (np.abs(gtk) * w).sum(axis=(1, 2, 3)) + 1e-30
+    assert np.all(np.abs(total) < 1e-9 * scale)
+    assert np.asarray(out.vdc_gm).min() >= 0.0
