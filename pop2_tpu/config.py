@@ -73,6 +73,12 @@ class TimeConfig:
     robert_nu: float = 0.1             # Robert filter strength
     impcor: bool = True                # implicit treatment of Coriolis
     dtuxcel: float = 1.0               # momentum timestep accel factor
+    # calendar (time_manager date arithmetic,
+    # source/time_management.F90:256-283, 1283-1767)
+    start_year: int = 1
+    start_month: int = 1
+    start_day: int = 1
+    allow_leapyear: bool = False
     # leapfrog time-centering params (source/time_management.F90:437-439)
     alpha: float = 1.0 / 3.0
     theta: float = 0.5

@@ -38,6 +38,11 @@ class Model:
                          if cfg.state_range_opt == "enforce" else None)
         self.forcing = analytic_forcing(cfg, self.grid)
         self.nsteps_total = 0
+        from pop2_tpu.time_management import TimeManager
+        self.time_manager = TimeManager(
+            cfg.time.dtt, start_year=cfg.time.start_year,
+            start_month=cfg.time.start_month, start_day=cfg.time.start_day,
+            allow_leapyear=cfg.time.allow_leapyear)
         self.kpp_statics = None
         if cfg.vmix == "kpp":
             from pop2_tpu import kpp as kpp_mod
@@ -109,49 +114,85 @@ class Model:
 
     def initial_state(self) -> State:
         self.nsteps_total = 0
+        self.time_manager.reset()
         return initial_state(self.cfg, self.grid, passive=self.passive)
 
-    def enable_tavg(self, contents, freq_steps: int, outdir: str = ".",
-                    prefix: str = "tavg"):
-        """Add a tavg output stream (source/tavg.F90 stream mechanism)."""
+    def _register_stream_flag(self, stream, kind: str, prefix: str,
+                              freq_opt, freq: int):
+        """Calendar-based scheduling: register a time flag for the stream
+        (each reference stream owns a time flag, source/tavg.F90:569-585)."""
+        if freq_opt is None:
+            stream.flag_name = None
+            return
+        stream.flag_name = f"{kind}:{prefix}"
+        self.time_manager.init_time_flag(stream.flag_name, freq_opt, freq,
+                                         owner=kind)
+
+    def enable_tavg(self, contents, freq_steps: int = 0, outdir: str = ".",
+                    prefix: str = "tavg", freq_opt: str = None,
+                    freq: int = 1):
+        """Add a tavg output stream (source/tavg.F90 stream mechanism).
+        Schedule by step count (``freq_steps``) or by calendar frequency
+        (``freq_opt`` in nyear/nmonth/nday/nhour/nsecond/nstep + ``freq``)."""
         from pop2_tpu.tavg import TavgStream
-        stream = TavgStream(self.cfg, self.grid, contents, freq_steps,
+        stream = TavgStream(self.cfg, self.grid, contents,
+                            freq_steps if freq_opt is None else 10 ** 9,
                             outfile_prefix=prefix)
+        self._register_stream_flag(stream, "tavg", prefix, freq_opt, freq)
         self.tavg_streams.append(stream)
         self._tavg_outdir = outdir
         return stream
 
-    def enable_history(self, contents, freq_steps: int, outdir: str = ".",
-                       prefix: str = "pop2_tpu.h"):
+    def enable_history(self, contents, freq_steps: int = 0,
+                       outdir: str = ".", prefix: str = "pop2_tpu.h",
+                       freq_opt: str = None, freq: int = 1):
         """Add an instantaneous snapshot stream (source/history.F90)."""
         from pop2_tpu.history import HistoryStream
         stream = HistoryStream(self.cfg, self.grid, contents, freq_steps,
                                outfile_prefix=prefix)
+        self._register_stream_flag(stream, "history", prefix, freq_opt, freq)
         self.history_streams.append(stream)
         self._tavg_outdir = outdir
         return stream
 
-    def enable_movie(self, contents, freq_steps: int, outdir: str = ".",
-                     level: int = 0, prefix: str = "pop2_tpu.m"):
+    def enable_movie(self, contents, freq_steps: int = 0, outdir: str = ".",
+                     level: int = 0, prefix: str = "pop2_tpu.m",
+                     freq_opt: str = None, freq: int = 1):
         """Add a 2-D snapshot stream (source/movie.F90)."""
         from pop2_tpu.history import MovieStream
         stream = MovieStream(self.cfg, self.grid, contents, freq_steps,
                              level=level, outfile_prefix=prefix)
+        self._register_stream_flag(stream, "movie", prefix, freq_opt, freq)
         self.history_streams.append(stream)
         self._tavg_outdir = outdir
         return stream
+
+    def _stream_due(self, stream) -> bool:
+        """Calendar-flag scheduling when the stream registered one
+        (time-flag service, source/time_management.F90:2241-3021);
+        otherwise step-frequency."""
+        flag = getattr(stream, "flag_name", None)
+        if flag is not None:
+            return self.time_manager.check_time_flag(flag)
+        return None
 
     def _output_driver(self, state: State):
         """Per-step output hook: history -> movie -> tavg
         (output_driver, source/output.F90:53)."""
         for stream in self.history_streams:
-            if stream.due(self.nsteps_total):
+            due = self._stream_due(stream)
+            if due is None:
+                due = stream.due(self.nsteps_total)
+            if due:
                 self.tavg_files.append(
                     stream.write(self._tavg_outdir, state,
                                  self.nsteps_total))
         for stream in self.tavg_streams:
             stream.accumulate(state)
-            if stream.ready:
+            due = self._stream_due(stream)
+            if due is None:
+                due = stream.ready
+            if due and stream.nsamples > 0:
                 self.tavg_files.append(
                     stream.write(self._tavg_outdir, self.nsteps_total))
                 stream.reset()
@@ -160,6 +201,7 @@ class Model:
                 forcing: Optional[Forcing] = None):
         """Advance one step; returns (state, diagnostics)."""
         self.nsteps_total += 1
+        self.time_manager.advance()
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
         out = self._step(state, forcing or self.forcing,
                          leapfrog=leapfrog, avg_ts=avg_ts)
@@ -207,6 +249,8 @@ class Model:
                     state, diags = self._scan_leapfrog(
                         state, forcing, nsteps=self.scan_chunk)
                     self.nsteps_total += self.scan_chunk
+                    for _ in range(self.scan_chunk):
+                        self.time_manager.advance()
                     remaining -= self.scan_chunk
             else:
                 state, diags = self.advance(state, forcing)
