@@ -89,7 +89,8 @@ class AbioDIC(TracerPackage):
         flux_dic14 = mask * pv * (co2star_sat * r_atm - co2star * r_ocn)
         return jnp.stack([flux_dic, flux_dic14]).astype(cfg.jnp_dtype)
 
-    def set_interior(self, cfg, grid, tracers_old, tracers_cur):
+    def set_interior(self, cfg, grid, tracers_old, tracers_cur,
+                 forcing=None):
         """Radioactive decay of DIC14 (no source for DIC)."""
         zero = jnp.zeros_like(tracers_cur[self.slot0])
         decay = jnp.where(grid.kmask_t,

@@ -132,7 +132,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # source/passive_tracers.F90:768)
     if passive is not None and passive.packages:
         ft = ft.at[2:].add(passive.set_interior(
-            cfg, grid, state.tracer_old, state.tracer_cur))
+            cfg, grid, state.tracer_old, state.tracer_cur,
+            forcing=forcing))
     # T/S interior restoring (set_pt_interior, forcing_pt_interior.F90:569-
     # 668; set_s_interior, forcing_s_interior.F90): restore toward the 3-D
     # climatology down to restore_max_level, optionally excluding the

@@ -41,8 +41,10 @@ class TracerPackage:
         return np.zeros((n, cfg.km, cfg.ny, cfg.nx))
 
     def set_interior(self, cfg: ModelConfig, grid: Grid, tracers_old,
-                     tracers_cur):
-        """(n, km, ny, nx) interior source terms (dT/dt units)."""
+                     tracers_cur, forcing=None):
+        """(n, km, ny, nx) interior source terms (dT/dt units);
+        ``forcing`` carries surface fields some packages need (e.g. the
+        ecosystem's shortwave for light limitation)."""
         return jnp.zeros((self.n_tracers(), cfg.km, cfg.ny, cfg.nx),
                          cfg.jnp_dtype)
 
@@ -63,7 +65,8 @@ class IdealAge(TracerPackage):
 
     names = ("IAGE",)
 
-    def set_interior(self, cfg, grid, tracers_old, tracers_cur):
+    def set_interior(self, cfg, grid, tracers_old, tracers_cur,
+                     forcing=None):
         src = jnp.where(grid.kmask_t, 1.0 / SECONDS_IN_YEAR, 0.0)
         return src[None].astype(cfg.jnp_dtype)
 
@@ -110,12 +113,18 @@ def _make_abio_dic():
     return AbioDIC()
 
 
+def _make_ecosys():
+    from pop2_tpu.ecosys import Ecosystem
+    return Ecosystem()
+
+
 REGISTRY = {
     "iage": IdealAge,
     "cfc": _make_cfc,      # source/cfc_mod.F90
     "sf6": _make_sf6,      # source/sf6_mod.F90
     "irf": IRF,            # source/IRF_mod.F90
     "abio_dic": _make_abio_dic,  # source/abio_dic_dic14_mod.F90
+    "ecosys": _make_ecosys,      # source/ecosys_driver.F90 (MARBL/BEC)
 }
 
 
@@ -143,9 +152,11 @@ class PassiveTracers:
         return np.concatenate(
             [p.init_values(cfg, grid) for p in self.packages], axis=0)
 
-    def set_interior(self, cfg, grid, tracers_old, tracers_cur):
+    def set_interior(self, cfg, grid, tracers_old, tracers_cur,
+                     forcing=None):
         return jnp.concatenate(
-            [p.set_interior(cfg, grid, tracers_old, tracers_cur)
+            [p.set_interior(cfg, grid, tracers_old, tracers_cur,
+                            forcing=forcing)
              for p in self.packages], axis=0)
 
     def set_sflux(self, cfg, grid, tracers_old, tracers_cur, forcing=None):
