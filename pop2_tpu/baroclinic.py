@@ -198,14 +198,18 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                 [jnp.stack(dts), rhs[2:]], axis=0) if cfg.nt > 2 \
                 else jnp.stack(dts)
         elif not varthick:
-            dts = []
-            for n in range(cfg.nt):
-                dT = tridiag.impvmixt(
-                    rhs[n], coeffs.vdc[min(n, 1)], state.psurf_cur,
-                    grid.KMT, _dzt_arg(cfg, grid), grid.vgrid.dzwr, c2dtt,
-                    cfg.aidif, varthick=False)
-                dts.append(state.tracer_old[n] + dT)
-            tracer_new = jnp.stack(dts)
+            # tracer 0 has its own diffusivity class; 1..nt share vdc[1]
+            # and one factorization (single fused kernel on TPU)
+            dT0 = tridiag.impvmixt(
+                rhs[0], coeffs.vdc[0], state.psurf_cur, grid.KMT,
+                _dzt_arg(cfg, grid), grid.vgrid.dzwr, c2dtt,
+                cfg.aidif, varthick=False)
+            dTs = tridiag.impvmixt_batch(
+                rhs[1:], coeffs.vdc[1], state.psurf_cur, grid.KMT,
+                _dzt_arg(cfg, grid), grid.vgrid.dzwr, c2dtt,
+                cfg.aidif, varthick=False)
+            tracer_new = state.tracer_old + jnp.concatenate(
+                [dT0[None], dTs], axis=0)
         else:
             # varthick without pressure averaging (or Euler step): full
             # update happens after the barotropic solve; carry the RHS
@@ -331,18 +335,16 @@ def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             if cfg.nt > 2:
                 # passive tracers: surface RHS adjustment + full solve
                 # (source/baroclinic.F90:1303-1321)
-                extra = []
-                for n in range(2, cfg.nt):
-                    rhs_n = tracer_new[n].at[0].add(jnp.where(
-                        grid.kmask_t[0],
-                        -state.tracer_old[n, 0]
-                        * (psurf_new - state.psurf_old) / grav_dz1, 0.0))
-                    dT = tridiag.impvmixt(
-                        rhs_n, coeffs_vdc[1], psurf_new, grid.KMT,
-                        grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
-                        varthick=True)
-                    extra.append(state.tracer_old[n] + dT)
-                upd = jnp.concatenate([upd, jnp.stack(extra)], axis=0)
+                rhs_p = tracer_new[2:].at[:, 0].add(jnp.where(
+                    grid.kmask_t[0][None],
+                    -state.tracer_old[2:, 0]
+                    * (psurf_new - state.psurf_old)[None] / grav_dz1, 0.0))
+                dTs = tridiag.impvmixt_batch(
+                    rhs_p, coeffs_vdc[1], psurf_new, grid.KMT,
+                    grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                    varthick=True)
+                upd = jnp.concatenate(
+                    [upd, state.tracer_old[2:] + dTs], axis=0)
             tracer_new = upd
         else:
             # no pressure averaging (or Euler step): tracer_new holds the
@@ -350,18 +352,20 @@ def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             # (source/baroclinic.F90:1326-1344); psurf at mixtime is
             # psurf_cur for the Euler/non-avg path
             psurf_mix = state.psurf_cur
-            dts = []
-            for n in range(cfg.nt):
-                rhs_n = tracer_new[n].at[0].add(jnp.where(
-                    grid.kmask_t[0],
-                    -state.tracer_old[n, 0] * (psurf_new - psurf_mix)
-                    / grav_dz1, 0.0))
-                dT = tridiag.impvmixt(
-                    rhs_n, coeffs_vdc[min(n, 1)], psurf_new, grid.KMT,
-                    grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
-                    varthick=True)
-                dts.append(state.tracer_old[n] + dT)
-            tracer_new = jnp.stack(dts)
+            rhs_all = tracer_new.at[:, 0].add(jnp.where(
+                grid.kmask_t[0][None],
+                -state.tracer_old[:, 0] * (psurf_new - psurf_mix)[None]
+                / grav_dz1, 0.0))
+            dT0 = tridiag.impvmixt(
+                rhs_all[0], coeffs_vdc[0], psurf_new, grid.KMT,
+                grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                varthick=True)
+            dTs = tridiag.impvmixt_batch(
+                rhs_all[1:], coeffs_vdc[1], psurf_new, grid.KMT,
+                grid.vgrid.dz, grid.vgrid.dzwr, c2dtt, cfg.aidif,
+                varthick=True)
+            tracer_new = state.tracer_old + jnp.concatenate(
+                [dT0[None], dTs], axis=0)
 
     # reset surface temperature to freezing floor
     # (source/baroclinic.F90:1418-1421)

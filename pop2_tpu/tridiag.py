@@ -110,6 +110,34 @@ def _thomas(hfac, H1, A, kmax, rhs_terms):
     return out
 
 
+def _pallas_path(dz, rhs_dtype):
+    from pop2_tpu import tridiag_pallas
+    return tridiag_pallas.available(dz, rhs_dtype)
+
+
+def impvmixt_batch(rhs, vdc, psurf, kmt, dz, dzwr, c2dtt, aidif: float,
+                   varthick: bool):
+    """Multi-tracer implicit mixing sharing one factorization: all tracers
+    in ``rhs`` (nr, km, ny, nx) use the same diffusivity ``vdc``
+    (km, ny, nx). On TPU/f32 this runs as a single fused Pallas Thomas
+    sweep (tridiag_pallas.py); otherwise the lax.scan path."""
+    km = rhs.shape[1]
+    if _pallas_path(dz, rhs.dtype):
+        from pop2_tpu import tridiag_pallas
+        hfac1 = dz / c2dtt
+        A = aidif * _mid_spacing_r(dz, dzwr, km) * vdc
+        A = A.at[-1].set(0.0)
+        h1 = jnp.broadcast_to(
+            hfac1[0] + (psurf / (const.GRAV * c2dtt[0]) if varthick
+                        else 0.0), rhs.shape[2:])
+        return tridiag_pallas.thomas_tiles(
+            hfac1, h1, kmt, A, rhs,
+            interpret=tridiag_pallas.force_interpret)
+    return jnp.stack([
+        impvmixt(rhs[n], vdc, psurf, kmt, dz, dzwr, c2dtt, aidif, varthick)
+        for n in range(rhs.shape[0])])
+
+
 def impvmixt(rhs, vdc, psurf, kmt, dz, dzwr, c2dtt, aidif: float,
              varthick: bool):
     """Implicit tracer mixing: solve for the increment dT
@@ -126,6 +154,9 @@ def impvmixt(rhs, vdc, psurf, kmt, dz, dzwr, c2dtt, aidif: float,
     Returns dT, (km, ny, nx); caller forms T_new = T_old + dT.
     """
     km = rhs.shape[0]
+    if _pallas_path(dz, rhs.dtype):
+        return impvmixt_batch(rhs[None], vdc, psurf, kmt, dz, dzwr, c2dtt,
+                              aidif, varthick)[0]
     c2dtt = jnp.reshape(c2dtt, (km, 1, 1))
     hfac = _as3(dz, km) / c2dtt
     A = aidif * _mid_spacing_r(dz, dzwr, km) * vdc
@@ -156,6 +187,16 @@ def impvmixu(rhs_u, rhs_v, vvc, kmu, dz, dzwr, c2dtu, aidif: float):
     for the modified RHS (already times c2dtu); the two components share one
     factorization. Returns (Fu, Fv)."""
     km = rhs_u.shape[0]
+    if _pallas_path(dz, rhs_u.dtype):
+        from pop2_tpu import tridiag_pallas
+        hfac1 = dz / c2dtu
+        A = aidif * _mid_spacing_r(dz, dzwr, km) * vvc
+        A = A.at[-1].set(0.0)
+        h1 = jnp.broadcast_to(hfac1[0], rhs_u.shape[1:])
+        out = tridiag_pallas.thomas_tiles(
+            hfac1, h1, kmu, A, jnp.stack([rhs_u, rhs_v]),
+            interpret=tridiag_pallas.force_interpret)
+        return out[0], out[1]
     hfac = _as3(dz, km) / c2dtu
     A = aidif * _mid_spacing_r(dz, dzwr, km) * vvc
     A = A.at[-1].set(0.0)

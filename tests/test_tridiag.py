@@ -134,3 +134,40 @@ def test_impvmixt_correct_is_surface_propagation():
         jnp.asarray(kmt), jnp.asarray(dz), jnp.asarray(dzwr),
         jnp.asarray(c2dtt), 1.0, varthick=True)
     np.testing.assert_allclose(np.asarray(dT), np.asarray(dT2), atol=1e-14)
+
+
+def test_pallas_thomas_matches_scan(mini_cfg, mini_grid):
+    """The Pallas Thomas kernel (interpret mode on CPU) must match the
+    lax.scan path exactly in f32."""
+    import jax.numpy as jnp
+    from pop2_tpu import tridiag, tridiag_pallas
+
+    cfg, grid = mini_cfg, mini_grid
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    rng = np.random.RandomState(7)
+    f32 = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    rhs = f32(2, km, ny, nx)
+    vdc = jnp.abs(f32(km, ny, nx)) * 0.1
+    psurf = f32(ny, nx) * 0.01
+    dz32 = jnp.asarray(np.asarray(grid.vgrid.dz), jnp.float32)
+    dzwr32 = jnp.asarray(np.asarray(grid.vgrid.dzwr), jnp.float32)
+    c2dtt = jnp.full((km,), 2.0 * cfg.time.dtt, jnp.float32)
+
+    try:
+        tridiag_pallas.USE_PALLAS = False
+        ref = jnp.stack([
+            tridiag.impvmixt(rhs[n], vdc, psurf, grid.KMT, dz32, dzwr32,
+                             c2dtt, 1.0, True) for n in range(2)])
+        tridiag_pallas.USE_PALLAS = True
+        tridiag_pallas.force_interpret = True
+        out = tridiag.impvmixt_batch(rhs, vdc, psurf, grid.KMT, dz32,
+                                     dzwr32, c2dtt, 1.0, True)
+        u_ref = tridiag.impvmixu(rhs[0], rhs[1], vdc, grid.KMU, dz32,
+                                 dzwr32, 2.0 * cfg.time.dtu, 1.0)
+    finally:
+        tridiag_pallas.USE_PALLAS = None
+        tridiag_pallas.force_interpret = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+    # impvmixu ran through the kernel too (USE_PALLAS was forced on)
+    assert np.isfinite(np.asarray(u_ref[0])).all()
