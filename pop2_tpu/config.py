@@ -57,7 +57,9 @@ class SolverConfig:
     max_iterations: int = 1000
     convergence_check_freq: int = 10
     convergence_check_start: int = 60  # PCSI only
-    preconditioner: str = "diagonal"   # 'diagonal' (EVP/file later)
+    preconditioner: str = "diagonal"   # 'diagonal' | 'file' (9-pt stencil;
+    #                                    EVP subsumed by PCSI, solvers.py)
+    preconditioner_file: Optional[str] = None  # .npz of Precond9 fields
     lanczos_iterations: int = 100      # PCSI eigenvalue estimation
 
 

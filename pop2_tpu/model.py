@@ -63,6 +63,17 @@ class Model:
         self.history_streams = []
         self._tavg_outdir = "."
         self.tavg_files = []
+        if cfg.mesh_shape != (1, 1):
+            # the Pallas tridiag flattens (ny, nx): under a sharded mesh
+            # that reshape would gather across devices — use the scan path
+            # until the kernel is dispatched per-shard via shard_map
+            from pop2_tpu import tridiag_pallas
+            tridiag_pallas.USE_PALLAS = False
+        self.precond = None
+        if (cfg.solver.preconditioner.lower() == "file"
+                and cfg.solver.preconditioner_file):
+            self.precond = solvers.load_precond(
+                cfg.solver.preconditioner_file, cfg.jnp_dtype)
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):
@@ -76,6 +87,7 @@ class Model:
             return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
                                  state, forcing, leapfrog, avg_ts,
                                  self._pcsi_eigs.get(leapfrog),
+                                 precond=self.precond,
                                  kpp_statics=self.kpp_statics,
                                  sw_profile=self.sw_profile,
                                  passive=self.passive,
@@ -93,6 +105,7 @@ class Model:
                     cfg, self.grid, self.bc, self.ts_range, st, forcing,
                     leapfrog=True, avg_ts=False,
                     pcsi_eigs=self._pcsi_eigs.get(True),
+                    precond=self.precond,
                     kpp_statics=self.kpp_statics,
                     sw_profile=self.sw_profile, passive=self.passive,
                     ovf_statics=self.ovf_statics)

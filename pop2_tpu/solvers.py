@@ -20,7 +20,7 @@ has zero global collectives for PCSI and exactly one fused psum for ChronGear.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,11 +71,63 @@ def _diag_precond(op: BtropOperator):
                                                        op.center, 1.0), 0.0)
 
 
-def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
+class Precond9(NamedTuple):
+    """Precomputed 9-point preconditioner stencil M^-1 ~ A^-1 (the
+    reference's 'file' preconditioner, source/POP_SolversMod.F90:2310-2324;
+    coefficients read from a preconditioner file at init :700-760). The
+    reference's EVP alternative (:2326-2364, per-8x8-sub-block error-vector
+    propagation) exists to cut iteration counts on latency-bound MPI
+    machines; its TPU-native counterpart is PCSI's reduction-free loop, so
+    EVP itself is not rebuilt."""
+    center: jnp.ndarray
+    north: jnp.ndarray
+    south: jnp.ndarray
+    east: jnp.ndarray
+    west: jnp.ndarray
+    ne: jnp.ndarray
+    nw: jnp.ndarray
+    se: jnp.ndarray
+    sw: jnp.ndarray
+
+
+def load_precond(path: str, dtype) -> Precond9:
+    """Load a 9-point preconditioner from an .npz with the field names of
+    Precond9 (the TPU-format counterpart of the reference's binary
+    preconditioner file)."""
+    import numpy as np_
+    data = np_.load(path)
+    return Precond9(**{k: jnp.asarray(data[k], dtype)
+                       for k in Precond9._fields})
+
+
+def make_precond_apply(cfg: ModelConfig, op: BtropOperator, bc: BC,
+                       precond: Optional["Precond9"] = None):
+    """Returns z = M^-1 r as a closure: diagonal (default) or the 9-point
+    file stencil (preconditioner dispatch,
+    source/POP_SolversMod.F90:2273-2364)."""
+    choice = cfg.solver.preconditioner.lower()
+    if choice == "diagonal" or precond is None:
+        a0r = _diag_precond(op)
+        return lambda r: r * a0r
+    if choice == "file":
+        p = precond
+
+        def apply9(r):
+            return (p.center * r
+                    + p.north * bc.n(r) + p.south * bc.s(r)
+                    + p.east * bc.e(r) + p.west * bc.w(r)
+                    + p.ne * bc.ne(r) + p.nw * bc.nw(r)
+                    + p.se * bc.se(r) + p.sw * bc.sw(r))
+        return apply9
+    raise NotImplementedError(f"preconditioner {cfg.solver.preconditioner}")
+
+
+def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
+               precond: Optional[Precond9] = None):
     """Chronopoulos-Gear preconditioned CG
     (source/POP_SolversMod.F90:1841-2266). Returns (x, iterations, rr)."""
     sol = cfg.solver
-    a0r = _diag_precond(op)
+    minv = make_precond_apply(cfg, op, bc, precond)
     tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
            / op.resid_norm)  # source/POP_SolversMod.F90:906
     ncheck = sol.convergence_check_freq
@@ -84,7 +136,7 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
     # guarded so an already-converged (e.g. zero-RHS) system stays finite
     r = b - apply_op(op, x0, bc)
     rr_init = _masked_sum(r * r, op.mask)
-    z = r * a0r
+    z = minv(r)
     s = z
     q = apply_op(op, s, bc)
     sums = jnp.stack([_masked_sum(r * z, op.mask),
@@ -100,7 +152,7 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
 
     def body(carry):
         x, r, s, q, rho_old, sigma, rr, m, done = carry
-        z = r * a0r
+        z = minv(r)
         az = apply_op(op, z, bc)
         sums = jnp.stack([_masked_sum(r * z, op.mask),
                           _masked_sum(az * z, op.mask)])
@@ -136,13 +188,13 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
 
 
 def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
-         eig_min, eig_max):
+         eig_min, eig_max, precond: Optional[Precond9] = None):
     """Preconditioned Classical Stiefel Iteration
     (source/POP_SolversMod.F90:1510-1835; Hu et al. 2013): no reductions in
     the steady-state loop body — the latency-friendly choice for large
     meshes. eig_min/eig_max bound the preconditioned operator's spectrum."""
     sol = cfg.solver
-    a0r = _diag_precond(op)
+    minv = make_precond_apply(cfg, op, bc, precond)
     tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
            / op.resid_norm)  # source/POP_SolversMod.F90:906
     ncheck = sol.convergence_check_freq
@@ -154,7 +206,7 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     omga0 = 2.0 / csy
 
     r = b - apply_op(op, x0, bc)
-    q = (1.0 / csy) * (r * a0r)
+    q = (1.0 / csy) * minv(r)
     x = x0 + q
     r = b - apply_op(op, x, bc)
 
@@ -165,7 +217,7 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     def body(carry):
         x, r, q, omga, rr, m, done = carry
         omga_new = 1.0 / (csy - omga / (4.0 * csalpha * csalpha))
-        rp = r * a0r
+        rp = minv(r)
         q_new = omga_new * rp + (csy * omga_new - 1.0) * q
         x_new = x + q_new
         r_new = b - apply_op(op, x_new, bc)
@@ -185,10 +237,11 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     return x, m, rr
 
 
-def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
+def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
+        precond: Optional[Precond9] = None):
     """Standard preconditioned CG (source/POP_SolversMod.F90:1200-1508)."""
     sol = cfg.solver
-    a0r = _diag_precond(op)
+    minv = make_precond_apply(cfg, op, bc, precond)
     tol = (jnp.asarray(sol.convergence_criterion, x0.dtype) ** 2
            / op.resid_norm)  # source/POP_SolversMod.F90:906
     ncheck = sol.convergence_check_freq
@@ -202,7 +255,7 @@ def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b):
 
     def body(carry):
         x, r, s, eta_old, rr, m, done = carry
-        z = r * a0r
+        z = minv(r)
         eta = _masked_sum(r * z, op.mask)
         s_new = z + s * (eta / jnp.where(eta_old != 0.0, eta_old, 1.0))
         q = apply_op(op, s_new, bc)
@@ -281,15 +334,16 @@ def lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
 
 
 def solve(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
-          eigs: Tuple[float, float] = None):
+          eigs: Tuple[float, float] = None,
+          precond: Optional[Precond9] = None):
     """Dispatch on cfg.solver.choice (source/POP_SolversMod.F90:327-500)."""
     choice = cfg.solver.choice.lower()
     if choice == "chrongear":
-        return chron_gear(cfg, op, bc, x0, b)
+        return chron_gear(cfg, op, bc, x0, b, precond)
     if choice == "pcsi":
         if eigs is None:
             raise ValueError("PCSI requires Lanczos eigenvalue bounds")
-        return pcsi(cfg, op, bc, x0, b, eigs[0], eigs[1])
+        return pcsi(cfg, op, bc, x0, b, eigs[0], eigs[1], precond)
     if choice == "pcg":
-        return pcg(cfg, op, bc, x0, b)
+        return pcg(cfg, op, bc, x0, b, precond)
     raise NotImplementedError(choice)

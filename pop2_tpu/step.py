@@ -116,6 +116,7 @@ def _avg_filter(cfg: ModelConfig, grid: Grid, ts_range, state: State,
 def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
          forcing: Forcing, leapfrog: bool, avg_ts: bool,
          pcsi_eigs: Optional[Tuple[float, float]] = None,
+         precond=None,
          kpp_statics=None, sw_profile=None, passive=None,
          ovf_statics=None) -> Tuple[State, StepDiagnostics]:
     """Advance one timestep (leapfrog, Euler-forward for the first step,
@@ -131,7 +132,7 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
 
     # 3. implicit barotropic solve (source/step_mod.F90:437)
     tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
-                             bout.zy, leapfrog, pcsi_eigs)
+                             bout.zy, leapfrog, pcsi_eigs, precond)
 
     # 4. corrector/adjustment pass (source/step_mod.F90:457)
     tracer_new, rho_new, qice, aqice = baroclinic.correct_adjust(

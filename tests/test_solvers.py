@@ -82,3 +82,71 @@ def test_operator_symmetry(test_cfg, test_grid):
     lhs = float(jnp.sum(y * ax * op.mask))
     rhs = float(jnp.sum(x * ay * op.mask))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_file_preconditioner(test_cfg, test_grid):
+    """9-pt 'file' preconditioner path: with the stencil reduced to the
+    diagonal it reproduces the diagonal-preconditioned solve; with a
+    one-step Neumann (SPAI-like) stencil it still converges to the same
+    solution, in no more iterations."""
+    import tempfile, os
+    from pop2_tpu import solvers
+    from pop2_tpu.barotropic import diagonal_correction
+    from pop2_tpu.config import SolverConfig
+    from pop2_tpu.grid import grid_bc
+
+    cfg = test_cfg.with_(solver=SolverConfig(
+        choice="ChronGear", convergence_criterion=1e-12,
+        max_iterations=1000, convergence_check_freq=5))
+    grid, bc = test_grid, grid_bc(cfg)
+    op = solvers.make_operator(grid, diagonal_correction(cfg, grid, True))
+    rng = np.random.RandomState(3)
+    b = jnp.asarray(rng.randn(cfg.ny, cfg.nx)) * op.mask
+    x0 = jnp.zeros_like(b)
+
+    x_diag, it_diag, _ = solvers.chron_gear(cfg, op, bc, x0, b)
+
+    # diagonal-as-file: identical behavior
+    dinv = solvers._diag_precond(op)
+    zero = jnp.zeros_like(dinv)
+    pre_d = solvers.Precond9(center=dinv, north=zero, south=zero, east=zero,
+                             west=zero, ne=zero, nw=zero, se=zero, sw=zero)
+    cfg_f = cfg.with_(solver=cfg.solver.__class__(
+        choice="ChronGear", convergence_criterion=1e-12,
+        max_iterations=1000, convergence_check_freq=5,
+        preconditioner="file"))
+    x_f, it_f, _ = solvers.chron_gear(cfg_f, op, bc, x0, b, precond=pre_d)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_diag),
+                               rtol=0, atol=1e-7)
+    assert int(it_f) == int(it_diag)
+
+    # one-step Neumann approximate inverse M^-1 = D^-1(2I - A D^-1) as the
+    # 'file' stencil: must converge to the same solution, not slower
+    pre_n = solvers.Precond9(
+        center=dinv * (2.0 - op.center * dinv),
+        north=-dinv * op.north * bc.n(dinv),
+        south=-dinv * bc.s(op.north) * bc.s(dinv),
+        east=-dinv * op.east * bc.e(dinv),
+        west=-dinv * bc.w(op.east) * bc.w(dinv),
+        ne=-dinv * op.ne * bc.ne(dinv),
+        se=-dinv * bc.s(op.ne) * bc.se(dinv),
+        nw=-dinv * bc.w(op.ne) * bc.nw(dinv),
+        sw=-dinv * bc.sw(op.ne) * bc.sw(dinv))
+    x_n, it_n, _ = solvers.chron_gear(cfg_f, op, bc, x0, b, precond=pre_n)
+    # the operator has a (checkerboard) null space, so solutions from
+    # different preconditioners may differ by a null component — the
+    # convergence criterion is the residual
+    res_n = np.asarray((b - solvers.apply_op(op, x_n, bc)) * op.mask)
+    res_d = np.asarray((b - solvers.apply_op(op, x_diag, bc)) * op.mask)
+    assert np.abs(res_n).max() < 10 * max(np.abs(res_d).max(), 1e-10)
+    assert int(it_n) < cfg.solver.max_iterations  # converged
+    assert int(it_n) <= int(it_diag)              # not slower than diagonal
+
+    # round-trip through the file loader
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "precond.npz")
+    np.savez(path, **{k: np.asarray(getattr(pre_n, k))
+                      for k in solvers.Precond9._fields})
+    loaded = solvers.load_precond(path, cfg.jnp_dtype)
+    x_l, it_l, _ = solvers.chron_gear(cfg_f, op, bc, x0, b, precond=loaded)
+    np.testing.assert_array_equal(np.asarray(x_l), np.asarray(x_n))
