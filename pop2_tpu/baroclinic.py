@@ -128,6 +128,19 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     if cfg.sw_absorption == "jerlov" and sw_profile is not None:
         from pop2_tpu import sw_absorption as sw_mod
         ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, sw_profile)
+    elif cfg.sw_absorption == "chlorophyll":
+        # Ohlmann (2003) chlorophyll-dependent transmission; chl from the
+        # ecosystem tracers ('model'), the forcing ('file'), or a constant
+        from pop2_tpu import sw_absorption as sw_mod
+        chl = None
+        if cfg.chl_option == "model" and passive is not None:
+            chl = passive.model_chl(state.tracer_cur)
+        if chl is None and cfg.chl_option == "file":
+            chl = forcing.chl
+        if chl is None:
+            chl = jnp.full_like(forcing.shf_qsw, cfg.chl_const)
+        trans = sw_mod.chl_transmission(cfg, grid, chl)
+        ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, trans)
     # passive-tracer interior sources (set_interior_passive_tracers,
     # source/passive_tracers.F90:768)
     if passive is not None and passive.packages:

@@ -159,8 +159,10 @@ class ModelConfig:
     lbouss_correct: bool = False
     reset_to_freezing: bool = True
     liceform: bool = False
-    sw_absorption: str = "none"        # 'none' | 'jerlov'
+    sw_absorption: str = "none"        # 'none' | 'jerlov' | 'chlorophyll'
     jerlov_water_type: int = 3
+    chl_option: str = "const"          # 'const' | 'file' | 'model'
+    chl_const: float = 0.1             # mg/m^3 when chl_option='const'
     # interior T/S restoring (forcing_pt_interior.F90 / forcing_s_interior)
     pt_interior_restore_tau_days: float = 365.0
     pt_interior_restore_max_level: int = 0

@@ -35,6 +35,8 @@ class Forcing:
     u10_sqr: Optional[jnp.ndarray] = None   # (ny, nx) 10-m wind^2 (cm^2/s^2)
     ifrac: Optional[jnp.ndarray] = None     # (ny, nx) sea-ice fraction
     tracer_atm: Optional[jnp.ndarray] = None  # (n_gas, 2) (nh, sh) per gas
+    chl: Optional[jnp.ndarray] = None  # (ny, nx) surface chlorophyll mg/m^3
+    #                                    (sw_absorption 'chlorophyll'/'file')
 
 
 def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:

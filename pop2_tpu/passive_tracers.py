@@ -164,6 +164,20 @@ class PassiveTracers:
             [p.set_sflux(cfg, grid, tracers_old, tracers_cur, forcing)
              for p in self.packages], axis=0)
 
+    def model_chl(self, tracer_cur):
+        """Surface chlorophyll (mg/m^3) from the ecosystem package when
+        active (the reference's 'model' chl_option resolves the
+        model_chlorophyll named field, source/sw_absorption.F90:332-345);
+        None otherwise."""
+        from pop2_tpu.ecosys import Ecosystem, IDX
+        for p in self.packages:
+            if isinstance(p, Ecosystem):
+                s0 = p.slot0
+                return (tracer_cur[s0 + IDX["spChl"], 0]
+                        + tracer_cur[s0 + IDX["diatChl"], 0]
+                        + tracer_cur[s0 + IDX["diazChl"], 0])
+        return None
+
     def reset(self, cfg, grid, tracer_new):
         """Apply per-package resets to the full (nt, ...) new-time array."""
         i = 2

@@ -90,3 +90,59 @@ def test_model_with_ice_and_sw_runs():
         st, _ = m.advance(st)
     dd = m.diagnostics(st)
     assert np.isfinite(dd["KE"])
+
+
+def test_chl_sw_absorption(mini_cfg, mini_grid):
+    """Chlorophyll (Ohlmann) shortwave absorption: transmission decreases
+    monotonically with depth, higher chl traps more heat near the surface,
+    and the column-integrated heating equals the incident flux."""
+    import jax.numpy as jnp
+    from pop2_tpu import sw_absorption as sw
+    from pop2_tpu import constants as const
+
+    cfg = mini_cfg.with_(sw_absorption="chlorophyll")
+    grid = mini_grid
+    ny, nx, km = cfg.ny, cfg.nx, cfg.km
+    for chl_val in (0.05, 0.5, 5.0):
+        chl = jnp.full((ny, nx), chl_val)
+        tr = np.asarray(sw.chl_transmission(cfg, grid, chl))
+        assert tr.shape == (km + 1, ny, nx)
+        assert np.all(np.diff(tr[:, 5, 5]) <= 0)       # monotone decay
+        assert tr[0, 5, 5] == 1.0 and tr[-1, 5, 5] == 0.0
+
+    tr_lo = np.asarray(sw.chl_transmission(cfg, grid,
+                                           jnp.full((ny, nx), 0.05)))
+    tr_hi = np.asarray(sw.chl_transmission(cfg, grid,
+                                           jnp.full((ny, nx), 5.0)))
+    # greener water absorbs faster: less light reaches interface 1
+    assert tr_hi[1, 5, 5] < tr_lo[1, 5, 5]
+
+    # conservation: sum over column of absorbed fractions = 1 at full depth
+    ft = jnp.zeros((cfg.nt, km, ny, nx))
+    qsw = jnp.full((ny, nx), 100.0 * const.HFLUX_FACTOR)
+    ft2 = sw.add_sw_absorb(cfg, grid, ft,
+                           qsw, sw.chl_transmission(
+                               cfg, grid, jnp.full((ny, nx), 0.3)))
+    dz = np.asarray(grid.vgrid.dz)[:, None, None]
+    kmask = np.asarray(grid.kmask_t)
+    heat = (np.asarray(ft2[0]) * dz * kmask)
+    np.testing.assert_allclose(
+        heat.sum(axis=0)[kmask[0]],
+        100.0 * const.HFLUX_FACTOR, rtol=1e-12)
+
+
+def test_chl_model_option_runs():
+    """sw_absorption='chlorophyll' with chl_option='model' pulls Chl from
+    the ecosystem tracers and the coupled model steps."""
+    from pop2_tpu import ecosys
+    from pop2_tpu.config import get_config
+    from pop2_tpu.model import Model
+    names = ecosys.TRACER_NAMES
+    cfg = get_config("mini").with_(
+        nt=2 + len(names), km=20, vert_grid="internal",
+        passive_tracers=("ecosys",),
+        sw_absorption="chlorophyll", chl_option="model")
+    m = Model(cfg)
+    st = m.initial_state()
+    st = m.run(st, nsteps=3)
+    assert np.isfinite(np.asarray(st.tracer_cur)).all()
