@@ -175,8 +175,13 @@ class ModelConfig:
     geoheatflux_depth: float = 1000.0e2  # cm; applied below this depth
     # velocity damping (damping.F90)
     ldamp_uv: bool = False
-    # tidal mixing, Jayne/St Laurent method (tidal_mixing.F90:679-709)
+    # tidal mixing (tidal_mixing.F90:679-709; methods :44-60)
     ltidal_mixing: bool = False
+    tidal_mixing_method: str = "jayne"  # 'jayne' | 'schmittner' | 'polzin'
+    ltidal_schmittner_socn: bool = False  # Southern-Ocean deep floor
+    tidal_h2_const: float = 1.0e8       # cm^2 roughness^2 (polzin; the
+    #                                     reference reads a file)
+    tidal_urms_const: float = 2.0       # cm/s barotropic tidal rms speed
     tidal_mix_max: float = 100.0             # cm^2/s cap
     tidal_local_mixing_fraction: float = 0.33
     tidal_mixing_efficiency: float = 0.20

@@ -73,6 +73,8 @@ class KPPStatics(NamedTuple):
     pair_m: jnp.ndarray        # (P,) source-level index
     pair_w: jnp.ndarray        # (km, P) sparse weights: RHOAVG_k = W @ rho_p
     tidal_coef: Optional[jnp.ndarray] = None  # (km, ny, nx) Gamma*q*E*F(z)
+    tidal_socn: Optional[jnp.ndarray] = None   # (km, ny, nx) SO kappa floor
+    tidal_polzin: Optional[tuple] = None       # PolzinStatics fields
     niw_energy: Optional[jnp.ndarray] = None  # (ny, nx) NIW flux (erg/s/cm^2)
 
 
@@ -141,11 +143,28 @@ def build_statics(cfg: ModelConfig, grid: Grid) -> KPPStatics:
         pair_k=jnp.asarray(np.array(pair_k), jnp.int32),
         pair_m=jnp.asarray(np.array(pair_m), jnp.int32),
         pair_w=jnp.asarray(pw, dt),
-        tidal_coef=(jnp.asarray(
-            tidal_mixing.build_tidal_coef(cfg, grid), dt)
-            if cfg.ltidal_mixing else None),
+        tidal_coef=_tidal_coef_field(cfg, grid, dt),
+        tidal_socn=(jnp.asarray(
+            tidal_mixing.schmittner_socn_floor(cfg, grid), dt)
+            if cfg.ltidal_mixing and cfg.ltidal_schmittner_socn else None),
+        tidal_polzin=(tuple(tidal_mixing.polzin_statics(cfg, grid))
+                      if cfg.ltidal_mixing
+                      and cfg.tidal_mixing_method == "polzin" else None),
         niw_energy=_niw_energy_field(cfg, dt),
     )
+
+
+def _tidal_coef_field(cfg, grid, dt):
+    """Static tidal coefficient per method: Jayne/St Laurent F(z) profile
+    or the Schmittner subgrid-scale 3-D sum (polzin is per-step)."""
+    if not cfg.ltidal_mixing:
+        return None
+    if cfg.tidal_mixing_method == "schmittner":
+        return jnp.asarray(
+            tidal_mixing.build_tidal_coef_schmittner(cfg, grid), dt)
+    if cfg.tidal_mixing_method == "polzin":
+        return None
+    return jnp.asarray(tidal_mixing.build_tidal_coef(cfg, grid), dt)
 
 
 def _niw_energy_field(cfg, dt):
@@ -278,15 +297,26 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
 
     bck_vdc = jnp.reshape(st.bckgrnd_vdc, (km, 1, 1))
     bck_vvc = jnp.reshape(st.bckgrnd_vvc, (km, 1, 1))
-    if cfg.ltidal_mixing and st.tidal_coef is not None:
-        # kappa_tidal = COEF / N^2 at interface k, capped at tidal_mix_max
-        # (vmix_kpp.F90:1773-1835, tidal_compute_diff :3046-3140); the
-        # interface spacing uses DZT under partial bottom cells (:1775-1780)
+    if cfg.ltidal_mixing and (st.tidal_coef is not None
+                              or st.tidal_polzin is not None):
+        # kappa_tidal capped at tidal_mix_max (vmix_kpp.F90:1773-1835,
+        # tidal_compute_diff :3046-3140); the interface spacing uses DZT
+        # under partial bottom cells (:1775-1780)
         from pop2_tpu.grid import thickness_t
         dzt = thickness_t(cfg, grid)
         dzt_kp1 = jnp.concatenate([dzt[1:], dzt[-1:]], axis=0)
         n2 = dbloc / (0.5 * (dzt + dzt_kp1))
-        tdiff = jnp.where(n2 > 0.0, st.tidal_coef / (n2 + EPS), 0.0)
+        if cfg.tidal_mixing_method == "polzin":
+            # Polzin/Melet stratification-shaped profile (per step)
+            tdiff = tidal_mixing.polzin_diff(
+                cfg, grid, tidal_mixing.PolzinStatics(*st.tidal_polzin), n2)
+        else:
+            # Jayne and Schmittner: static coefficient / N^2
+            tdiff = jnp.where(n2 > 0.0, st.tidal_coef / (n2 + EPS), 0.0)
+        if st.tidal_socn is not None:
+            # Schmittner Southern-Ocean deep floor
+            # (source/tidal_mixing.F90:1410-1435)
+            tdiff = jnp.maximum(tdiff, st.tidal_socn)
         tdiff = jnp.minimum(tdiff, cfg.tidal_mix_max)
         pr = cfg.prandtl
         visc_k = pr * jnp.minimum(bck_vvc / pr + tdiff, cfg.tidal_mix_max) \

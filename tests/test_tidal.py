@@ -80,3 +80,66 @@ def test_tidal_diff_capped():
     assert float(jnp.max(visc)) <= cfg.prandtl * cfg.tidal_mix_max + 1e-9
     # and the tidal contribution is actually present (above background)
     assert float(jnp.max(vdc_s)) > float(jnp.max(m.kpp_statics.bckgrnd_vdc))
+
+
+def test_schmittner_coef_and_socn(mini_cfg, mini_grid):
+    """Schmittner subgrid-scale coefficient: nonnegative, decays upward from
+    the bottom sources, zero at/below the local bottom; the Southern-Ocean
+    floor is active only deep and south."""
+    from pop2_tpu import tidal_mixing as tm
+    cfg = mini_cfg.with_(ltidal_mixing=True,
+                         tidal_mixing_method="schmittner",
+                         tidal_energy_const=0.05,
+                         ltidal_schmittner_socn=True)
+    grid = mini_grid
+    coef = tm.build_tidal_coef_schmittner(cfg, grid)
+    assert np.isfinite(coef).all() and coef.min() >= 0.0
+    KMT = np.asarray(grid.KMT)
+    kidx = np.arange(1, cfg.km + 1)[:, None, None]
+    assert (coef[kidx >= KMT[None]] == 0.0).all()
+    # upward decay toward the surface in deep columns
+    j, i = 12, 5
+    col = coef[:KMT[j, i] - 1, j, i]
+    assert (np.diff(col) >= -1e-20).all()  # increases toward the bottom
+
+    floor = tm.schmittner_socn_floor(cfg, grid)
+    assert floor.min() >= 0.0 and floor.max() <= 1.0 + 1e-12
+    # latitudinal gate: active in the deep Southern Ocean, off in the north
+    assert floor[-1, 0, :].max() > 0.1      # deep, southernmost row
+    assert floor[-1, -1, :].max() < 1e-6    # deep, northernmost row
+
+
+def test_polzin_diff(mini_cfg, mini_grid):
+    """Polzin/Melet diffusivity: nonnegative, finite, bottom-intensified in
+    a uniformly stratified column."""
+    import jax.numpy as jnp
+    from pop2_tpu import tidal_mixing as tm
+    cfg = mini_cfg.with_(ltidal_mixing=True, tidal_mixing_method="polzin",
+                         tidal_energy_const=0.05)
+    grid = mini_grid
+    st = tm.polzin_statics(cfg, grid)
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    n2 = jnp.full((km, ny, nx), 1.0e-6)
+    diff = np.asarray(tm.polzin_diff(cfg, grid, st, n2))
+    assert np.isfinite(diff).all() and diff.min() >= 0.0
+    KMT = np.asarray(grid.KMT)
+    j, i = 12, 5
+    col = diff[:KMT[j, i] - 1, j, i]
+    assert col[-1] > col[0]                 # bottom-intensified
+    assert col.max() > 0.0
+
+
+def test_tidal_methods_run_in_model():
+    """KPP + each tidal method steps the coupled model."""
+    from pop2_tpu.config import get_config
+    from pop2_tpu.model import Model
+    for method in ("schmittner", "polzin"):
+        cfg = get_config("mini").with_(
+            km=20, vert_grid="internal", vmix="kpp",
+            ltidal_mixing=True, tidal_mixing_method=method,
+            tidal_energy_const=0.05,
+            ltidal_schmittner_socn=(method == "schmittner"))
+        m = Model(cfg)
+        st = m.initial_state()
+        st = m.run(st, nsteps=3)
+        assert np.isfinite(np.asarray(st.tracer_cur)).all()
