@@ -166,6 +166,15 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                 mask = mask & (kidx > 0)
             ft = ft.at[n].add(jnp.where(
                 mask, rtau * (data - state.tracer_cur[n]), 0.0))
+    # estuary exchange circulation (set_estuary_exch_circ,
+    # source/estuary_vsf_mod.F90:645-755): vertical redistribution by the
+    # box-model exchange flow at river points
+    if cfg.lestuary_exch and forcing.roff_f is not None:
+        from pop2_tpu import estuary as est_mod
+        w_up, w_lo = est_mod.exchange_layer_weights(
+            cfg, grid, cfg.est_h_upper, cfg.est_h_lower)
+        ft = ft + est_mod.exchange_circulation(
+            cfg, grid, state.tracer_cur, forcing.roff_f, w_up, w_lo)
     # overflow parameterization (ovf_driver, source/overflows.F90:3477;
     # conservative regional exchange form, see overflows.py)
     if cfg.overflows and ovf_statics is not None:

@@ -175,6 +175,17 @@ class ModelConfig:
     geoheatflux_depth: float = 1000.0e2  # cm; applied below this depth
     # velocity damping (damping.F90)
     ldamp_uv: bool = False
+    # estuary box model exchange circulation (estuary_vsf_mod.F90:194-201
+    # namelist defaults; 2-D parameter files replaced by uniform values)
+    lestuary_exch: bool = False
+    est_tide_amp: float = 1.0          # m
+    est_mouth_width: float = 2000.0    # m
+    est_mouth_depth: float = 10.0      # m
+    est_length_a1: float = 0.876
+    est_tidal_pump_a2: float = 0.0
+    est_lower_depth_ratio: float = 0.5  # h0 = h_lower/H
+    est_h_upper: float = 10.0e2        # cm, exchange upper-layer thickness
+    est_h_lower: float = 10.0e2        # cm
     # tidal mixing (tidal_mixing.F90:679-709; methods :44-60)
     ltidal_mixing: bool = False
     tidal_mixing_method: str = "jayne"  # 'jayne' | 'schmittner' | 'polzin'

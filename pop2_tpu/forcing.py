@@ -37,6 +37,8 @@ class Forcing:
     tracer_atm: Optional[jnp.ndarray] = None  # (n_gas, 2) (nh, sh) per gas
     chl: Optional[jnp.ndarray] = None  # (ny, nx) surface chlorophyll mg/m^3
     #                                    (sw_absorption 'chlorophyll'/'file')
+    roff_f: Optional[jnp.ndarray] = None  # (ny, nx) river runoff kg/m^2/s
+    #                                       (estuary EBM exchange)
 
 
 def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:

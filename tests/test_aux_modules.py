@@ -115,3 +115,58 @@ def test_meridional_transport(mini_cfg):
     assert heat.shape == (36,)
     assert np.isfinite(np.asarray(heat)).all()
     assert np.isfinite(np.asarray(salt)).all()
+
+
+def test_estuary_box_model():
+    """EBM solver: the cubic has a unique negative real root; the exchange
+    satisfies volume (Q_u = Q_r - Q_l) and salt (S_u = -Q_l S_l / Q_u)
+    closure; no estuary -> passthrough."""
+    import jax.numpy as jnp
+    from pop2_tpu import estuary
+
+    q_r = jnp.asarray([[500.0, 2000.0, 0.0]])
+    tide = jnp.full_like(q_r, 1.0)
+    s_l = jnp.asarray([[32.0, 30.0, 33.0]])
+    w_h = jnp.full_like(q_r, 2000.0)
+    h = jnp.full_like(q_r, 10.0)
+    q_u, q_l, s_u = estuary.ebm_solve(q_r, tide, s_l, w_h, h,
+                                      0.876, 0.0, 0.5)
+    q_u, q_l, s_u = map(np.asarray, (q_u, q_l, s_u))
+    assert np.isfinite(q_u).all() and np.isfinite(q_l).all()
+    active = np.asarray(q_r) > 0
+    assert (q_l[active] <= 0.0).all()          # inflow at depth
+    assert (q_u[active] > 0.0).all()           # outflow above
+    # salt closure S_u = -Q_l S_l / Q_u where the exchange is active
+    exch = q_l < 0
+    np.testing.assert_allclose(
+        s_u[exch], (-q_l * np.asarray(s_l) / q_u)[exch], rtol=1e-10)
+    assert (s_u[exch] < np.asarray(s_l)[exch]).all()  # diluted outflow
+    assert q_l[0, 2] == 0.0                    # no river -> no exchange
+
+
+def test_estuary_exchange_conserves(mini_cfg, mini_grid):
+    """The exchange-circulation tendency redistributes tracer vertically:
+    each column integral vanishes."""
+    import jax.numpy as jnp
+    from pop2_tpu import estuary
+
+    cfg = mini_cfg.with_(lestuary_exch=True)
+    grid = mini_grid
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    rng = np.random.RandomState(5)
+    kmask = np.asarray(grid.kmask_t)
+    tr = np.zeros((cfg.nt, km, ny, nx))
+    tr[0] = 10.0 + rng.randn(km, ny, nx)
+    tr[1] = 0.034 + 0.001 * rng.rand(km, ny, nx)
+    tr *= kmask[None]
+    roff = np.zeros((ny, nx))
+    roff[10, 8] = 5.0e-2   # kg/m^2/s river point
+    w_up, w_lo = estuary.exchange_layer_weights(
+        cfg, grid, cfg.est_h_upper, cfg.est_h_lower)
+    src = np.asarray(estuary.exchange_circulation(
+        cfg, grid, jnp.asarray(tr), jnp.asarray(roff), w_up, w_lo))
+    assert np.isfinite(src).all()
+    dz = np.asarray(grid.vgrid.dz)[:, None, None]
+    col = (src * dz * kmask[None]).sum(axis=1)
+    scale = (np.abs(src) * dz * kmask[None]).sum(axis=1) + 1e-30
+    assert (np.abs(col) <= 1e-9 * scale + 1e-25).all()
