@@ -71,3 +71,42 @@ def restoring_forcing(cfg: ModelConfig, grid: Grid, base: Forcing,
     if sss_data is not None and state_sss is not None:
         stf = stf.at[1].add(grid.RCALCT * dz1 * (sss_data - state_sss) / tau)
     return base.replace(stf=stf)
+
+
+def read_ws_file(path: str, ny: int, nx: int, dtype=">f8"):
+    """Read a POP-format binary wind-stress file: 12 monthly records of
+    (TAUX, TAUY) pairs — 24 (ny, nx) records total
+    (forcing_ws.F90 monthly read :222-260). Returns (taux, tauy), each
+    (12, ny, nx), dyn/cm^2."""
+    import numpy as np
+    raw = np.fromfile(path, dtype=dtype)
+    need = 24 * ny * nx
+    if raw.size < need:
+        raise ValueError(f"wind-stress file holds {raw.size} values, "
+                         f"need {need}")
+    rec = raw[:need].reshape(12, 2, ny, nx).astype(np.float64)
+    return rec[:, 0], rec[:, 1]
+
+
+def file_wind_stress(cfg: ModelConfig, grid: Grid, base: Forcing,
+                     taux_monthly, tauy_monthly, thour,
+                     data_type: str = "monthly-equal",
+                     interp: str = "linear") -> Forcing:
+    """Monthly-climatology wind stress interpolated to model time
+    (forcing_ws.F90 'monthly' data type + forcing_tools interpolation).
+
+    taux/tauy_monthly: (12, ny, nx) at U points (dyn/cm^2); ``thour`` the
+    model hour (host scalar or traced). Returns the forcing with SMF/SMFT
+    replaced."""
+    from pop2_tpu.forcing_tools import MonthlyClimatology
+    from pop2_tpu.stencil import ugrid_to_tgrid
+    from pop2_tpu.grid import grid_bc
+    cx = MonthlyClimatology.create(taux_monthly, interp, data_type)
+    cy = MonthlyClimatology.create(tauy_monthly, interp, data_type)
+    taux = cx.at(thour) * grid.RCALCU
+    tauy = cy.at(thour) * grid.RCALCU
+    bc = grid_bc(cfg)
+    smft = jnp.stack([ugrid_to_tgrid(taux, bc) * grid.RCALCT,
+                      ugrid_to_tgrid(tauy, bc) * grid.RCALCT])
+    return base.replace(smf=jnp.stack([taux, tauy]).astype(base.smf.dtype),
+                        smft=smft.astype(base.smf.dtype))

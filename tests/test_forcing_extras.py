@@ -118,3 +118,36 @@ def test_damping_reduces_velocity(mini_cfg):
     ke1 = float(jnp.sum(s1.u_cur ** 2 + s1.v_cur ** 2))
     ke0 = float(jnp.sum(s0.u_cur ** 2 + s0.v_cur ** 2))
     assert ke1 <= ke0
+
+
+def test_file_wind_stress(tmp_path, mini_cfg, mini_grid):
+    """Round-trip a POP-format monthly wind-stress file and interpolate:
+    at a mid-month hour the field reproduces that month's record."""
+    import jax.numpy as jnp
+    from pop2_tpu import forcing as fmod
+    from pop2_tpu.forcing_tools import midmonth_hours
+
+    cfg, grid = mini_cfg, mini_grid
+    ny, nx = cfg.ny, cfg.nx
+    rng = np.random.RandomState(8)
+    taux = rng.randn(12, ny, nx)
+    tauy = rng.randn(12, ny, nx)
+    rec = np.stack([taux, tauy], axis=1).astype(">f8")
+    path = str(tmp_path / "ws.ieeer8")
+    rec.tofile(path)
+
+    tx, ty = fmod.read_ws_file(path, ny, nx)
+    np.testing.assert_array_equal(tx, taux)
+
+    base = fmod.analytic_forcing(cfg, grid)
+    hours = midmonth_hours()
+    f = fmod.file_wind_stress(cfg, grid, base, tx, ty, float(hours[3]))
+    rcalcu = np.asarray(grid.RCALCU)
+    np.testing.assert_allclose(np.asarray(f.smf[0]), taux[3] * rcalcu,
+                               rtol=1e-12)
+    # halfway between month 3 and 4 midpoints: the average
+    tmid = 0.5 * (hours[3] + hours[4])
+    f2 = fmod.file_wind_stress(cfg, grid, base, tx, ty, float(tmid))
+    np.testing.assert_allclose(np.asarray(f2.smf[0]),
+                               0.5 * (taux[3] + taux[4]) * rcalcu,
+                               rtol=1e-10)
