@@ -74,7 +74,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
     # ---- vertical mixing coefficients (source/baroclinic.F90:714-734) -----
     coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix,
-                              forcing=forcing, kpp_statics=kpp_statics)
+                              forcing=forcing, kpp_statics=kpp_statics,
+                              ucur=state.u_cur, vcur=state.v_cur)
 
     # surface fluxes incl. passive-tracer gas exchange etc.
     # (set_sflux_passive_tracers, source/passive_tracers.F90:988)

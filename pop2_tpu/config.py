@@ -201,6 +201,7 @@ class ModelConfig:
     tidal_energy_const: float = 0.0          # W/m^2 fallback when no file
     # near-inertial wave mixing (niw_mixing.F90:112-130)
     lniw_mixing: bool = False
+    niw_energy_type: str = "external"  # 'external' | 'blke'
     niw_boundary_layer_absorption: float = 0.7
     niw_local_mixing_fraction: float = 0.5
     niw_mixing_efficiency: float = 0.2

@@ -693,8 +693,43 @@ def hmxl_diag(cfg: ModelConfig, grid: Grid, dbsfc):
     return hmxl
 
 
+def blke(cfg: ModelConfig, grid: Grid, u, v, kbl):
+    """Boundary-layer kinetic energy (erg/cm^2): 0.5 rho_sw (u^2+v^2) dz
+    summed over k <= KBL (blke, source/vmix_kpp.F90:4072-4124)."""
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    dz3 = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
+    ke = 0.5 * const.RHO_SW * (u ** 2 + v ** 2) * dz3
+    return jnp.sum(jnp.where(kidx <= kbl[None], ke, 0.0), axis=0)
+
+
+def niw_energy(cfg: ModelConfig, grid: Grid, st: KPPStatics, kbl,
+               umix, vmix_, ucur=None, vcur=None):
+    """NIW energy input En (compute_niw_energy_flux,
+    source/vmix_kpp.F90:3888-4065): 'external' uses the prescribed flux;
+    'blke' extracts 5% of the boundary-layer kinetic-energy change per
+    step, zeroed within 5 degrees of the equator and cosine-tapered to 10
+    degrees."""
+    coef = (cfg.niw_local_mixing_fraction * cfg.niw_mixing_efficiency
+            * cfg.niw_obs2model_ratio
+            * (1.0 - cfg.niw_boundary_layer_absorption) / const.RHO_FW)
+    if cfg.niw_energy_type == "blke" and ucur is not None:
+        ke_mix = blke(cfg, grid, umix, vmix_, kbl)
+        ke_cur = blke(cfg, grid, ucur, vcur, kbl)
+        en = jnp.abs(0.05 * (ke_cur - ke_mix) / cfg.time.dtt)
+        latd = grid.TLAT * const.RADIAN
+        cosf = 0.5 * (jnp.cos(2.0 * jnp.pi * latd / 10.0) + 1.0)
+        en = jnp.where(jnp.abs(latd) < 5.0, 0.0,
+                       jnp.where(jnp.abs(latd) < 10.0, en * cosf, en))
+        return coef * en * grid.RCALCT
+    en_flux = (st.niw_energy if st.niw_energy is not None
+               else jnp.asarray(cfg.niw_energy_const * 1000.0,
+                                grid.TLAT.dtype))
+    return coef * en_flux * grid.RCALCT
+
+
 def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
-            visc, vdc_t, vdc_s):
+            visc, vdc_t, vdc_s, en=None):
     """Near-inertial-wave mixing (source/niw_mixing.F90 niw_mix :472-700):
     the NIW energy flux En deposits diffusivity kappa = En/N^2 below the
     boundary layer with an exponential decay away from its base, normalized
@@ -710,12 +745,8 @@ def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
     dzw = grid.vgrid.dzw[1:km + 1, None, None]
     kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
 
-    coef = (cfg.niw_local_mixing_fraction * cfg.niw_mixing_efficiency
-            * cfg.niw_obs2model_ratio
-            * (1.0 - cfg.niw_boundary_layer_absorption) / const.RHO_FW)
-    en_flux = (st.niw_energy if st.niw_energy is not None
-               else jnp.asarray(cfg.niw_energy_const * 1000.0, hblt.dtype))
-    en = coef * en_flux * grid.RCALCT
+    if en is None:
+        en = niw_energy(cfg, grid, st, kbl, None, None)
 
     active = (kidx >= kbl[None]) & (kidx < grid.KMT[None])
     decay = jnp.exp(-(zw - hblt[None]) / cfg.niw_vert_decay_scale)
@@ -753,7 +784,8 @@ def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
 
 def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
                tmix, umix, vmix_, stf, shf_qsw, smft,
-               convect_diff: float, convect_visc: float) -> KPPOut:
+               convect_diff: float, convect_visc: float,
+               ucur=None, vcur=None) -> KPPOut:
     """Full KPP pipeline (driver: source/vmix_kpp.F90:918-1422)."""
     km = cfg.km
 
@@ -766,8 +798,9 @@ def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
         cfg, grid, bc, st, dbloc, dbsfc, tmix, umix, vmix_, stf, shf_qsw,
         smft)
     if cfg.lniw_mixing:
+        en = niw_energy(cfg, grid, st, kbl, umix, vmix_, ucur, vcur)
         visc, vdc_t, vdc_s = niw_mix(cfg, grid, st, dbloc, hblt, kbl,
-                                     visc, vdc_t, vdc_s)
+                                     visc, vdc_t, vdc_s, en=en)
     visc, vdc_t, vdc_s, ghat = blmix(
         cfg, grid, st, visc, vdc_t, vdc_s, hblt, ustar, bfsfc, stable, kbl)
 

@@ -69,3 +69,40 @@ def test_topostress_drives_flow_from_rest():
     ke_0 = m0.diagnostics(st_0)["KE"]
     assert np.isfinite(ke_t)
     assert ke_t > ke_0
+
+
+def test_niw_blke_energy():
+    """'blke' NIW energy: extracts from the boundary-layer KE change,
+    vanishes at the equator, and the coupled model runs."""
+    import jax.numpy as jnp
+    from pop2_tpu import kpp as kpp_mod
+    from pop2_tpu.config import get_config
+    from pop2_tpu.grid import build_grid
+    from pop2_tpu.model import Model
+
+    cfg = get_config("mini").with_(km=20, vert_grid="internal", vmix="kpp",
+                                   lniw_mixing=True,
+                                   niw_energy_type="blke")
+    grid = build_grid(cfg)
+    st = kpp_mod.build_statics(cfg, grid)
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    rng = np.random.RandomState(4)
+    kmask_u = np.asarray(grid.kmask_u)
+    umix = jnp.asarray(rng.randn(km, ny, nx) * 5.0 * kmask_u)
+    vmix_ = jnp.asarray(rng.randn(km, ny, nx) * 5.0 * kmask_u)
+    ucur = umix * 1.1
+    vcur = vmix_ * 1.1
+    kbl = jnp.full((ny, nx), 3, jnp.int32)
+    en = np.asarray(kpp_mod.niw_energy(cfg, grid, st, kbl, umix, vmix_,
+                                       ucur, vcur))
+    assert np.isfinite(en).all() and (en >= 0.0).all()
+    tlat = np.asarray(grid.TLAT) * 180.0 / np.pi
+    eq = np.abs(tlat) < 5.0
+    if eq.any():
+        assert np.abs(en[eq]).max() == 0.0
+    assert en[np.abs(tlat) > 15.0].max() > 0.0
+
+    m = Model(cfg)
+    s0 = m.initial_state()
+    s0 = m.run(s0, nsteps=3)
+    assert np.isfinite(np.asarray(s0.tracer_cur)).all()
