@@ -96,3 +96,47 @@ class MonthlyClimatology:
             w = jnp.stack([w, 1.0 - w]).reshape(shape)
             return jnp.sum(w * dd, axis=0)
         return _neville(tt, dd, t)
+
+
+@struct.dataclass
+class TimeSeries:
+    """Shared scalar/vector time-series forcing (CO2 records, CFC
+    atmospheric histories): the TPU-side counterpart of
+    ``source/forcing_timeseries_mod.F90`` (forcing_timeseries_dataset:
+    linear interpolation in model year with endpoint handling).
+
+    data: (ntime, ...) values; years: (ntime,) decimal model years.
+    """
+    data: jnp.ndarray
+    years: jnp.ndarray
+
+    @classmethod
+    def create(cls, years, data) -> "TimeSeries":
+        years = jnp.asarray(years, jnp.result_type(float))
+        data = jnp.asarray(data)
+        if years.ndim != 1 or data.shape[0] != years.shape[0]:
+            raise ValueError("TimeSeries needs matching leading axes")
+        return cls(data=data, years=years)
+
+    @classmethod
+    def from_file(cls, path: str) -> "TimeSeries":
+        """Whitespace-separated text: first column decimal year, remaining
+        columns values (the reference reads netCDF; a text table carries
+        the same content)."""
+        import numpy as np
+        raw = np.loadtxt(path)
+        return cls.create(raw[:, 0], raw[:, 1:].squeeze())
+
+    def at(self, year):
+        """Linear interpolation at decimal model year, clamped to the
+        series endpoints (taxmode 'extend' semantics)."""
+        t = jnp.clip(jnp.asarray(year, self.years.dtype),
+                     self.years[0], self.years[-1])
+        idx = jnp.clip(jnp.searchsorted(self.years, t, side="right") - 1,
+                       0, self.years.shape[0] - 2)
+        t0, t1 = self.years[idx], self.years[idx + 1]
+        w = jnp.where(t1 > t0, (t - t0) / jnp.where(t1 > t0, t1 - t0, 1.0),
+                      0.0)
+        lo = self.data[idx]
+        hi = self.data[idx + 1]
+        return lo + w * (hi - lo)

@@ -151,3 +151,27 @@ def test_file_wind_stress(tmp_path, mini_cfg, mini_grid):
     np.testing.assert_allclose(np.asarray(f2.smf[0]),
                                0.5 * (taux[3] + taux[4]) * rcalcu,
                                rtol=1e-10)
+
+
+def test_timeseries_reader(tmp_path):
+    """TimeSeries: interpolation, endpoint clamping, file round-trip
+    (forcing_timeseries_mod.F90 semantics)."""
+    from pop2_tpu.forcing_tools import TimeSeries
+    years = np.array([1850.0, 1900.0, 1950.0, 2000.0])
+    vals = np.array([285.0, 296.0, 311.0, 369.0])
+    ts = TimeSeries.create(years, vals)
+    np.testing.assert_allclose(float(ts.at(1900.0)), 296.0)
+    np.testing.assert_allclose(float(ts.at(1925.0)), 303.5)
+    np.testing.assert_allclose(float(ts.at(1700.0)), 285.0)   # clamp low
+    np.testing.assert_allclose(float(ts.at(2100.0)), 369.0)   # clamp high
+
+    path = str(tmp_path / "co2.txt")
+    np.savetxt(path, np.column_stack([years, vals]))
+    ts2 = TimeSeries.from_file(path)
+    np.testing.assert_allclose(float(ts2.at(1975.0)), 340.0)
+
+    # vector-valued series (e.g. per-hemisphere CFC mole fractions)
+    vv = np.stack([vals, vals * 0.9], axis=1)
+    ts3 = TimeSeries.create(years, vv)
+    out = np.asarray(ts3.at(1925.0))
+    np.testing.assert_allclose(out, [303.5, 303.5 * 0.9])
