@@ -72,10 +72,21 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         tmix, umix, vmix_m, rhomix = (state.tracer_cur, state.u_cur,
                                       state.v_cur, state.rho_cur)
 
+    # chlorophyll field for the Ohlmann transmission, shared between the
+    # KPP radiative bldepth term and add_sw_absorb below
+    chl = None
+    if cfg.sw_absorption == "chlorophyll":
+        if cfg.chl_option == "model" and passive is not None:
+            chl = passive.model_chl(state.tracer_cur)
+        if chl is None and cfg.chl_option == "file":
+            chl = forcing.chl
+        if chl is None:
+            chl = jnp.full_like(forcing.shf_qsw, cfg.chl_const)
+
     # ---- vertical mixing coefficients (source/baroclinic.F90:714-734) -----
     coeffs = vmix.vmix_coeffs(cfg, grid, bc, tmix, umix, vmix_m, rhomix,
                               forcing=forcing, kpp_statics=kpp_statics,
-                              ucur=state.u_cur, vcur=state.v_cur)
+                              ucur=state.u_cur, vcur=state.v_cur, chl=chl)
 
     # surface fluxes incl. passive-tracer gas exchange etc.
     # (set_sflux_passive_tracers, source/passive_tracers.F90:988)
@@ -130,16 +141,9 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         from pop2_tpu import sw_absorption as sw_mod
         ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, sw_profile)
     elif cfg.sw_absorption == "chlorophyll":
-        # Ohlmann (2003) chlorophyll-dependent transmission; chl from the
-        # ecosystem tracers ('model'), the forcing ('file'), or a constant
+        # Ohlmann (2003) chlorophyll-dependent transmission; chl computed
+        # above (shared with the KPP radiative bldepth term)
         from pop2_tpu import sw_absorption as sw_mod
-        chl = None
-        if cfg.chl_option == "model" and passive is not None:
-            chl = passive.model_chl(state.tracer_cur)
-        if chl is None and cfg.chl_option == "file":
-            chl = forcing.chl
-        if chl is None:
-            chl = jnp.full_like(forcing.shf_qsw, cfg.chl_const)
         trans = sw_mod.chl_transmission(cfg, grid, chl)
         ft = sw_mod.add_sw_absorb(cfg, grid, ft, forcing.shf_qsw, trans)
     # passive-tracer interior sources (set_interior_passive_tracers,

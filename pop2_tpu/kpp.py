@@ -54,6 +54,8 @@ A_S = -28.86
 
 EPSSFC = 0.1              # nondimensional surface-layer extent (:109)
 RICR = 0.3                # critical bulk Richardson number (:641)
+CEKMAN = 0.7              # Ekman depth coefficient (:138)
+CMONOB = 1.0              # Monin-Obukhov depth coefficient (:139)
 CONCV = 1.7               # min convective factor (:140)
 RIINFTY = 0.8             # shear-instability Ri limit (:152)
 RRHO0 = 2.55              # double-diffusion density-ratio limit (:162)
@@ -386,10 +388,28 @@ def ddmix(cfg: ModelConfig, grid: Grid, trcr, vdc_t, vdc_s):
     return vdc_t, vdc_s
 
 
+def _radiative_bfsfc(cfg: ModelConfig, bo, bosol, depth_cm, chl_co=None):
+    """BFSFC = BO + radiative contribution absorbed above ``depth_cm``
+    (source/vmix_kpp.F90:2387-2416, 2706-2751). ``depth_cm`` broadcasts
+    against ``bo``; sw_absorption 'none' maps to the reference's
+    'top-layer' (all shortwave absorbed above any depth)."""
+    from pop2_tpu import sw_absorption as sw_mod
+    if cfg.sw_absorption == "jerlov":
+        absorb = sw_mod.sw_absorb_frac_jnp(depth_cm, cfg.jerlov_water_type)
+        return bo + bosol * (1.0 - absorb)
+    if cfg.sw_absorption == "chlorophyll":
+        trans = sw_mod.chl_trans_at(chl_co, depth_cm)
+        return bo + bosol * (1.0 - trans)
+    return bo + bosol  # 'top-layer'
+
+
 def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
-            dbloc, dbsfc, trcr, umix, vmix_, stf, shf_qsw, smft):
+            dbloc, dbsfc, trcr, umix, vmix_, stf, shf_qsw, smft,
+            chl=None):
     """Boundary-layer depth from the bulk Richardson number
-    (source/vmix_kpp.F90:2002-2760; lcheckekmo/lshort_wave options later).
+    (source/vmix_kpp.F90:2002-2760), incl. the ``lshort_wave`` radiative
+    buoyancy contribution (:2387-2416) and the ``lcheckekmo``
+    Ekman/Monin-Obukhov depth limits (:2425-2453, 2676-2689).
 
     Returns (hblt, ustar, bfsfc, stable, kbl)."""
     km = cfg.km
@@ -406,10 +426,28 @@ def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     safe1 = jnp.where(rho1 != 0.0, rho1, 1.0)
     bo = jnp.where(rho1 != 0.0, const.GRAV
                    * (-talpha * stf[0] - sbeta * stf[1]) / safe1, 0.0)
-    # radiative part ignored until shortwave absorption lands (lshort_wave)
-    bfsfc = bo
-    stable = jnp.where(bfsfc >= 0.0, 1.0, 0.0)
-    bfsfc = bfsfc + stable * EPS
+    bosol = jnp.where(rho1 != 0.0,
+                      -const.GRAV * talpha * shf_qsw / safe1, 0.0)
+
+    chl_co = None
+    if cfg.kpp_lshort_wave and cfg.sw_absorption == "chlorophyll":
+        from pop2_tpu import sw_absorption as sw_mod
+        if chl is None:
+            chl = jnp.full_like(bo, cfg.chl_const)
+        chl_co = sw_mod.chl_coeffs(chl)
+
+    # per-level surface buoyancy forcing at the level-center depths; with
+    # lshort_wave the radiative part absorbed above zt(kl) is included
+    # (:2387-2416); without it BFSFC = BO at every level (:2414-2416)
+    ztc = jnp.reshape(zt, (km, 1, 1))
+    if cfg.kpp_lshort_wave:
+        bfsfc_all = _radiative_bfsfc(cfg, bo[None], bosol[None], ztc, chl_co)
+    else:
+        bfsfc_all = jnp.broadcast_to(bo[None], (km,) + bo.shape)
+    stable_all = jnp.where(bfsfc_all >= 0.0, 1.0, 0.0)
+    bfsfc_all = bfsfc_all + stable_all * EPS
+    bfsfc = bfsfc_all[0]
+    stable = stable_all[0]
 
     # surface-layer-averaged reference velocities for every target level:
     # one MXU contraction with the host-built weights (:2334-2349)
@@ -423,7 +461,7 @@ def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
 
     # turbulent velocity scale at sigma = epssfc for each level
     zkl_all = jnp.reshape(zt, (km, 1, 1))
-    _, ws_all = wscale(EPSSFC, zkl_all, ustar[None], bfsfc[None], want="s")
+    _, ws_all = wscale(EPSSFC, zkl_all, ustar[None], bfsfc_all, want="s")
 
     b_frq = jnp.sqrt(0.5 * (dbloc + jnp.abs(dbloc) + EPS2)
                      / jnp.reshape(dzw[1:km + 1], (km, 1, 1)))
@@ -478,8 +516,56 @@ def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     (ri_upper, ri_up, z_upper, z_up, hblt, kbl, found), _ = jax.lax.scan(
         body, carry0, jnp.arange(2, km + 1, dtype=kbl0.dtype))
 
+    # Ekman / Monin-Obukhov depth limits (lcheckekmo, :2425-2453 in-loop,
+    # :2676-2689 application)
+    if cfg.kpp_lcheckekmo:
+        bottom = zt[km - 1]
+        ustar3 = ustar ** 3
+        # initialization at z_up = zgrid(1) (:2239-2266) using the surface
+        # level's radiative BFSFC
+        work0 = (stable_all[0] * CMONOB * ustar3 / VONKAR / bfsfc_all[0]
+                 + (1.0 - stable_all[0]) * bottom)
+        hm_up0 = jnp.where(work0 <= zt[0], zt[0] + EPS, work0)
+        hek0 = jnp.full_like(hblt, bottom + EPS)
+        hlim0 = jnp.full_like(hblt, bottom + EPS)
+        fcort_abs = jnp.abs(grid.FCORT)
+
+        def ekmo_body(carry, xs):
+            hm_up, hek, hlim = carry
+            bfs, stb, zkl, zupd = xs  # zupd = depth of level kl-1
+            hek = jnp.where((stb > 0.5) & (hek >= bottom),
+                            jnp.maximum(zkl, CEKMAN * ustar
+                                        / (fcort_abs + EPS)), hek)
+            hm_dn = (stb * CMONOB * ustar3 / VONKAR / bfs
+                     + (1.0 - stb) * bottom)
+            cond = (hm_dn <= zkl) & (hm_up > zupd)
+            w = (hm_dn - hm_up) / (zkl - zupd)
+            hlim = jnp.where(cond, (hm_dn - w * zkl) / (1.0 - w), hlim)
+            return (hm_dn, hek, hlim), None
+
+        (_, hekman, hlimit), _ = jax.lax.scan(
+            ekmo_body, (hm_up0, hek0, hlim0),
+            (bfsfc_all[1:], stable_all[1:], zt[1:], zt[:-1]))
+
+        hlimit = jnp.minimum(hlimit, hekman)
+        # apply the limit (:2676-2689). The reference's where-loop over kl
+        # re-reads the updated HBLT, so only the first satisfying kl fires;
+        # with ZKL frozen at its km-loop value the bracket degenerates to
+        # (zt(1), zt(km)] — transliterated faithfully. KBL is rebuilt from
+        # HBLT inside smooth_hblt immediately after, as in the reference.
+        applies = ((hlimit < hblt) & (hlimit > zt[0])
+                   & (hlimit <= bottom))
+        hblt = jnp.where(applies, hlimit, hblt)
+
     # 1-1-4-1-1 spatial smoothing + bottom clamp + KBL rebuild (:3699-3877)
     hblt, kbl = smooth_hblt(cfg, grid, bc, hblt)
+
+    # correct stability and buoyancy forcing for shortwave absorbed above
+    # the final boundary-layer depth (:2706-2751)
+    if cfg.kpp_lshort_wave:
+        bfsfc = _radiative_bfsfc(cfg, bo, bosol, hblt, chl_co)
+        stable = jnp.where(bfsfc >= 0.0, 1.0, 0.0)
+        bfsfc = bfsfc + stable * EPS
 
     return hblt, ustar, bfsfc, stable, kbl
 
@@ -785,7 +871,7 @@ def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
 def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
                tmix, umix, vmix_, stf, shf_qsw, smft,
                convect_diff: float, convect_visc: float,
-               ucur=None, vcur=None) -> KPPOut:
+               ucur=None, vcur=None, chl=None) -> KPPOut:
     """Full KPP pipeline (driver: source/vmix_kpp.F90:918-1422)."""
     km = cfg.km
 
@@ -796,7 +882,7 @@ def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
         vdc_t, vdc_s = ddmix(cfg, grid, tmix, vdc_t, vdc_s)
     hblt, ustar, bfsfc, stable, kbl = bldepth(
         cfg, grid, bc, st, dbloc, dbsfc, tmix, umix, vmix_, stf, shf_qsw,
-        smft)
+        smft, chl=chl)
     if cfg.lniw_mixing:
         en = niw_energy(cfg, grid, st, kbl, umix, vmix_, ucur, vcur)
         visc, vdc_t, vdc_s = niw_mix(cfg, grid, st, dbloc, hblt, kbl,

@@ -74,6 +74,13 @@ class Model:
                 and cfg.solver.preconditioner_file):
             self.precond = solvers.load_precond(
                 cfg.solver.preconditioner_file, cfg.jnp_dtype)
+        # PCSI eigenvalue bounds are prepared once per leapfrog flag. This is
+        # valid because diagonal_correction is a pure function of
+        # (cfg, grid, leapfrog) — the reference re-preps every solve
+        # (POP_SolversPrep, source/POP_SolversMod.F90:181-270) because its
+        # correction can vary in time. If diagonal_correction ever gains a
+        # state dependence, re-prep here per step (guarded by
+        # tests/test_solvers.py::test_pcsi_eigs_match_step_operator).
         self._pcsi_eigs: Dict[bool, Tuple[float, float]] = {}
         if cfg.solver.choice.lower() == "pcsi":
             for leapfrog in (False, True):

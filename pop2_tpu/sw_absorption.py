@@ -37,6 +37,17 @@ def sw_absorb_frac(depth_cm, water_type: int):
     return np.where(z < DEPTH_CUTOFF, 0.0, frac)
 
 
+def sw_absorb_frac_jnp(depth_cm, water_type: int):
+    """Traced (jnp) variant of :func:`sw_absorb_frac` for depths computed
+    inside jit (KPP's lshort_wave radiative bldepth contribution,
+    source/vmix_kpp.F90:2387-2402, 2715-2720)."""
+    i = water_type - 1
+    z = -depth_cm * const.MPERCM
+    frac = (RFAC[i] * jnp.exp(z / DEPTH1[i])
+            + (1.0 - RFAC[i]) * jnp.exp(z / DEPTH2[i]))
+    return jnp.where(z < DEPTH_CUTOFF, 0.0, frac)
+
+
 def absorb_profile(cfg: ModelConfig, grid: Grid) -> jnp.ndarray:
     """Per-interface transmission sw_absorb(0:km)
     (source/sw_absorption.F90:364-369): 1 at the surface, 0 below km."""
@@ -100,6 +111,27 @@ B_2 = np.array([
 MAXARG = 35.0  # exp-underflow guard (source/sw_absorption.F90:703)
 
 
+def chl_coeffs(chl):
+    """Interpolated Ohlmann (2003) double-exponential coefficients for a
+    surface chlorophyll field (sw_absorption.F90:640-718)."""
+    logc = jnp.log(jnp.clip(chl, CHLCNC[0], CHLCNC[-1]))
+    logtab = jnp.asarray(np.log(CHLCNC), logc.dtype)
+    a1 = jnp.interp(logc, logtab, jnp.asarray(A_1, logc.dtype))
+    a2 = jnp.interp(logc, logtab, jnp.asarray(A_2, logc.dtype))
+    b1 = jnp.interp(logc, logtab, jnp.asarray(B_1, logc.dtype))
+    b2 = jnp.interp(logc, logtab, jnp.asarray(B_2, logc.dtype))
+    return a1, a2, b1, b2
+
+
+def chl_trans_at(coeffs, depth_cm):
+    """Transmission Trans(z) = A1 exp(-B1 z) + A2 exp(-B2 z) at arbitrary
+    (broadcastable) depths in cm (sw_trans_chl, sw_absorption.F90:730-780)."""
+    a1, a2, b1, b2 = coeffs
+    z_m = depth_cm * const.MPERCM
+    return (a1 * jnp.exp(-jnp.minimum(b1 * z_m, MAXARG))
+            + a2 * jnp.exp(-jnp.minimum(b2 * z_m, MAXARG)))
+
+
 def chl_transmission(cfg: ModelConfig, grid: Grid, chl) -> jnp.ndarray:
     """Per-interface transmission (km+1, ny, nx) from a surface chlorophyll
     field (mg/m^3): interpolate the Ohlmann A/B coefficients in log-chl,
@@ -107,15 +139,9 @@ def chl_transmission(cfg: ModelConfig, grid: Grid, chl) -> jnp.ndarray:
     The top interface is 1 (the non-penetrative fraction heats the surface
     layer, matching the Jerlov profile convention and QSW_HTP)."""
     km = cfg.km
-    logc = jnp.log(jnp.clip(chl, CHLCNC[0], CHLCNC[-1]))
-    logtab = jnp.asarray(np.log(CHLCNC), logc.dtype)
-    a1 = jnp.interp(logc, logtab, jnp.asarray(A_1, logc.dtype))
-    a2 = jnp.interp(logc, logtab, jnp.asarray(A_2, logc.dtype))
-    b1 = jnp.interp(logc, logtab, jnp.asarray(B_1, logc.dtype))
-    b2 = jnp.interp(logc, logtab, jnp.asarray(B_2, logc.dtype))
-    zw_m = jnp.reshape(jnp.asarray(np.asarray(grid.vgrid.zw)[:km - 1])
-                       * const.MPERCM, (km - 1, 1, 1))
-    tr = (a1[None] * jnp.exp(-jnp.minimum(b1[None] * zw_m, MAXARG))
-          + a2[None] * jnp.exp(-jnp.minimum(b2[None] * zw_m, MAXARG)))
+    a1, a2, b1, b2 = chl_coeffs(chl)
+    zw = jnp.reshape(jnp.asarray(np.asarray(grid.vgrid.zw)[:km - 1]),
+                     (km - 1, 1, 1))
+    tr = chl_trans_at((a1[None], a2[None], b1[None], b2[None]), zw)
     ones = jnp.ones_like(tr[:1])
     return jnp.concatenate([ones, tr, jnp.zeros_like(tr[:1])], axis=0)

@@ -32,7 +32,7 @@ class VmixCoeffs(NamedTuple):
 
 def vmix_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix, vmix_,
                 rhomix, forcing=None, kpp_statics=None,
-                ucur=None, vcur=None) -> VmixCoeffs:
+                ucur=None, vcur=None, chl=None) -> VmixCoeffs:
     """Dispatch to the chosen scheme (source/vertical_mix.F90:518-667)."""
     if cfg.vmix == "const":
         return _coeffs_const(cfg, grid)
@@ -43,7 +43,8 @@ def vmix_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix, vmix_,
         out = kpp_mod.kpp_coeffs(
             cfg, grid, bc, kpp_statics, tmix, umix, vmix_,
             forcing.stf, forcing.shf_qsw, forcing.smft,
-            cfg.convect_diff, cfg.convect_visc, ucur=ucur, vcur=vcur)
+            cfg.convect_diff, cfg.convect_visc, ucur=ucur, vcur=vcur,
+            chl=chl)
         return VmixCoeffs(vdc=out.vdc, vvc=out.vvc, kpp=out)
     raise NotImplementedError(f"vmix scheme {cfg.vmix}")
 

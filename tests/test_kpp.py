@@ -111,3 +111,70 @@ def test_kpp_model_runs_stable():
     assert np.isfinite(dd["KE"]) and dd["KE"] < 100.0
     # tracer conservation
     assert abs(dd["SALT_mean"] - 34.7278125) < 1e-4
+
+
+def test_kpp_lshort_wave_radiative_bldepth(kcfg, kgrid):
+    """lshort_wave (vmix_kpp.F90:2387-2416): penetrating shortwave reduces
+    the destabilizing surface buoyancy forcing at depth, so with strong SW
+    heating the boundary layer under cooling STF must shoal vs the
+    no-radiative case."""
+    cfg_sw = kcfg.with_(kpp_lshort_wave=True, sw_absorption="jerlov")
+    st = kpp.build_statics(kcfg, kgrid)
+    bc = grid_bc(kcfg)
+    km, ny, nx = kcfg.km, kcfg.ny, kcfg.nx
+    tr = _profile(kcfg, kgrid)
+    u = jnp.zeros((km, ny, nx))
+    v = jnp.zeros((km, ny, nx))
+    rcalct = jnp.asarray(np.asarray(kgrid.RCALCT))
+    smft = jnp.zeros((2, ny, nx)).at[0].set(1.0 * rcalct)
+    stf_cool = jnp.zeros((2, ny, nx)).at[0].set(-5e-3 * rcalct)
+    qsw = 1.0e-2 * rcalct  # strong penetrating shortwave (~400 W/m^2)
+
+    out_off = kpp.kpp_coeffs(kcfg, kgrid, bc, st, tr, u, v,
+                             stf_cool, qsw, smft, 1000.0, 1000.0)
+    out_sw = kpp.kpp_coeffs(cfg_sw, kgrid, bc, st, tr, u, v,
+                            stf_cool, qsw, smft, 1000.0, 1000.0)
+    ocean = np.asarray(kgrid.RCALCT) > 0
+    assert np.isfinite(np.asarray(out_sw.vdc)).all()
+    h_off = np.asarray(out_off.hblt)[ocean].mean()
+    h_sw = np.asarray(out_sw.hblt)[ocean].mean()
+    assert h_sw < h_off
+
+    # chlorophyll transmission path also runs and stays finite
+    cfg_chl = kcfg.with_(kpp_lshort_wave=True, sw_absorption="chlorophyll")
+    out_chl = kpp.kpp_coeffs(cfg_chl, kgrid, bc, st, tr, u, v,
+                             stf_cool, qsw, smft, 1000.0, 1000.0)
+    assert np.isfinite(np.asarray(out_chl.hblt)).all()
+
+
+def test_kpp_lcheckekmo_limits_bldepth(kcfg, kgrid):
+    """lcheckekmo (vmix_kpp.F90:2425-2453, 2676-2689): under stable forcing
+    the Ekman depth ~ cekman*ustar/|f| caps the boundary-layer depth, so
+    with weak wind at high latitude HBLT must not exceed the limit by much
+    (smoothing happens after the cap)."""
+    cfg_ek = kcfg.with_(kpp_lcheckekmo=True)
+    st = kpp.build_statics(kcfg, kgrid)
+    bc = grid_bc(kcfg)
+    km, ny, nx = kcfg.km, kcfg.ny, kcfg.nx
+    # well-mixed (unstratified) column: without limits the bulk Ri never
+    # crosses Ricr and HBLT bottoms out
+    tr = _profile(kcfg, kgrid, stratified=False)
+    u = jnp.zeros((km, ny, nx))
+    v = jnp.zeros((km, ny, nx))
+    rcalct = jnp.asarray(np.asarray(kgrid.RCALCT))
+    smft = jnp.zeros((2, ny, nx)).at[0].set(0.01 * rcalct)  # weak wind
+    stf_warm = jnp.zeros((2, ny, nx)).at[0].set(5e-3 * rcalct)  # stable
+    qsw = jnp.zeros((ny, nx))
+
+    out_off = kpp.kpp_coeffs(kcfg, kgrid, bc, st, tr, u, v,
+                             stf_warm, qsw, smft, 1000.0, 1000.0)
+    out_ek = kpp.kpp_coeffs(cfg_ek, kgrid, bc, st, tr, u, v,
+                            stf_warm, qsw, smft, 1000.0, 1000.0)
+    assert np.isfinite(np.asarray(out_ek.hblt)).all()
+    assert np.isfinite(np.asarray(out_ek.vdc)).all()
+    ocean = np.asarray(kgrid.RCALCT) > 0
+    h_off = np.asarray(out_off.hblt)[ocean]
+    h_ek = np.asarray(out_ek.hblt)[ocean]
+    # the limit can only shoal the boundary layer
+    assert (h_ek <= h_off + 1e-6).all()
+    assert h_ek.mean() < h_off.mean()

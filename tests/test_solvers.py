@@ -150,3 +150,34 @@ def test_file_preconditioner(test_cfg, test_grid):
     loaded = solvers.load_precond(path, cfg.jnp_dtype)
     x_l, it_l, _ = solvers.chron_gear(cfg_f, op, bc, x0, b, precond=loaded)
     np.testing.assert_array_equal(np.asarray(x_l), np.asarray(x_n))
+
+
+def test_pcsi_eigs_match_step_operator(test_cfg, test_grid):
+    """Staleness guard for the init-time PCSI prep (the reference re-preps
+    each solve, POP_SolversMod.F90:181-270): the eigenvalue bounds computed
+    at Model init must bracket the Rayleigh quotients of the operator that
+    barotropic.driver actually builds at step time, for both leapfrog
+    flags. Fails if diagonal_correction ever gains a state/time dependence
+    without a matching re-prep."""
+    from pop2_tpu.barotropic import diagonal_correction
+    from pop2_tpu.config import SolverConfig
+    import dataclasses
+
+    cfg = dataclasses.replace(test_cfg, solver=SolverConfig(choice="PCSI"))
+    bc = grid_bc(cfg)
+    mask = np.asarray(test_grid.RCALCT) > 0
+    rng = np.random.RandomState(7)
+    for leapfrog in (False, True):
+        diag_corr = diagonal_correction(cfg, test_grid, leapfrog)
+        op = solvers.make_operator(test_grid, diag_corr)
+        emin, emax = solvers.lanczos_eigs(cfg, op, bc)
+        # Rayleigh quotients of the symmetrized preconditioned operator
+        d = np.abs(np.asarray(op.center))
+        dmh = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 0.0)
+        for _ in range(4):
+            v = rng.randn(*mask.shape) * mask
+            v /= np.sqrt((v * v).sum())
+            av = -dmh * np.asarray(
+                solvers.apply_op(op, jnp.asarray(dmh * v), bc)) * mask
+            rq = float((v * av).sum())
+            assert emin <= rq <= emax, (leapfrog, emin, rq, emax)
