@@ -189,14 +189,19 @@ def _vert_grid_internal(km: int, zmax: float = 5500.0, dz_sfc: float = 25.0,
         raise ValueError(
             f"internal vertical grid: km={km} cannot integrate to {zmax} m "
             f"(range [{d0:.0f}, {d1:.0f}] m); use vert_grid='uniform'")
+    dz = compute_dz(zl1)
     while (zl1 - zl0) / zmax > eps:
         zl = zl0 + 0.5 * (zl1 - zl0)
-        d = compute_dz(zl).sum()
+        dz = compute_dz(zl)
+        d = dz.sum()
         if (d0 - zmax) * (d - zmax) < 0.0:
             zl1, d1 = zl, d
         else:
             zl0, d0 = zl, d
-    return compute_dz(zl0 + 0.5 * (zl1 - zl0))
+    # the reference keeps the profile from the LAST midpoint evaluated
+    # inside the loop (grid.F90:1616-1640: dz is a module array filled by
+    # compute_dz); do the same rather than refining once more
+    return dz
 
 
 def _topography_internal(ulat_deg: np.ndarray, ulon_deg: np.ndarray,
@@ -323,9 +328,6 @@ def build_grid(cfg: ModelConfig) -> Grid:
         ULAT = np.broadcast_to(ulat_deg[:, None] / const.RADIAN,
                                (ny, nx)).copy()
         lathalf_deg = -90.0 + (j - 0.5) * dlat
-        TLAT = np.broadcast_to(lathalf_deg[:, None] / const.RADIAN,
-                               (ny, nx)).copy()
-        TLON = ULON - (dlon / 2.0) / const.RADIAN
 
         dx_cm = dlon * const.RADIUS / const.RADIAN
         dy_cm = dlat * const.RADIUS / const.RADIAN
@@ -335,12 +337,21 @@ def build_grid(cfg: ModelConfig) -> Grid:
         DYU = np.full((ny, nx), dy_cm)
         HTN = dx_cm * np.cos(ULAT)
         DXU = HTN.copy()
-        HUS = dx_cm * np.cos(TLAT)
+        # HUS uses the analytic midpoint latitude (grid.F90:1283 lathalf),
+        # independent of the averaged TLAT below
+        HUS = dx_cm * np.cos(lathalf_deg[:, None] / const.RADIAN
+                             ) * np.ones((1, nx))
         # DXT(j) = dx * p5*(cos(ULAT(j)) + cos(ULAT(j-1))); j-1 wraps to ny
         # for j=1 as in the reference (source/grid.F90:1261-1287)
         cos_ulat = np.cos(ULAT)
         cos_ulat_jm1 = np.roll(cos_ulat, 1, axis=0)
         DXT = dx_cm * 0.5 * (cos_ulat + cos_ulat_jm1)
+
+        # T-point coordinates via the Cartesian 4-point average, exactly as
+        # the reference's calc_tpoints does for every grid option
+        # (source/grid.F90:2939-3104) — NOT the analytic midpoint, which
+        # differs from the spherical average by O(1e-5) rad near the poles.
+        TLAT, TLON = _tpoints_from_upoints(ULAT, ULON, sh)
 
         ANGLE = np.zeros((ny, nx))
         ANGLET = None  # zeros, set after the area computation
