@@ -59,16 +59,16 @@ class Model:
         if cfg.overflows:
             from pop2_tpu import overflows as ovf_mod
             self.ovf_statics = ovf_mod.build_statics(cfg, self.grid)
+        if cfg.mesh_shape == (1, 1):
+            # drop any mesh left by a previous sharded_model() so the Pallas
+            # kernels dispatch directly (sharded models set it back after
+            # construction; see parallel/mesh.py)
+            from pop2_tpu import tridiag_pallas
+            tridiag_pallas.MESH = None
         self.tavg_streams = []
         self.history_streams = []
         self._tavg_outdir = "."
         self.tavg_files = []
-        if cfg.mesh_shape != (1, 1):
-            # the Pallas tridiag flattens (ny, nx): under a sharded mesh
-            # that reshape would gather across devices — use the scan path
-            # until the kernel is dispatched per-shard via shard_map
-            from pop2_tpu import tridiag_pallas
-            tridiag_pallas.USE_PALLAS = False
         self.precond = None
         if (cfg.solver.preconditioner.lower() == "file"
                 and cfg.solver.preconditioner_file):

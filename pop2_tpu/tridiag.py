@@ -130,7 +130,7 @@ def impvmixt_batch(rhs, vdc, psurf, kmt, dz, dzwr, c2dtt, aidif: float,
         h1 = jnp.broadcast_to(
             hfac1[0] + (psurf / (const.GRAV * c2dtt[0]) if varthick
                         else 0.0), rhs.shape[2:])
-        return tridiag_pallas.thomas_tiles(
+        return tridiag_pallas.thomas(
             hfac1, h1, kmt, A, rhs,
             interpret=tridiag_pallas.force_interpret)
     return jnp.stack([
@@ -193,7 +193,7 @@ def impvmixu(rhs_u, rhs_v, vvc, kmu, dz, dzwr, c2dtu, aidif: float):
         A = aidif * _mid_spacing_r(dz, dzwr, km) * vvc
         A = A.at[-1].set(0.0)
         h1 = jnp.broadcast_to(hfac1[0], rhs_u.shape[1:])
-        out = tridiag_pallas.thomas_tiles(
+        out = tridiag_pallas.thomas(
             hfac1, h1, kmu, A, jnp.stack([rhs_u, rhs_v]),
             interpret=tridiag_pallas.force_interpret)
         return out[0], out[1]

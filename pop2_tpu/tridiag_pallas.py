@@ -32,6 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 USE_PALLAS = None
 force_interpret = False
 
+#: Device mesh for per-shard dispatch, set by ``parallel.mesh.sharded_model``.
+#: Columns are independent, so under a (y, x)-sharded mesh the kernel runs
+#: per shard inside ``jax.shard_map`` with zero communication — the TPU
+#: equivalent of the reference running its per-block column loops on each
+#: rank's local blocks (source/vertical_mix.F90:1164 block loop).
+MESH = None
+
 _BP = 3072  # points per tile (24 lanes x 128); (km, _BP) f32 = 0.5 MB/array
 
 
@@ -146,6 +153,23 @@ def thomas_tiles(hfac, h1, kmax, a, rhs, interpret=False):
     )(hfac, h1f, kmaxf, af, rhsf)
     out = jnp.reshape(out, (nr, km, p_pad))
     return jnp.reshape(out[:, :, :p], (nr, km, ny, nx))
+
+
+def thomas(hfac, h1, kmax, a, rhs, interpret=False):
+    """Mesh-aware entry point: on a sharded mesh, dispatch ``thomas_tiles``
+    per shard via ``jax.shard_map`` (the flatten/pad inside the kernel is
+    then shard-local and never gathers); single-device falls through."""
+    if MESH is None:
+        return thomas_tiles(hfac, h1, kmax, a, rhs, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+    yx = ("y", "x")
+    return jax.shard_map(
+        functools.partial(thomas_tiles, interpret=interpret),
+        mesh=MESH,
+        in_specs=(P(), P(*yx), P(*yx), P(None, *yx), P(None, None, *yx)),
+        out_specs=P(None, None, *yx),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )(hfac, h1, kmax, a, rhs)
 
 
 def available(dz, dtype) -> bool:
