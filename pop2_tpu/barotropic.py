@@ -100,7 +100,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, state: State,
 
     # ---- checkerboard null-space removal (source/barotropic.F90:606-634) --
     if varthick:
-        xcheck = jnp.sum(psurf_new * grid.checker)
+        from pop2_tpu.reductions import global_sum
+        xcheck = global_sum(psurf_new * grid.checker, b4b=cfg.b4b)
         psurf_new = (psurf_new + grid.constnt * grid.rcheck * xcheck
                      - grid.checker * grid.rconst * xcheck)
 

@@ -294,6 +294,11 @@ class ModelConfig:
     dtype: str = "float64"             # working precision
     # mesh: logical device mesh shape (y_axis, x_axis) for 2-D spatial sharding
     mesh_shape: Tuple[int, int] = (1, 1)
+    # bit-for-bit reproducible global sums across decompositions: the
+    # reference's b4b_flag (source/initial.F90:730-741,
+    # mpi/global_reductions.F90:134,599) rebuilt as order-independent
+    # fixed-point accumulation (reductions.py)
+    b4b: bool = False
 
     @property
     def jnp_dtype(self):

@@ -34,7 +34,9 @@ def river_vsf(cfg: ModelConfig, grid: Grid, roff_f, s_surface):
     # reference-salinity flux (the standard salinity_factor form)
     flux_ref = roff_f * const.SALINITY_FACTOR * r
     area = grid.area_t
-    correction = (jnp.sum((flux_ref - flux_loc) * grid.TAREA * r) / area)
+    from pop2_tpu.reductions import global_sum
+    correction = global_sum((flux_ref - flux_loc) * grid.TAREA * r,
+                            b4b=cfg.b4b) / area
     return flux_loc + correction * r
 
 

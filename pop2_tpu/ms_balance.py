@@ -46,7 +46,9 @@ def ms_balancing(cfg: ModelConfig, grid: Grid, flux,
     at the distribution points. Globally conserving by construction."""
     out = flux
     for reg in regions:
-        net = jnp.sum(flux * grid.TAREA * reg.ms_mask)     # flux*cm^2
+        from pop2_tpu.reductions import global_sum
+        net = global_sum(flux * grid.TAREA * reg.ms_mask,
+                         b4b=cfg.b4b)  # flux*cm^2
         out = out - reg.ms_mask * net / reg.ms_area \
             + reg.dist_frac * net / grid.TAREA
     return out

@@ -62,8 +62,13 @@ def apply_op(op: BtropOperator, x, bc: BC):
             + bc.w(op.ne) * bc.nw(x) + bc.sw(op.ne) * bc.sw(x))
 
 
-def _masked_sum(x, mask):
-    return jnp.sum(x * mask)
+def _masked_sum(x, mask, b4b: bool = False):
+    """Masked global dot-product sum (POP_GlobalSum,
+    mpi/POP_ReductionsMod.F90). ``b4b`` selects the decomposition-independent
+    reproducible path (reductions.global_sum; the reference's b4b_flag,
+    mpi/global_reductions.F90:134,599)."""
+    from pop2_tpu.reductions import global_sum
+    return global_sum(x * mask, b4b=b4b)
 
 
 def _diag_precond(op: BtropOperator):
@@ -135,12 +140,12 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     # initial residual + one pass of the standard algorithm; divisions are
     # guarded so an already-converged (e.g. zero-RHS) system stays finite
     r = b - apply_op(op, x0, bc)
-    rr_init = _masked_sum(r * r, op.mask)
+    rr_init = _masked_sum(r * r, op.mask, cfg.b4b)
     z = minv(r)
     s = z
     q = apply_op(op, s, bc)
-    sums = jnp.stack([_masked_sum(r * z, op.mask),
-                      _masked_sum(s * q, op.mask)])
+    sums = jnp.stack([_masked_sum(r * z, op.mask, cfg.b4b),
+                      _masked_sum(s * q, op.mask, cfg.b4b)])
     rho_old, sigma = sums[0], sums[1]
     alpha = rho_old / jnp.where(sigma != 0.0, sigma, 1.0)
     x = x0 + alpha * s
@@ -154,8 +159,8 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         x, r, s, q, rho_old, sigma, rr, m, done = carry
         z = minv(r)
         az = apply_op(op, z, bc)
-        sums = jnp.stack([_masked_sum(r * z, op.mask),
-                          _masked_sum(az * z, op.mask)])
+        sums = jnp.stack([_masked_sum(r * z, op.mask, cfg.b4b),
+                          _masked_sum(az * z, op.mask, cfg.b4b)])
         rho, delta = sums[0], sums[1]
         beta = rho / jnp.where(rho_old != 0.0, rho_old, 1.0)
         sigma_new = delta - beta ** 2 * sigma
@@ -168,7 +173,7 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         def check(args):
             x_new, r_new = args
             r_true = b - apply_op(op, x_new, bc)
-            rr = _masked_sum(r_true * r_true, op.mask)
+            rr = _masked_sum(r_true * r_true, op.mask, cfg.b4b)
             return r_true, rr
 
         do_check = (m + 1) % ncheck == 0
@@ -225,7 +230,7 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         do_check = ((m + 1) % ncheck == 0) & (m + 1 >= nstart)
         rr_new = jax.lax.cond(
             do_check,
-            lambda rn: _masked_sum(rn * rn, op.mask),
+            lambda rn: _masked_sum(rn * rn, op.mask, cfg.b4b),
             lambda rn: rr, r_new)
         done_new = do_check & (rr_new < tol)
         return (x_new, r_new, q_new, omga_new, rr_new, m + 1, done_new)
@@ -256,10 +261,10 @@ def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     def body(carry):
         x, r, s, eta_old, rr, m, done = carry
         z = minv(r)
-        eta = _masked_sum(r * z, op.mask)
+        eta = _masked_sum(r * z, op.mask, cfg.b4b)
         s_new = z + s * (eta / jnp.where(eta_old != 0.0, eta_old, 1.0))
         q = apply_op(op, s_new, bc)
-        sq = _masked_sum(s_new * q, op.mask)
+        sq = _masked_sum(s_new * q, op.mask, cfg.b4b)
         alpha = eta / jnp.where(sq != 0.0, sq, 1.0)
         x_new = x + alpha * s_new
         r_new = r - alpha * q
@@ -269,7 +274,7 @@ def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         def check(args):
             x_new, r_new = args
             r_true = b - apply_op(op, x_new, bc)
-            return r_true, _masked_sum(r_true * r_true, op.mask)
+            return r_true, _masked_sum(r_true * r_true, op.mask, cfg.b4b)
 
         r_new, rr_new = jax.lax.cond(do_check, check, lambda a: (a[1], rr),
                                      (x_new, r_new))

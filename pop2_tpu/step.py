@@ -247,12 +247,14 @@ def _robert_filter(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     store_rf = store_rf.at[:, 0].set(s_sfc)
 
     # accumulate masked volume*S for conservation (:1051-1097)
+    from pop2_tpu.reductions import global_sum
     mask3 = jnp.where(grid.kmask_t, 1.0, 0.0)
     dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
-    svol = jnp.sum(grid.TAREA[None, None] * mask3[None] * dzc[None]
-                   * store_rf.at[:, 0].set(0.0), axis=(1, 2, 3))
-    svol = svol + jnp.sum(grid.TAREA[None] * mask3[0][None] * s_sfc,
-                          axis=(1, 2))
+    svol = global_sum(grid.TAREA[None, None] * mask3[None] * dzc[None]
+                      * store_rf.at[:, 0].set(0.0), b4b=cfg.b4b,
+                      axis=(1, 2, 3))
+    svol = svol + global_sum(grid.TAREA[None] * mask3[0][None] * s_sfc,
+                             b4b=cfg.b4b, axis=(1, 2))
 
     tth_c = thick_c[None] * t_cur[:, 0] + rc * s_sfc
     tth_n = (thick_n[None] * t_new[:, 0] + rn * s_sfc) if nonzero_new \
@@ -262,8 +264,9 @@ def _robert_filter(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     workb = p_old + p_new - 2.0 * p_cur
     p_cur_f = p_cur + rc * workb
     p_new_f = p_new + rn * workb if nonzero_new else p_new
-    area = jnp.sum(grid.TAREA * grid.RCALCT)
-    rf_sump = jnp.sum(workb * grid.TAREA * grid.RCALCT) / area
+    area = global_sum(grid.TAREA * grid.RCALCT, b4b=cfg.b4b)
+    rf_sump = global_sum(workb * grid.TAREA * grid.RCALCT,
+                         b4b=cfg.b4b) / area
     p_cur_f = p_cur_f - rc * rf_sump * grid.RCALCT
     if nonzero_new:
         p_new_f = p_new_f - rn * rf_sump * grid.RCALCT
@@ -276,8 +279,8 @@ def _robert_filter(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         t_new_f = t_new_f.at[:, 0].set(tth_n / thick_n_f[None])
 
     # global tracer conservation adjustment (:1160-1209)
-    vol = (jnp.sum(mask3[1:] * dzc[1:] * grid.TAREA[None])
-           + jnp.sum(mask3[0] * thick_c_f * grid.TAREA))
+    vol = (global_sum(mask3[1:] * dzc[1:] * grid.TAREA[None], b4b=cfg.b4b)
+           + global_sum(mask3[0] * thick_c_f * grid.TAREA, b4b=cfg.b4b))
     rf_s = svol / vol
     # stabilized factor: average with the previous step's value once valid
     # (:1178-1184)
