@@ -59,12 +59,13 @@ class Model:
         if cfg.overflows:
             from pop2_tpu import overflows as ovf_mod
             self.ovf_statics = ovf_mod.build_statics(cfg, self.grid)
-        if cfg.mesh_shape == (1, 1):
-            # drop any mesh left by a previous sharded_model() so the Pallas
-            # kernels dispatch directly (sharded models set it back after
-            # construction; see parallel/mesh.py)
-            from pop2_tpu import tridiag_pallas
-            tridiag_pallas.MESH = None
+        # per-model dispatch mesh for shard_map'ed Pallas kernels: derived
+        # from the config (never module-global state, so models with
+        # different meshes coexist). Entered as a scope at trace time below.
+        self._mesh = None
+        if cfg.mesh_shape != (1, 1):
+            from pop2_tpu.parallel import mesh as pmesh
+            self._mesh = pmesh.make_mesh(cfg.mesh_shape)
         self.tavg_streams = []
         self.history_streams = []
         self._tavg_outdir = "."
@@ -89,16 +90,19 @@ class Model:
                 self._pcsi_eigs[leapfrog] = solvers.lanczos_eigs(
                     cfg, op, self.bc)
 
+        from pop2_tpu import tridiag_pallas
+
         @functools.partial(jax.jit, static_argnames=("leapfrog", "avg_ts"))
         def _step(state, forcing, leapfrog, avg_ts):
-            return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
-                                 state, forcing, leapfrog, avg_ts,
-                                 self._pcsi_eigs.get(leapfrog),
-                                 precond=self.precond,
-                                 kpp_statics=self.kpp_statics,
-                                 sw_profile=self.sw_profile,
-                                 passive=self.passive,
-                                 ovf_statics=self.ovf_statics)
+            with tridiag_pallas.dispatch_mesh(self._mesh):
+                return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
+                                     state, forcing, leapfrog, avg_ts,
+                                     self._pcsi_eigs.get(leapfrog),
+                                     precond=self.precond,
+                                     kpp_statics=self.kpp_statics,
+                                     sw_profile=self.sw_profile,
+                                     passive=self.passive,
+                                     ovf_statics=self.ovf_statics)
 
         self._step = _step
 
@@ -117,7 +121,8 @@ class Model:
                     sw_profile=self.sw_profile, passive=self.passive,
                     ovf_statics=self.ovf_statics)
                 return st, diags
-            state, diags = jax.lax.scan(body, state, None, length=nsteps)
+            with tridiag_pallas.dispatch_mesh(self._mesh):
+                state, diags = jax.lax.scan(body, state, None, length=nsteps)
             return state, jax.tree_util.tree_map(lambda a: a[-1], diags)
 
         self._scan_leapfrog = _scan_leapfrog

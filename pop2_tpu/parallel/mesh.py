@@ -60,13 +60,14 @@ def sharded_model(cfg, mesh: Optional[Mesh] = None):
     (model, mesh). The step function needs no changes — XLA partitions it
     from the input shardings."""
     from pop2_tpu.model import Model
-    from pop2_tpu import tridiag_pallas
-    if mesh is None:
-        mesh = make_mesh(cfg.mesh_shape)
-    # per-shard Pallas dispatch: the tridiagonal kernel (and future fused
-    # stencil kernels) run inside shard_map on this mesh
-    tridiag_pallas.MESH = mesh
     model = Model(cfg)
+    # per-shard Pallas dispatch: Model derives its mesh from cfg.mesh_shape;
+    # an explicitly provided mesh (e.g. pre-built over specific devices)
+    # overrides it before the step first traces
+    if mesh is None:
+        mesh = model._mesh if model._mesh is not None \
+            else make_mesh(cfg.mesh_shape)
+    model._mesh = mesh
     model.grid = shard_pytree(model.grid, mesh)
     model.forcing = shard_pytree(model.forcing, mesh)
     if model.ts_range is not None:

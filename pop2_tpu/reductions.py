@@ -52,8 +52,12 @@ def _b4b_sum(x, axes):
     s1 = jnp.sum(r1.astype(jnp.int64), axis=axes)
     s2 = jnp.sum(r2.astype(jnp.int64), axis=axes)
     s3 = jnp.sum(r3.astype(jnp.int64), axis=axes)
-    # each limb sum is < 2^53 in magnitude for any realistic grid, so the
-    # int64 -> float conversions are exact; the combine order is fixed
+    # int64 -> float conversion: exact only while |limb sum| < 2^53 (i.e.
+    # up to ~2^23 summands at the 2^30 per-element limb bound); beyond that
+    # (e.g. tx0.1 3-D sums, ~2^29 elements) the conversion rounds — still
+    # VALUE-DETERMINISTIC (same int64 in -> same float64 out on any mesh),
+    # so the b4b guarantee holds; only the ~1-ulp accuracy claim weakens.
+    # The combine order is a fixed 3-term expression.
     out = (s1.astype(x.dtype) / _S1
            + s2.astype(x.dtype) / _S2
            + s3.astype(x.dtype) / _S3) * scale

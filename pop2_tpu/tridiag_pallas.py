@@ -20,6 +20,8 @@ partial-bottom-cell) path only — 3-D DZT falls back to the scan.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -32,12 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 USE_PALLAS = None
 force_interpret = False
 
-#: Device mesh for per-shard dispatch, set by ``parallel.mesh.sharded_model``.
-#: Columns are independent, so under a (y, x)-sharded mesh the kernel runs
-#: per shard inside ``jax.shard_map`` with zero communication — the TPU
-#: equivalent of the reference running its per-block column loops on each
-#: rank's local blocks (source/vertical_mix.F90:1164 block loop).
-MESH = None
+#: Device mesh for per-shard dispatch, scoped (NOT module-global): each
+#: Model's jitted step enters ``dispatch_mesh(model._mesh)`` at trace time,
+#: so two models with different meshes never clobber each other and a
+#: single-device Model never resets a sharded model's dispatch. Columns are
+#: independent, so under a (y, x)-sharded mesh the kernel runs per shard
+#: inside ``jax.shard_map`` with zero communication — the TPU equivalent of
+#: the reference running its per-block column loops on each rank's local
+#: blocks (source/vertical_mix.F90:1164 block loop).
+_DISPATCH_MESH = contextvars.ContextVar("pop2_tpu_dispatch_mesh",
+                                        default=None)
+
+
+@contextlib.contextmanager
+def dispatch_mesh(mesh):
+    """Scope the per-shard dispatch mesh for Pallas kernels traced inside."""
+    token = _DISPATCH_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _DISPATCH_MESH.reset(token)
 
 _BP = 3072  # points per tile (24 lanes x 128); (km, _BP) f32 = 0.5 MB/array
 
@@ -156,16 +172,18 @@ def thomas_tiles(hfac, h1, kmax, a, rhs, interpret=False):
 
 
 def thomas(hfac, h1, kmax, a, rhs, interpret=False):
-    """Mesh-aware entry point: on a sharded mesh, dispatch ``thomas_tiles``
-    per shard via ``jax.shard_map`` (the flatten/pad inside the kernel is
-    then shard-local and never gathers); single-device falls through."""
-    if MESH is None:
+    """Mesh-aware entry point: under an active ``dispatch_mesh`` scope,
+    dispatch ``thomas_tiles`` per shard via ``jax.shard_map`` (the
+    flatten/pad inside the kernel is then shard-local and never gathers);
+    with no mesh in scope, fall through to the direct call."""
+    mesh = _DISPATCH_MESH.get()
+    if mesh is None:
         return thomas_tiles(hfac, h1, kmax, a, rhs, interpret=interpret)
     from jax.sharding import PartitionSpec as P
     yx = ("y", "x")
     return jax.shard_map(
         functools.partial(thomas_tiles, interpret=interpret),
-        mesh=MESH,
+        mesh=mesh,
         in_specs=(P(), P(*yx), P(*yx), P(None, *yx), P(None, None, *yx)),
         out_specs=P(None, None, *yx),
         check_vma=False,  # pallas_call out_shape carries no vma info
