@@ -330,6 +330,20 @@ PRESETS = {
     "test": ModelConfig(),
     # small test grid for CI: same physics, tiny dims
     "prod": ModelConfig(nx=384, ny=256, km=40),
+    # production-physics benchmark: gx1v7-shaped (320x384x60,
+    # input_templates/gx1v7_domain_size.F90) with the flagship physics menu
+    # the reference runs in production — tripole, KPP, GM, anisotropic
+    # viscosity, penetrating shortwave, frazil ice, two passive tracers —
+    # on internally-generated grid/topography (the real gx1v7 input files
+    # are not redistributable; the idealized topography keeps the same
+    # cost profile: ~full-depth columns, land fraction from the recipe at
+    # source/grid.F90:1921-2025).
+    "prod_full": ModelConfig(
+        nx=320, ny=384, km=60, nt=5, ns_boundary="tripole",
+        flat_bottom=False, vmix="kpp", hmix_tracer="gm",
+        hmix_momentum="aniso", sw_absorption="jerlov",
+        liceform=True, passive_tracers=("iage", "cfc"),
+    ),
     "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",
                         time=TimeConfig(dt_option="steps_per_day",
                                         dt_count=96.0)),

@@ -62,7 +62,8 @@ RRHO0 = 2.55              # double-diffusion density-ratio limit (:162)
 DSFMAX = 1.0              # max salt-fingering diffusivity (:163)
 CSTAR = 10.0              # nonlocal transport coefficient (:175)
 
-VTC = np.sqrt(0.2 / C_S / EPSSFC) / VONKAR ** 2          # (:458)
+# Python float (not np.float64 scalar), so f32 fields don't promote to f64
+VTC = float(np.sqrt(0.2 / C_S / EPSSFC)) / VONKAR ** 2   # (:458)
 CG = CSTAR * VONKAR * (C_S * VONKAR * EPSSFC) ** (1.0 / 3.0)  # (:459)
 
 

@@ -3,6 +3,23 @@ sharding logic is exercised without TPU hardware (SURVEY.md §4 implication (c):
 decomposition-invariance tests on a virtual mesh)."""
 
 import os
+import sys
+
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU
+# tunnel as the ONLY jax backend at interpreter startup — JAX_PLATFORMS=cpu
+# set afterwards is ignored. Tests need the local 8-virtual-device CPU
+# platform, so if the sitecustomize ran, re-exec the whole pytest process
+# with it scrubbed from PYTHONPATH (guarded against loops).
+if (".axon_site" in os.environ.get("PYTHONPATH", "")
+        and os.environ.get("POP2_TPU_TEST_REEXEC") != "1"):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if ".axon_site" not in p)
+    env["POP2_TPU_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest",
+                               *sys.argv[1:]], env)
 
 # must be set before jax is imported anywhere; hard-override so tests never
 # run over the (slow, single-chip) TPU tunnel
