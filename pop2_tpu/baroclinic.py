@@ -34,6 +34,8 @@ class BaroclinicOut(NamedTuple):
     zx: jnp.ndarray          # (ny, nx) vertically-averaged forcing
     zy: jnp.ndarray
     vdc: jnp.ndarray         # (2, km, ny, nx) diffusivity used, for corrector
+    vvc: jnp.ndarray = None  # (km, ny, nx) viscosity used (tavg extras)
+    kpp: object = None       # KPPOut when vmix == 'kpp' (hblt/hmxl extras)
 
 
 def _dzt_arg(cfg: ModelConfig, grid: Grid):
@@ -47,10 +49,19 @@ def _dzu_arg(cfg: ModelConfig, grid: Grid):
 
 
 def _timestep_arrays(cfg: ModelConfig, leapfrog: bool):
-    """c2dt factors (source/step_mod.F90:302-320)."""
+    """c2dt factors (source/step_mod.F90:302-320). With depth acceleration
+    (laccel), dt(k) = dtt*dttxcel(k) with no acceleration in the top layer
+    (source/time_management.F90:975-1009)."""
     dtt, dtu, dtp = cfg.time.dtt, cfg.time.dtu, cfg.time.dtp
     fac = 2.0 if leapfrog else 1.0
-    c2dtt = jnp.full((cfg.km,), fac * dtt, cfg.jnp_dtype)
+    if cfg.time.laccel and cfg.time.dttxcel is not None:
+        if len(cfg.time.dttxcel) != cfg.km:
+            raise ValueError(
+                f"dttxcel has {len(cfg.time.dttxcel)} levels, need {cfg.km}")
+        xcel = jnp.asarray(cfg.time.dttxcel, cfg.jnp_dtype).at[0].set(1.0)
+        c2dtt = fac * dtt * xcel
+    else:
+        c2dtt = jnp.full((cfg.km,), fac * dtt, cfg.jnp_dtype)
     return c2dtt, fac * dtu, fac * dtp
 
 
@@ -58,7 +69,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
            leapfrog: bool, kpp_statics=None,
            sw_profile=None, passive=None,
-           ovf_statics=None) -> BaroclinicOut:
+           ovf_statics=None, ovf_trans=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -97,33 +108,42 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     forcing = forcing.replace(stf=stf)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
-    if cfg.hmix_tracer == "gm":
-        # GM/Redi tendency + its |S|^2 vertical diffusivity folded into the
-        # implicit solve (source/hmix_gm.F90:1741-1748)
-        from pop2_tpu import gm as gm_mod
-        hblt = coeffs.kpp.hblt if (cfg.vmix == "kpp"
-                                   and coeffs.kpp is not None) else None
-        gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix, hblt=hblt,
-                                  umix=umix, vmix_m=vmix_m)
-        ft = gm_out.gtk
-        coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
+    from pop2_tpu import tracer_pallas
+    if cfg.hmix_tracer != "gm" and tracer_pallas.available(cfg, grid):
+        # fused Pallas kernel: hdifft + comp_flux_vel/advt + vdifft in one
+        # HBM pass (the reference's hot loops advection.F90:2139,
+        # hmix_del2.F90:1034, vertical_mix.F90:691)
+        ft = tracer_pallas.tracer_tendency(
+            cfg, grid, state.u_cur, state.v_cur, state.tracer_cur, tmix,
+            state.tracer_old, coeffs.vdc, forcing.stf, dh)
     else:
-        ft = hmix.hdifft(cfg, grid, bc, tmix)
-    if cfg.lsubmeso:
-        # submesoscale mixed-layer restratification (mix_submeso.F90,
-        # called alongside hdifft in tracer_update)
-        from pop2_tpu import submeso as submeso_mod
-        hmxl = coeffs.kpp.hmxl if (cfg.vmix == "kpp"
-                                   and coeffs.kpp is not None) else None
-        gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
-                                                 tmix, hmxl=hmxl)
-        ft = ft + gtk_sm
-    fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur, state.v_cur,
+        if cfg.hmix_tracer == "gm":
+            # GM/Redi tendency + its |S|^2 vertical diffusivity folded into
+            # the implicit solve (source/hmix_gm.F90:1741-1748)
+            from pop2_tpu import gm as gm_mod
+            hblt = coeffs.kpp.hblt if (cfg.vmix == "kpp"
+                                       and coeffs.kpp is not None) else None
+            gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix,
+                                      hblt=hblt, umix=umix, vmix_m=vmix_m)
+            ft = gm_out.gtk
+            coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
+        else:
+            ft = hmix.hdifft(cfg, grid, bc, tmix)
+        if cfg.lsubmeso:
+            # submesoscale mixed-layer restratification (mix_submeso.F90,
+            # called alongside hdifft in tracer_update)
+            from pop2_tpu import submeso as submeso_mod
+            hmxl = coeffs.kpp.hmxl if (cfg.vmix == "kpp"
+                                       and coeffs.kpp is not None) else None
+            gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
+                                                     tmix, hmxl=hmxl)
+            ft = ft + gtk_sm
+        fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur, state.v_cur,
                                   dh)
-    ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur,
-                          tmix=tmix, c2dtt=c2dtt)
-    ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
-                          forcing.stf)
+        ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur,
+                              tmix=tmix, c2dtt=c2dtt)
+        ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
+                              forcing.stf)
     if varthick:
         # freshwater tracer flux into the surface layer
         # (source/baroclinic.F90:2128-2138)
@@ -185,7 +205,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     if cfg.overflows and ovf_statics is not None:
         from pop2_tpu import overflows as ovf_mod
         ft = ft + ovf_mod.tendency(cfg, grid, ovf_statics,
-                                   state.tracer_cur)
+                                   state.tracer_cur, trans=ovf_trans)
     # geothermal bottom heat flux (geoheatflux.F90:69-232 +
     # vertical_mix.F90:1428-1443: VTFB = -geoflux at k == KMT where
     # zw(k) >= geoheatflux_depth; enters the tendency as +geoflux*dzr)
@@ -321,7 +341,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     v_new = jnp.where(grid.kmask_u, vpp - vbar[None], 0.0)
 
     return BaroclinicOut(tracer_new=tracer_new, u_new=u_new, v_new=v_new,
-                         rho_new=rho_new, zx=zx, zy=zy, vdc=coeffs.vdc)
+                         rho_new=rho_new, zx=zx, zy=zy, vdc=coeffs.vdc,
+                         vvc=coeffs.vvc, kpp=coeffs.kpp)
 
 
 def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,

@@ -75,6 +75,11 @@ class TimeConfig:
     robert_nu: float = 0.1             # Robert filter strength
     impcor: bool = True                # implicit treatment of Coriolis
     dtuxcel: float = 1.0               # momentum timestep accel factor
+    # depth-dependent tracer acceleration (Bryan 1984; laccel + accel_file,
+    # source/time_management.F90:975-1009, input_templates/gx1v7_depth_accel):
+    # per-level factors multiplying dtt; the top layer is forced to 1.0
+    laccel: bool = False
+    dttxcel: Optional[Tuple[float, ...]] = None
     # calendar (time_manager date arithmetic,
     # source/time_management.F90:256-283, 1283-1767)
     start_year: int = 1

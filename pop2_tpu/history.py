@@ -33,6 +33,9 @@ class HistoryStream:
         self.contents = list(contents)
         self.freq_steps = int(freq_steps)
         self.prefix = outfile_prefix
+        from pop2_tpu.grid import grid_bc
+        from pop2_tpu.tavg import TavgAux
+        self.aux = TavgAux(bc=grid_bc(cfg))  # Model refreshes with extras
 
     def due(self, step_number: int) -> bool:
         return self.freq_steps > 0 and step_number % self.freq_steps == 0
@@ -40,7 +43,8 @@ class HistoryStream:
     def _sample(self, state: State):
         out = {}
         for n in self.contents:
-            arr = np.asarray(FIELDS[n].fn(self.cfg, self.grid, state))
+            arr = np.asarray(FIELDS[n].fn(self.cfg, self.grid, state,
+                                          self.aux))
             out[n] = arr
         return out
 
@@ -64,7 +68,8 @@ class MovieStream(HistoryStream):
     def _sample(self, state: State):
         out = {}
         for n in self.contents:
-            arr = np.asarray(FIELDS[n].fn(self.cfg, self.grid, state))
+            arr = np.asarray(FIELDS[n].fn(self.cfg, self.grid, state,
+                                          self.aux))
             if arr.ndim == 3:
                 arr = arr[self.level]
             out[n] = arr

@@ -92,8 +92,9 @@ class Model:
 
         from pop2_tpu import tridiag_pallas
 
-        @functools.partial(jax.jit, static_argnames=("leapfrog", "avg_ts"))
-        def _step(state, forcing, leapfrog, avg_ts):
+        @functools.partial(jax.jit, static_argnames=("leapfrog", "avg_ts",
+                                                     "with_extras"))
+        def _step(state, forcing, leapfrog, avg_ts, with_extras=False):
             with tridiag_pallas.dispatch_mesh(self._mesh):
                 return step_mod.step(cfg, self.grid, self.bc, self.ts_range,
                                      state, forcing, leapfrog, avg_ts,
@@ -102,9 +103,11 @@ class Model:
                                      kpp_statics=self.kpp_statics,
                                      sw_profile=self.sw_profile,
                                      passive=self.passive,
-                                     ovf_statics=self.ovf_statics)
+                                     ovf_statics=self.ovf_statics,
+                                     with_extras=with_extras)
 
         self._step = _step
+        self._scan_tavg_fn = None  # built lazily per tavg-stream set
 
         @functools.partial(jax.jit, static_argnames=("nsteps",))
         def _scan_leapfrog(state, forcing, nsteps):
@@ -166,6 +169,7 @@ class Model:
         self._register_stream_flag(stream, "tavg", prefix, freq_opt, freq)
         self.tavg_streams.append(stream)
         self._tavg_outdir = outdir
+        self._scan_tavg_fn = None  # stream set changed; rebuild lazily
         return stream
 
     def enable_history(self, contents, freq_steps: int = 0,
@@ -201,10 +205,13 @@ class Model:
             return self.time_manager.check_time_flag(flag)
         return None
 
-    def _output_driver(self, state: State):
+    def _output_driver(self, state: State, forcing: Forcing, extras: dict):
         """Per-step output hook: history -> movie -> tavg
         (output_driver, source/output.F90:53)."""
+        from pop2_tpu.tavg import TavgAux
+        aux = TavgAux(forcing=forcing, bc=self.bc, **(extras or {}))
         for stream in self.history_streams:
+            stream.aux = aux
             due = self._stream_due(stream)
             if due is None:
                 due = stream.due(self.nsteps_total)
@@ -213,7 +220,7 @@ class Model:
                     stream.write(self._tavg_outdir, state,
                                  self.nsteps_total))
         for stream in self.tavg_streams:
-            stream.accumulate(state)
+            stream.accumulate(state, aux)
             due = self._stream_due(stream)
             if due is None:
                 due = stream.ready
@@ -225,14 +232,19 @@ class Model:
     def advance(self, state: State,
                 forcing: Optional[Forcing] = None):
         """Advance one step; returns (state, diagnostics)."""
+        forcing = forcing or self.forcing
         self.nsteps_total += 1
         self.time_manager.advance()
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
-        out = self._step(state, forcing or self.forcing,
-                         leapfrog=leapfrog, avg_ts=avg_ts)
-        if self.tavg_streams or self.history_streams:
-            self._output_driver(out[0])
-        return out
+        with_output = bool(self.tavg_streams or self.history_streams)
+        if with_output:
+            state, diags, extras = self._step(state, forcing,
+                                              leapfrog=leapfrog,
+                                              avg_ts=avg_ts,
+                                              with_extras=True)
+            self._output_driver(state, forcing, extras)
+            return state, diags
+        return self._step(state, forcing, leapfrog=leapfrog, avg_ts=avg_ts)
 
     def run(self, state: State, nsteps: int,
             forcing: Optional[Forcing] = None) -> State:
@@ -242,20 +254,58 @@ class Model:
 
     scan_chunk: int = 8  # fixed fused-segment length (one compile)
 
+    def _make_scan_tavg(self):
+        """Build the fused-scan executable that carries the tavg accumulators
+        in the scan state (SURVEY.md §5.5: accumulation compiled into the jit
+        carry, so output streams never break scan fusion)."""
+        from pop2_tpu import tridiag_pallas
+        from pop2_tpu.tavg import TavgAux
+        cfg = self.cfg
+        streams = tuple(self.tavg_streams)
+
+        @functools.partial(jax.jit, static_argnames=("nsteps",))
+        def _scan(state, sums, forcing, nsteps):
+            def body(carry, _):
+                st, sm = carry
+                st2, diags, extras = step_mod.step(
+                    cfg, self.grid, self.bc, self.ts_range, st, forcing,
+                    leapfrog=True, avg_ts=False,
+                    pcsi_eigs=self._pcsi_eigs.get(True),
+                    precond=self.precond, kpp_statics=self.kpp_statics,
+                    sw_profile=self.sw_profile, passive=self.passive,
+                    ovf_statics=self.ovf_statics, with_extras=True)
+                aux = TavgAux(forcing=forcing, bc=self.bc, **extras)
+                sm2 = tuple(s.accum_tree(smi, st2, aux)
+                            for s, smi in zip(streams, sm))
+                return (st2, sm2), diags
+            with tridiag_pallas.dispatch_mesh(self._mesh):
+                (state, sums), diags = jax.lax.scan(
+                    body, (state, sums), None, length=nsteps)
+            return state, sums, jax.tree_util.tree_map(
+                lambda a: a[-1], diags)
+
+        return _scan
+
     def run_compiled(self, state: State, nsteps: int,
                      forcing: Optional[Forcing] = None):
         """Advance ``nsteps``, fusing runs of plain leapfrog steps into
         fixed-size ``lax.scan`` chunks (Euler/averaging steps and chunk
-        remainders run individually). Only two executables are ever
-        compiled per flag set. Returns (state, last_diags)."""
+        remainders run individually). Step-frequency tavg streams accumulate
+        INSIDE the scan carry; snapshot (history/movie) streams and
+        calendar-flag scheduling need host hooks every step and fall back to
+        per-step dispatch. Returns (state, last_diags)."""
         forcing = forcing or self.forcing
-        if self.tavg_streams or self.history_streams:
-            # per-step accumulation requires the unfused path; compiled-in
-            # accumulation inside the scan is a later optimization
+        host_hooks = (self.history_streams
+                      or any(getattr(s, "flag_name", None)
+                             for s in self.tavg_streams))
+        if host_hooks:
             diags = None
             for _ in range(nsteps):
                 state, diags = self.advance(state, forcing)
             return state, diags
+        tavg = list(self.tavg_streams)
+        if tavg and self._scan_tavg_fn is None:
+            self._scan_tavg_fn = self._make_scan_tavg()
         diags = None
         remaining = nsteps
         while remaining > 0:
@@ -268,11 +318,23 @@ class Model:
                 if not lf or av:
                     break
                 span += 1
+            if tavg:
+                # never scan across a stream's write boundary
+                span = min([span] + [s.freq_steps - s.nsamples
+                                     for s in tavg if s.freq_steps > 0])
             if span >= self.scan_chunk:
                 nchunks = span // self.scan_chunk
                 for _ in range(nchunks):
-                    state, diags = self._scan_leapfrog(
-                        state, forcing, nsteps=self.scan_chunk)
+                    if tavg:
+                        sums = tuple(s.sums for s in tavg)
+                        state, sums, diags = self._scan_tavg_fn(
+                            state, sums, forcing, nsteps=self.scan_chunk)
+                        for s, sm in zip(tavg, sums):
+                            s.sums = sm
+                            s.nsamples += self.scan_chunk
+                    else:
+                        state, diags = self._scan_leapfrog(
+                            state, forcing, nsteps=self.scan_chunk)
                     self.nsteps_total += self.scan_chunk
                     for _ in range(self.scan_chunk):
                         self.time_manager.advance()
@@ -280,6 +342,11 @@ class Model:
             else:
                 state, diags = self.advance(state, forcing)
                 remaining -= 1
+            for s in tavg:
+                if s.ready and s.nsamples > 0:
+                    self.tavg_files.append(
+                        s.write(self._tavg_outdir, self.nsteps_total))
+                    s.reset()
         return state, diags
 
     # -- diagnostics (source/diagnostics.F90:1174-, check_KE :3260) ---------

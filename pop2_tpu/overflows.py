@@ -45,6 +45,8 @@ class OverflowStatics(NamedTuple):
     press_e: jnp.ndarray    # (n_ovf,)
     fs: jnp.ndarray         # (n_ovf,) coriolis parameter
     params: jnp.ndarray     # (n_ovf, 6) Ws, hu, xse, alpha, cd, hs
+    fmask: jnp.ndarray      # (n_ovf, 4, ny, nx) column footprints {0,1}
+    areas: jnp.ndarray      # (n_ovf, 4) footprint areas (cm^2)
 
 
 REG_INF, REG_SRC, REG_ENT, REG_PRD = 0, 1, 2, 3
@@ -83,10 +85,13 @@ def build_statics(cfg: ModelConfig, grid: Grid) -> OverflowStatics:
                      spec.bottom_slope, spec.bottom_drag,
                      spec.source_thick * 2.0 / 3.0)
     dt = cfg.jnp_dtype
+    fmask = (masks.max(axis=2) > 0).astype(float)       # (n, 4, ny, nx)
+    areas = (fmask * np.asarray(grid.TAREA)[None, None]).sum(axis=(2, 3))
     return OverflowStatics(
         masks=jnp.asarray(masks, dt), volumes=jnp.asarray(volumes, dt),
         press_s=jnp.asarray(press_s, dt), press_e=jnp.asarray(press_e, dt),
-        fs=jnp.asarray(fs, dt), params=jnp.asarray(params, dt))
+        fs=jnp.asarray(fs, dt), params=jnp.asarray(params, dt),
+        fmask=jnp.asarray(fmask, dt), areas=jnp.asarray(areas, dt))
 
 
 def transports(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
@@ -132,12 +137,17 @@ def transports(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
     return ms, me, mp, phi, tavg
 
 
-def tendency(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
+def tendency(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer,
+             trans=None):
     """Conservative closed-circuit overflow tracer tendency
     (nt, km, ny, nx): product cells are relaxed toward the source/
     entrainment mixture at rate M_p/V_p; source and entrainment cells
-    receive the implied return flow at M_s/V_s and M_e/V_e."""
-    ms, me, mp, phi, tavg = transports(cfg, grid, st, tracer)
+    receive the implied return flow at M_s/V_s and M_e/V_e.
+
+    ``trans``: optionally the precomputed ``transports(...)`` tuple (shared
+    with the barotropic injection, one evaluation per step)."""
+    ms, me, mp, phi, tavg = (trans if trans is not None
+                             else transports(cfg, grid, st, tracer))
     t_src = tavg[:, REG_SRC]       # (n, nt)
     t_ent = tavg[:, REG_ENT]
     t_prd = tavg[:, REG_PRD]
@@ -152,3 +162,29 @@ def tendency(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
            + jnp.einsum("on,okji->nkji", r_ent, st.masks[:, REG_ENT])
            + jnp.einsum("on,okji->nkji", r_prd, st.masks[:, REG_PRD]))
     return out
+
+
+def qsurf(cfg: ModelConfig, grid: Grid, st: OverflowStatics, trans):
+    """Vertically-integrated prescribed overflow transports as an equivalent
+    surface volume-flux field (cm/s, positive into the column).
+
+    This is the TPU-native re-expression of the reference's barotropic
+    continuity RHS injection (ovf_rhs_brtrpc_continuity + the prescribed
+    sidewall transports of ovf_UV_solution, source/overflows.F90:5068-5120,
+    :5381, :5884): the product-water transport M_p arrives in the product
+    columns while M_s + M_e leaves the source/entrainment columns, so the
+    column-integrated continuity — and through it the implicit free-surface
+    solve and the barotropic circulation between the basins — sees the
+    overflow. Globally sum(q * TAREA) = M_p - M_s - M_e = 0, preserving the
+    solvability of the elliptic problem. Point-to-point sidewall momentum
+    sources need per-point orientation data from ``overflows_infile`` and
+    are not represented for config-box regions.
+    """
+    ms, me, mp, _, _ = trans
+    q = (jnp.einsum("o,oji->ji", mp / st.areas[:, REG_PRD],
+                    st.fmask[:, REG_PRD])
+         - jnp.einsum("o,oji->ji", ms / st.areas[:, REG_SRC],
+                      st.fmask[:, REG_SRC])
+         - jnp.einsum("o,oji->ji", me / st.areas[:, REG_ENT],
+                      st.fmask[:, REG_ENT]))
+    return q

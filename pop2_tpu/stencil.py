@@ -19,6 +19,7 @@ T<->U-grid area-weighted averaging (source/grid.F90:3297-3420).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -154,6 +155,20 @@ class BC:
 
     def sw(self, f):
         return shift_s(shift_w(f, self.ew), self.ns)
+
+    def __eq__(self, other):
+        return (isinstance(other, BC) and self.ew == other.ew
+                and self.ns == other.ns)
+
+    def __hash__(self):
+        return hash((self.ew, self.ns))
+
+
+# BC is pure static configuration: register it as a leafless pytree node so
+# it can ride inside jitted-argument containers (e.g. tavg.TavgAux) without
+# being treated as a traced array.
+jax.tree_util.register_pytree_node(
+    BC, lambda bc: ((), (bc.ew, bc.ns)), lambda aux, _: BC(*aux))
 
 
 def div(ux, uy, dxu, dyu, mask_t, bc: BC):

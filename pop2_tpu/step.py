@@ -118,21 +118,37 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
          pcsi_eigs: Optional[Tuple[float, float]] = None,
          precond=None,
          kpp_statics=None, sw_profile=None, passive=None,
-         ovf_statics=None) -> Tuple[State, StepDiagnostics]:
+         ovf_statics=None, with_extras: bool = False):
     """Advance one timestep (leapfrog, Euler-forward for the first step,
-    optional averaging filter). All flags are static for jit."""
+    optional averaging filter). All flags are static for jit.
+
+    ``with_extras=True`` additionally returns the step-internal fields the
+    tavg registry accumulates from inside the reference's physics routines
+    (HBLT/HMXL from vmix_kpp.F90, VDC/VVC from vertical_mix.F90) as a third
+    tuple element."""
     # 1. surface height change (source/step_mod.F90:361)
     dh, dhu = dhdt(cfg, grid, bc, state)
+
+    # overflow transports: evaluated once, shared by the tracer exchange and
+    # the barotropic continuity injection (ovf_driver/ovf_transports,
+    # source/overflows.F90:3477,3754)
+    ovf_trans = ovf_q = None
+    if cfg.overflows and ovf_statics is not None:
+        from pop2_tpu import overflows as ovf_mod
+        ovf_trans = ovf_mod.transports(cfg, grid, ovf_statics,
+                                       state.tracer_cur)
+        ovf_q = ovf_mod.qsurf(cfg, grid, ovf_statics, ovf_trans)
 
     # 2. explicit baroclinic update (source/step_mod.F90:375)
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
                              dh, dhu, leapfrog, kpp_statics=kpp_statics,
                              sw_profile=sw_profile, passive=passive,
-                             ovf_statics=ovf_statics)
+                             ovf_statics=ovf_statics, ovf_trans=ovf_trans)
 
     # 3. implicit barotropic solve (source/step_mod.F90:437)
     tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
-                             bout.zy, leapfrog, pcsi_eigs, precond)
+                             bout.zy, leapfrog, pcsi_eigs, precond,
+                             ovf_qsurf=ovf_q)
 
     # 4. corrector/adjustment pass (source/step_mod.F90:457)
     tracer_new, rho_new, qice, aqice = baroclinic.correct_adjust(
@@ -189,6 +205,14 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
 
     diags = StepDiagnostics(solver_iters=tout.solver_iters,
                             solver_rr=tout.solver_rr)
+    if with_extras:
+        extras = {
+            "hblt": bout.kpp.hblt if bout.kpp is not None else None,
+            "hmxl": bout.kpp.hmxl if bout.kpp is not None else None,
+            "vdc": bout.vdc,
+            "vvc": bout.vvc,
+        }
+        return new, diags, extras
     return new, diags
 
 

@@ -5,19 +5,29 @@ accumulated fields written at stream frequencies, with the accumulators
 checkpointed so running means survive restarts (:1570, :2325). This module
 rebuilds the core mechanism TPU-first:
 
-  * a registry of pure field functions state -> (ny,nx) or (km,ny,nx) arrays
-    (the reference's scattered ``accumulate_tavg_field`` calls become one
-    jitted accumulation pass over the requested fields),
+  * a registry of pure field functions (cfg, grid, state, aux) -> (ny,nx) or
+    (km,ny,nx) arrays (the reference's scattered ``accumulate_tavg_field``
+    calls become one jitted accumulation pass over the requested fields),
+  * per-field accumulation methods avg / min / max, matching the reference's
+    ``tavg_method_avg|min|max`` (source/tavg.F90:353-360, e.g. XMXL is the
+    max and TMXL the min of HMXL over the interval, source/vmix_kpp.F90
+    define_tavg_field calls),
   * per-stream accumulators summed on device, normalized and written on host,
+    with an in-scan accumulation path (Model.run_compiled) so output streams
+    do not break the fused-scan executable,
   * NetCDF3-classic output via scipy (PIO/netCDF parity target), with
     coordinates zt/TLAT/TLONG like the reference's tavg files,
   * accumulator save/restore for exact-restart of running means.
+
+``aux`` carries what the reference accumulates from inside the step: the
+forcing fields and the vertical-mixing internals (HBLT/HMXL/VDC/VVC come out
+of the step as extras, source/vmix_kpp.F90 accumulate_tavg_field calls).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -29,58 +39,292 @@ from pop2_tpu.grid import Grid
 from pop2_tpu.state import State
 
 
+class TavgAux(NamedTuple):
+    """Step-internal quantities available to tavg field functions (the
+    reference accumulates these from inside the physics routines)."""
+    forcing: object = None
+    bc: object = None
+    hblt: Optional[jnp.ndarray] = None   # (ny, nx) KPP boundary-layer depth
+    hmxl: Optional[jnp.ndarray] = None   # (ny, nx) mixed-layer depth
+    vdc: Optional[jnp.ndarray] = None    # (2, km, ny, nx) tracer diffusivity
+    vvc: Optional[jnp.ndarray] = None    # (km, ny, nx) viscosity
+
+
 @dataclasses.dataclass(frozen=True)
 class FieldDef:
     name: str
     long_name: str
     units: str
     ndims: int                     # 2 or 3
-    fn: Callable                   # (cfg, grid, state) -> array
-
-
-def _sfc(cfg, grid, state):
-    return state.psurf_cur / const.GRAV
+    fn: Callable                   # (cfg, grid, state, aux) -> array
+    method: str = "avg"            # avg | min | max (tavg.F90:353-360)
 
 
 FIELDS: Dict[str, FieldDef] = {}
 
 
-def _register(name, long_name, units, ndims, fn):
-    FIELDS[name] = FieldDef(name, long_name, units, ndims, fn)
+def _register(name, long_name, units, ndims, fn, method="avg"):
+    FIELDS[name] = FieldDef(name, long_name, units, ndims, fn, method)
 
 
-# -- standard fields (subset of the reference registrations; e.g.
-#    SSH source/surface_hgt.F90:90, TEMP/SALT source/baroclinic.F90:2349,
-#    UVEL/VVEL source/baroclinic.F90:772, SU/SV source/barotropic.F90:152) --
+# ---------------------------------------------------------------------------
+# helpers shared by several field functions
+# ---------------------------------------------------------------------------
+
+def _flux_vel(cfg, grid, aux, state):
+    """Recompute the tracer flux velocities from the state (the same
+    comp_flux_vel the step ran, source/advection.F90:1970); dh/dt is a pure
+    function of the state (surface_hgt.F90:131)."""
+    from pop2_tpu import advect, step as step_mod
+    dh, _ = step_mod.dhdt(cfg, grid, aux.bc, state)
+    return advect.comp_flux_vel(cfg, grid, aux.bc, state.u_cur, state.v_cur,
+                                dh)
+
+
+def _pd(cfg, grid, state):
+    """Potential density: EOS of (T,S) at every level evaluated at the
+    level-1 pressure (state(k,1,...), source/advection.F90:1845)."""
+    from pop2_tpu import eos
+    p1 = jnp.full_like(grid.vgrid.pressz, grid.vgrid.pressz[0])
+    pd = eos.state(cfg, p1, state.tracer_cur[0], state.tracer_cur[1], None)
+    return jnp.where(grid.kmask_t, pd, 0.0)
+
+
+def _q(cfg, grid, state):
+    """Vertical gradient of density d(rho)/dz at level centers
+    (source/advection.F90:1876-1920): rho of the level-(k-1)/(k+1) water
+    displaced to level k, averaged with the in-situ value."""
+    from pop2_tpu import eos
+    km = cfg.km
+    T, S = state.tracer_cur[0], state.tracer_cur[1]
+    pz = grid.vgrid.pressz
+    r_k = state.rho_cur  # in-situ at own level
+    # rho(T_{k-1}, S_{k-1}) at level-k pressure
+    t_up = jnp.concatenate([T[:1], T[:-1]], axis=0)
+    s_up = jnp.concatenate([S[:1], S[:-1]], axis=0)
+    r_up = eos.state(cfg, pz, t_up, s_up, None)
+    work3 = 0.5 * (r_up + r_k)
+    work3 = work3.at[0].set(r_k[0])
+    # rho(T_{k+1}, S_{k+1}) at level-k pressure; at the column bottom use r_k
+    t_dn = jnp.concatenate([T[1:], T[-1:]], axis=0)
+    s_dn = jnp.concatenate([S[1:], S[-1:]], axis=0)
+    r_dn = eos.state(cfg, pz, t_dn, s_dn, None)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    at_bot = kidx == grid.KMT[None]
+    work4 = jnp.where(at_bot, r_k, 0.5 * (r_dn + r_k))
+    dzr = jnp.reshape(1.0 / grid.vgrid.dz, (km, 1, 1))
+    return jnp.where(grid.kmask_t, (work3 - work4) * dzr, 0.0)
+
+
+def _pv(cfg, grid, state, aux):
+    """Potential vorticity Q*(curl(u,v)/TAREA + f_T)
+    (source/advection.F90:1923-1926)."""
+    from pop2_tpu.stencil import zcurl
+    q = _q(cfg, grid, state)
+    crl = zcurl(state.u_cur, state.v_cur, grid.DXU, grid.DYU,
+                grid.kmask_t, aux.bc)
+    return q * (crl * grid.TAREA_R + grid.FCORT[None])
+
+
+def _face_flux_e(cfg, grid, state, aux, n):
+    """UET/UES: tracer flux across the east face, FUE*(T + T_east)
+    (source/advection.F90:1743-1776; our flux velocities carry dz, so the
+    partial-bottom-cell form with the 1/DZT factor is uniformly correct)."""
+    fv = _flux_vel(cfg, grid, aux, state)
+    dzr = jnp.reshape(1.0 / grid.vgrid.dz, (cfg.km, 1, 1))
+    fue = 0.5 * fv.ute * grid.TAREA_R * dzr
+    t = state.tracer_cur[n]
+    return fue * (t + aux.bc.e(t))
+
+
+def _face_flux_n(cfg, grid, state, aux, n):
+    fv = _flux_vel(cfg, grid, aux, state)
+    dzr = jnp.reshape(1.0 / grid.vgrid.dz, (cfg.km, 1, 1))
+    fvn = 0.5 * fv.vtn * grid.TAREA_R * dzr
+    t = state.tracer_cur[n]
+    return fvn * (t + aux.bc.n(t))
+
+
+def _face_flux_t(cfg, grid, state, aux, n):
+    """WTT/WTS: tracer flux across the top face
+    (source/advection.F90:1781-1790)."""
+    fv = _flux_vel(cfg, grid, aux, state)
+    t = state.tracer_cur[n]
+    t_up = jnp.concatenate([t[:1], t[:-1]], axis=0)
+    dz2r = jnp.reshape(0.5 / grid.vgrid.dz, (cfg.km, 1, 1))
+    out = dz2r * fv.wtk * (t + t_up)
+    if cfg.sfc_layer == "varthick":
+        out = out.at[0].set(0.0)
+    else:
+        out = out.at[0].set(fv.wtk[0] * t[0] / grid.vgrid.dz[0])
+    return out
+
+
+def _need(aux, attr, name):
+    v = getattr(aux, attr, None)
+    if v is None:
+        raise ValueError(
+            f"tavg field {name} needs step-internal '{attr}' — run through "
+            f"Model (which passes step extras) or provide aux.{attr}")
+    return v
+
+
+def _sfc(cfg, grid, state, aux):
+    return state.psurf_cur / const.GRAV
+
+
+# ---------------------------------------------------------------------------
+# registry — names/units follow the reference registrations
+# (gx1v7_tavg_contents; define_tavg_field calls cited per group)
+# ---------------------------------------------------------------------------
+
+# -- sea surface / barotropic (surface_hgt.F90:90, barotropic.F90:152) ------
 _register("SSH", "Sea Surface Height", "centimeter", 2, _sfc)
-_register("SST", "Sea Surface Temperature", "degC", 2,
-          lambda c, g, s: s.tracer_cur[0, 0])
-_register("SSS", "Sea Surface Salinity", "psu", 2,
-          lambda c, g, s: s.tracer_cur[1, 0] * const.SALT_TO_PPT)
-_register("TEMP", "Potential Temperature", "degC", 3,
-          lambda c, g, s: s.tracer_cur[0])
-_register("SALT", "Salinity", "gram/gram", 3,
-          lambda c, g, s: s.tracer_cur[1])
-_register("UVEL", "Velocity in grid-x direction", "cm/s", 3,
-          lambda c, g, s: s.u_cur)
-_register("VVEL", "Velocity in grid-y direction", "cm/s", 3,
-          lambda c, g, s: s.v_cur)
-_register("RHO", "In-situ density", "g/cm^3", 3,
-          lambda c, g, s: s.rho_cur)
-_register("KE", "Horizontal Kinetic Energy", "cm^2/s^2", 3,
-          lambda c, g, s: 0.5 * (s.u_cur ** 2 + s.v_cur ** 2))
-_register("UV", "UV velocity product", "cm^2/s^2", 3,
-          lambda c, g, s: s.u_cur * s.v_cur)
-_register("SU", "Vertically Integrated U", "cm^2/s", 2,
-          lambda c, g, s: g.HU * s.ubtrop_cur)
-_register("SV", "Vertically Integrated V", "cm^2/s", 2,
-          lambda c, g, s: g.HU * s.vbtrop_cur)
 _register("SSH2", "SSH**2", "cm^2", 2,
-          lambda c, g, s: (s.psurf_cur / const.GRAV) ** 2)
+          lambda c, g, s, a: (s.psurf_cur / const.GRAV) ** 2)
+_register("SST", "Sea Surface Temperature", "degC", 2,
+          lambda c, g, s, a: s.tracer_cur[0, 0])
+_register("SST2", "SST**2", "degC^2", 2,
+          lambda c, g, s, a: s.tracer_cur[0, 0] ** 2)
+_register("SSS", "Sea Surface Salinity", "psu", 2,
+          lambda c, g, s, a: s.tracer_cur[1, 0] * const.SALT_TO_PPT)
+_register("SSS2", "SSS**2", "psu^2", 2,
+          lambda c, g, s, a: (s.tracer_cur[1, 0] * const.SALT_TO_PPT) ** 2)
+_register("SU", "Vertically Integrated U", "cm^2/s", 2,
+          lambda c, g, s, a: g.HU * s.ubtrop_cur)
+_register("SV", "Vertically Integrated V", "cm^2/s", 2,
+          lambda c, g, s, a: g.HU * s.vbtrop_cur)
+
+
+def _bsf(cfg, grid, state, aux):
+    from pop2_tpu.diagnostics import barotropic_streamfunction
+    return barotropic_streamfunction(cfg, grid, state)
+
+
+_register("BSF", "Diagnostic barotropic streamfunction", "Sv", 2, _bsf)
+
+# -- prognostic 3-D fields (baroclinic.F90:2349, :772) -----------------------
+_register("TEMP", "Potential Temperature", "degC", 3,
+          lambda c, g, s, a: s.tracer_cur[0])
+_register("SALT", "Salinity", "gram/gram", 3,
+          lambda c, g, s, a: s.tracer_cur[1])
 _register("TEMP2", "Temperature**2", "degC^2", 3,
-          lambda c, g, s: s.tracer_cur[0] ** 2)
+          lambda c, g, s, a: s.tracer_cur[0] ** 2)
 _register("SALT2", "Salinity**2", "(g/g)^2", 3,
-          lambda c, g, s: s.tracer_cur[1] ** 2)
+          lambda c, g, s, a: s.tracer_cur[1] ** 2)
+_register("UVEL", "Velocity in grid-x direction", "cm/s", 3,
+          lambda c, g, s, a: s.u_cur)
+_register("VVEL", "Velocity in grid-y direction", "cm/s", 3,
+          lambda c, g, s, a: s.v_cur)
+_register("UVEL2", "UVEL**2", "cm^2/s^2", 3,
+          lambda c, g, s, a: s.u_cur ** 2)
+_register("VVEL2", "VVEL**2", "cm^2/s^2", 3,
+          lambda c, g, s, a: s.v_cur ** 2)
+_register("KE", "Horizontal Kinetic Energy", "cm^2/s^2", 3,
+          lambda c, g, s, a: 0.5 * (s.u_cur ** 2 + s.v_cur ** 2))
+_register("UV", "UV velocity product", "cm^2/s^2", 3,
+          lambda c, g, s, a: s.u_cur * s.v_cur)
+_register("RHO", "In-situ density", "g/cm^3", 3,
+          lambda c, g, s, a: s.rho_cur)
+_register("PD", "Potential density ref to surface", "g/cm^3", 3,
+          lambda c, g, s, a: _pd(c, g, s))
+_register("RHO_VINT", "Vertical integral of in-situ density", "g/cm^2", 2,
+          lambda c, g, s, a: jnp.sum(
+              jnp.reshape(g.vgrid.dz, (-1, 1, 1)) * s.rho_cur, axis=0))
+_register("Q", "z-derivative of potential density", "g/cm^4", 3,
+          lambda c, g, s, a: _q(c, g, s))
+_register("PV", "Potential vorticity", "1/s", 3, _pv)
+
+# -- vertical velocity and advective fluxes (advection.F90:1750-1799) --------
+_register("WVEL", "Vertical velocity at top of T box", "cm/s", 3,
+          lambda c, g, s, a: _flux_vel(c, g, a, s).wtk)
+_register("WVEL2", "WVEL**2", "cm^2/s^2", 3,
+          lambda c, g, s, a: _flux_vel(c, g, a, s).wtk ** 2)
+_register("UET", "East flux of heat", "degC/s", 3,
+          lambda c, g, s, a: _face_flux_e(c, g, s, a, 0))
+_register("UES", "East flux of salt", "g/g/s", 3,
+          lambda c, g, s, a: _face_flux_e(c, g, s, a, 1))
+_register("VNT", "North flux of heat", "degC/s", 3,
+          lambda c, g, s, a: _face_flux_n(c, g, s, a, 0))
+_register("VNS", "North flux of salt", "g/g/s", 3,
+          lambda c, g, s, a: _face_flux_n(c, g, s, a, 1))
+_register("WTT", "Top flux of heat", "degC/s", 3,
+          lambda c, g, s, a: _face_flux_t(c, g, s, a, 0))
+_register("WTS", "Top flux of salt", "g/g/s", 3,
+          lambda c, g, s, a: _face_flux_t(c, g, s, a, 1))
+
+# -- forcing fields (forcing_shf.F90, forcing_sfwf.F90, forcing_ws.F90) -----
+_register("SHF", "Total surface heat flux incl. shortwave", "W/m^2", 2,
+          lambda c, g, s, a: _need(a, "forcing", "SHF").stf[0]
+          / const.HFLUX_FACTOR)
+_register("SHF_QSW", "Penetrating solar heat flux", "W/m^2", 2,
+          lambda c, g, s, a: _need(a, "forcing", "SHF_QSW").shf_qsw
+          / const.HFLUX_FACTOR)
+_register("SFWF", "Virtual salt/freshwater flux", "kg/m^2/s", 2,
+          lambda c, g, s, a: _need(a, "forcing", "SFWF").fw
+          / const.FWFLUX_FACTOR)
+_register("FW", "Freshwater flux", "cm/s", 2,
+          lambda c, g, s, a: _need(a, "forcing", "FW").fw)
+_register("TFW_T", "Heat content of freshwater flux", "degC*cm/s", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TFW_T").tfw[0])
+_register("TFW_S", "Salt content of freshwater flux", "g/g*cm/s", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TFW_S").tfw[1])
+_register("TAUX", "Windstress in grid-x direction",
+          "dyn s/(cm g) momentum flux (stress/rho_sw)", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TAUX").smf[0])
+_register("TAUY", "Windstress in grid-y direction",
+          "dyn s/(cm g) momentum flux (stress/rho_sw)", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TAUY").smf[1])
+_register("TAUX2", "Windstress**2 in grid-x direction", "(cm^2/s^2)^2", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TAUX2").smf[0] ** 2)
+_register("TAUY2", "Windstress**2 in grid-y direction", "(cm^2/s^2)^2", 2,
+          lambda c, g, s, a: _need(a, "forcing", "TAUY2").smf[1] ** 2)
+_register("ATM_PRESS", "Atmospheric pressure", "dyn/cm^2", 2,
+          lambda c, g, s, a: _need(a, "forcing", "ATM_PRESS").atm_press)
+
+
+def _roff(cfg, grid, state, aux):
+    f = _need(aux, "forcing", "ROFF_F")
+    if f.roff_f is None:
+        return jnp.zeros((cfg.ny, cfg.nx), cfg.jnp_dtype)
+    return f.roff_f
+
+
+def _ifrac(cfg, grid, state, aux):
+    f = _need(aux, "forcing", "IFRAC")
+    if f.ifrac is None:
+        return jnp.zeros((cfg.ny, cfg.nx), cfg.jnp_dtype)
+    return f.ifrac
+
+
+_register("ROFF_F", "River runoff flux", "kg/m^2/s", 2, _roff)
+_register("IFRAC", "Ice fraction from coupler", "fraction", 2, _ifrac)
+
+# -- ice formation (ice.F90 tavg_QICE) ---------------------------------------
+_register("QICE", "Internal ocean heat used to form ice", "W/m^2", 2,
+          lambda c, g, s, a: s.qice / const.HFLUX_FACTOR)
+_register("AQICE", "Accumulated ice heat flux", "W/m^2", 2,
+          lambda c, g, s, a: s.aqice / const.HFLUX_FACTOR)
+
+# -- vertical-mixing internals (vmix_kpp.F90 bldepth/vmix_coeffs tavg) -------
+_register("HBLT", "Boundary-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hblt", "HBLT"))
+_register("XBLT", "Maximum Boundary-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hblt", "XBLT"), method="max")
+_register("TBLT", "Minimum Boundary-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hblt", "TBLT"), method="min")
+_register("HMXL", "Mixed-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl", "HMXL"))
+_register("XMXL", "Maximum Mixed-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl", "XMXL"), method="max")
+_register("TMXL", "Minimum Mixed-Layer Depth", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl", "TMXL"), method="min")
+_register("VDC_T", "Vertical diffusivity, temperature class", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "vdc", "VDC_T")[0])
+_register("VDC_S", "Vertical diffusivity, salinity class", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "vdc", "VDC_S")[1])
+_register("VVC", "Vertical viscosity", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "vvc", "VVC"))
 
 
 def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,
@@ -141,27 +385,41 @@ class TavgStream:
 
         defs = [FIELDS[n] for n in self.contents]
 
-        @jax.jit
-        def _accumulate(sums, state):
+        def accum_tree(sums, state, aux):
+            """Pure accumulation update — also used inside the run_compiled
+            scan carry so output never breaks the fused executable."""
             out = {}
             for d in defs:
-                out[d.name] = sums[d.name] + d.fn(cfg, grid, state)
+                val = d.fn(cfg, grid, state, aux)
+                if d.method == "min":
+                    out[d.name] = jnp.minimum(sums[d.name], val)
+                elif d.method == "max":
+                    out[d.name] = jnp.maximum(sums[d.name], val)
+                else:
+                    out[d.name] = sums[d.name] + val
             return out
 
-        self._accumulate = _accumulate
+        self.accum_tree = accum_tree
+        self._accumulate = jax.jit(accum_tree)
 
     def _zeros(self):
-        cfg, grid = self.cfg, self.grid
+        cfg = self.cfg
         z = {}
+        big = jnp.asarray(jnp.finfo(cfg.jnp_dtype).max / 4, cfg.jnp_dtype)
         for n in self.contents:
             d = FIELDS[n]
             shape = ((cfg.km, cfg.ny, cfg.nx) if d.ndims == 3
                      else (cfg.ny, cfg.nx))
-            z[n] = jnp.zeros(shape, cfg.jnp_dtype)
+            if d.method == "min":
+                z[n] = jnp.full(shape, big)
+            elif d.method == "max":
+                z[n] = jnp.full(shape, -big)
+            else:
+                z[n] = jnp.zeros(shape, cfg.jnp_dtype)
         return z
 
-    def accumulate(self, state: State):
-        self.sums = self._accumulate(self.sums, state)
+    def accumulate(self, state: State, aux: TavgAux = TavgAux()):
+        self.sums = self._accumulate(self.sums, state, aux)
         self.nsamples += 1
 
     @property
@@ -177,7 +435,10 @@ class TavgStream:
         fname = f"{path}/{self.prefix}.{step_number:08d}.nc" \
             if not path.endswith(".nc") else path
         norm = 1.0 / max(self.nsamples, 1)
-        arrays = {n: np.asarray(self.sums[n]) * norm for n in self.contents}
+        arrays = {}
+        for n in self.contents:
+            a = np.asarray(self.sums[n])
+            arrays[n] = a if FIELDS[n].method in ("min", "max") else a * norm
         write_fields_netcdf(self.cfg, self.grid, fname, self.contents,
                             arrays, step_number)
         return fname

@@ -1,0 +1,359 @@
+"""Fused Pallas TPU kernel for the tracer-tendency hot path.
+
+The reference's hottest loop is ``tracer_update`` (source/baroclinic.F90:1902
+-> advt source/advection.F90:2139, hdifft source/hmix_del2.F90:1034, vdifft
+source/vertical_mix.F90:691) preceded by ``comp_flux_vel``
+(source/advection.F90:1970). The jnp formulation materializes the six flux
+-velocity fields and every shifted operand to HBM; measured on one v5e chip
+the chain runs ~4 ms/step at 384x256x40 against a ~0.7 ms bandwidth roofline.
+
+This kernel performs the whole chain in ONE pass over HBM: for each y-tile it
+DMAs the operands (with one-row halos) into VMEM, computes
+
+    ft = ah*Del2(tmix) - L_adv(trcr; u, v, dh) + D_v(told; vdc, stf)
+
+entirely on-chip (flux velocities, the k-cumsum for w-from-continuity, the
+masked 5-point Laplacian coefficients, and the vertical-diffusion flux
+differences never touch HBM), and writes the tendency once.
+
+Scope (v1): centered advection + del2 tracer mixing + 1-D layer thickness
+(no partial bottom cells), closed north-south boundary, float32. Everything
+else falls back to the jnp path; equivalence is asserted by
+tests/test_tracer_pallas.py against the jnp chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: None = auto (TPU + float32 + supported config); True/False forces.
+USE_PALLAS = None
+force_interpret = False
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes of VMEM for the tile working set
+
+
+def _roll_e(x, ew):
+    """Value at i+1 (east neighbor) along the last axis. pltpu.roll requires
+    a non-negative shift, so the leftward roll is nx-1 (mod nx)."""
+    g = pltpu.roll(x, x.shape[-1] - 1, axis=x.ndim - 1)
+    if ew == "closed":
+        nx = x.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        g = jnp.where(lane == nx - 1, 0.0, g)
+    return g
+
+
+def _roll_w(x, ew):
+    """Value at i-1 (west neighbor)."""
+    g = pltpu.roll(x, 1, axis=x.ndim - 1)
+    if ew == "closed":
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        g = jnp.where(lane == 0, 0.0, g)
+    return g
+
+
+def _kernel(nt, km, by, nx, ew, varthick,
+            dz_ref, dzr_ref, dz2r_ref, dzwr2_ref,
+            # HBM refs
+            u_hbm, v_hbm, trcr_hbm, tmix_hbm, told_hbm, vdc_hbm,
+            stf_hbm, dh_hbm, kmt_hbm, dyu_hbm, dxu_hbm, tarea_r_hbm,
+            dtn_hbm, dts_hbm, dte_hbm, dtw_hbm, ah_hbm,
+            out_hbm,
+            # VMEM scratch
+            ub, vb, tb, tmb, tob, vdcb, stfb, dhb, kmtb,
+            dyub, dxub, tareab, dtb, ahb, outb, sems):
+    ny = u_hbm.shape[-2]
+    t = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    j0 = jnp.minimum(t * by, ny - by)  # clamp final (ragged) tile
+
+    # ---- DMA the tile working set -----------------------------------------
+    # u, v need the south halo row (rows [j0-1, j0+by)); trcr/tmix/kmt need
+    # both halo rows; told/vdc/stf/dh and the 2-D coefficient fields need
+    # only the tile rows. Halo rows are fetched with separate one-row copies
+    # (zero-filled at the domain edge: the closed-NS boundary shifts in
+    # zeros, stencil.py _shift_y).
+    copies = []
+
+    def dma(src, dst, slot):
+        # index as i32: under jax_enable_x64 a Python int lowers to i64,
+        # which Mosaic's memref_slice rejects
+        c = pltpu.make_async_copy(src, dst, sems.at[jnp.int32(slot)])
+        c.start()
+        copies.append(c)
+
+    dma(u_hbm.at[:, pl.ds(j0, by), :], ub.at[:, 1:, :], 0)
+    dma(v_hbm.at[:, pl.ds(j0, by), :], vb.at[:, 1:, :], 1)
+    dma(trcr_hbm.at[:, :, pl.ds(j0, by), :], tb.at[:, :, 1:by + 1, :], 2)
+    dma(tmix_hbm.at[:, :, pl.ds(j0, by), :], tmb.at[:, :, 1:by + 1, :], 3)
+    dma(told_hbm.at[:, :, pl.ds(j0, by), :], tob, 4)
+    dma(vdc_hbm.at[:, :, pl.ds(j0, by), :], vdcb, 5)
+    dma(stf_hbm.at[:, pl.ds(j0, by), :], stfb, 6)
+    dma(dh_hbm.at[pl.ds(j0, by), :], dhb, 7)
+    dma(kmt_hbm.at[pl.ds(j0, by), :], kmtb.at[1:by + 1, :], 8)
+    dma(dyu_hbm.at[pl.ds(j0, by), :], dyub.at[1:, :], 9)
+    dma(dxu_hbm.at[pl.ds(j0, by), :], dxub.at[1:, :], 10)
+    dma(tarea_r_hbm.at[pl.ds(j0, by), :], tareab, 11)
+    dma(dtn_hbm.at[pl.ds(j0, by), :], dtb.at[0], 12)
+    dma(dts_hbm.at[pl.ds(j0, by), :], dtb.at[1], 13)
+    dma(dte_hbm.at[pl.ds(j0, by), :], dtb.at[2], 14)
+    dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[3], 15)
+    dma(ah_hbm, ahb, 16)
+
+    # south halo rows (j0-1); zero-fill at the south edge
+    js = jnp.maximum(j0 - 1, 0)
+    dma(u_hbm.at[:, pl.ds(js, 1), :], ub.at[:, 0:1, :], 17)
+    dma(v_hbm.at[:, pl.ds(js, 1), :], vb.at[:, 0:1, :], 18)
+    dma(trcr_hbm.at[:, :, pl.ds(js, 1), :], tb.at[:, :, 0:1, :], 19)
+    dma(tmix_hbm.at[:, :, pl.ds(js, 1), :], tmb.at[:, :, 0:1, :], 20)
+    dma(kmt_hbm.at[pl.ds(js, 1), :], kmtb.at[0:1, :], 21)
+    dma(dyu_hbm.at[pl.ds(js, 1), :], dyub.at[0:1, :], 22)
+    dma(dxu_hbm.at[pl.ds(js, 1), :], dxub.at[0:1, :], 23)
+    # north halo rows (j0+by); zero-fill at the north edge
+    jn = jnp.minimum(j0 + by, ny - 1)
+    dma(trcr_hbm.at[:, :, pl.ds(jn, 1), :], tb.at[:, :, by + 1:, :], 24)
+    dma(tmix_hbm.at[:, :, pl.ds(jn, 1), :], tmb.at[:, :, by + 1:, :], 25)
+    dma(kmt_hbm.at[pl.ds(jn, 1), :], kmtb.at[by + 1:, :], 26)
+
+    for c in copies:
+        c.wait()
+
+    @pl.when(j0 == 0)
+    def _():  # closed southern edge: halo row is zero / land
+        ub[:, 0:1, :] = jnp.zeros_like(ub[:, 0:1, :])
+        vb[:, 0:1, :] = jnp.zeros_like(vb[:, 0:1, :])
+        tb[:, :, 0:1, :] = jnp.zeros_like(tb[:, :, 0:1, :])
+        tmb[:, :, 0:1, :] = jnp.zeros_like(tmb[:, :, 0:1, :])
+        kmtb[0:1, :] = jnp.zeros_like(kmtb[0:1, :])
+        dyub[0:1, :] = jnp.zeros_like(dyub[0:1, :])
+        dxub[0:1, :] = jnp.zeros_like(dxub[0:1, :])
+
+    @pl.when(j0 + by == ny)
+    def _():  # closed northern edge
+        tb[:, :, by + 1:, :] = jnp.zeros_like(tb[:, :, by + 1:, :])
+        tmb[:, :, by + 1:, :] = jnp.zeros_like(tmb[:, :, by + 1:, :])
+        kmtb[by + 1:, :] = jnp.zeros_like(kmtb[by + 1:, :])
+
+    # ---- 2-D precomputation ------------------------------------------------
+    kmt_c = kmtb[1:by + 1, :]
+    kmt_n = kmtb[2:by + 2, :]
+    kmt_s = kmtb[0:by, :]
+    kmt_e = _roll_e(kmt_c, ew)
+    kmt_w = _roll_w(kmt_c, ew)
+    tarea_r = tareab[:, :]
+    dh = dhb[:, :]
+    ah = ahb[0, 0]
+
+    # ---- k loop: all chains fused, w-cumsum carried ------------------------
+    # a lax.fori_loop, not a Python loop: the unrolled form is a ~km-times
+    # larger Mosaic program whose (remote) compile dominated wall-clock
+    def level(k, carry):
+        wtk, wsum = carry                     # w at top of level k; cumsum
+        kk = k + 1  # 1-based level
+        km1 = jnp.maximum(k - 1, 0)
+        kp1 = jnp.minimum(k + 1, km - 1)
+        dz = dz_ref[k]
+        dzr = dzr_ref[k]
+        dz2r = dz2r_ref[k]
+
+        # flux velocities (comp_flux_vel, advection.F90:2066-2127)
+        a = ub[k] * dyub[:, :] * dz          # rows [j0-1, j0+by)
+        b = vb[k] * dxub[:, :] * dz
+        ute = 0.5 * (a[1:] + a[:-1])         # rows j0..: needs (j, j-1)
+        vtn_h = 0.5 * (b + _roll_w(b, ew))   # rows [j0-1, j0+by)
+        utw = _roll_w(ute, ew)
+        vtn = vtn_h[1:]
+        vts = vtn_h[:-1]
+
+        cc_f = vtn - vts + ute - utw
+        fc = cc_f * tarea_r
+        wsum = wsum + fc
+        below = kmt_c > kk                    # k+1 < KMT (1-based)
+        wtkb = jnp.where(below, wsum, 0.0)
+
+        # masked del2 coefficients (hmix_del2.F90:611-634 via hmix.py)
+        mask = kmt_c >= kk
+        cn = jnp.where((kmt_n >= kk) & mask, dtb[0], 0.0)
+        cs = jnp.where((kmt_s >= kk) & mask, dtb[1], 0.0)
+        ce = jnp.where((kmt_e >= kk) & mask, dtb[2], 0.0)
+        cw = jnp.where((kmt_w >= kk) & mask, dtb[3], 0.0)
+        ccd = -(cn + cs + ce + cw)
+
+        top_k = k == 0
+        bot_k = k == km - 1
+        for n in range(nt):
+            tB = tb[n, k]                     # rows [j0-1, j0+by+1)
+            tc = tB[1:by + 1]
+            # horizontal advection (advt_centered, advection.F90:2139)
+            ltk = 0.5 * (cc_f * tc
+                         + vtn * tB[2:] - vts * tB[:by]
+                         + ute * _roll_e(tc, ew) - utw * _roll_w(tc, ew)) \
+                * tarea_r * dzr
+            # vertical advection; at k=0 wtk == dh and there is either no
+            # advection through the surface (varthick) or the one-sided form
+            t_km1 = tb[n, km1, 1:by + 1]
+            t_kp1 = tb[n, kp1, 1:by + 1]
+            top0 = (jnp.zeros_like(tc) if varthick else 2.0 * wtk * tc)
+            top = jnp.where(top_k, top0, wtk * (t_km1 + tc))
+            bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
+            ltk = ltk + dz2r * (top - bot)
+
+            # del2 diffusion on tmix
+            tm = tmb[n, k]
+            tmc = tm[1:by + 1]
+            hdtk = ah * (ccd * tmc + cn * tm[2:] + cs * tm[:by]
+                         + ce * _roll_e(tmc, ew) + cw * _roll_w(tmc, ew))
+
+            # explicit vertical diffusion on told (vertical_mix.F90:691)
+            nc = min(n, 1)
+            vdc_n = vdcb[nc, k]
+            to_c = tob[n, k]
+            to_kp1 = tob[n, kp1]
+            vtfb = jnp.where(below,  # false at the column bottom already
+                             vdc_n * (to_c - to_kp1) * dzwr2_ref[k], 0.0)
+            to_km1 = tob[n, km1]
+            vdc_up = vdcb[nc, km1]
+            vtf_up = jnp.where(kmt_c > k,  # k < KMT for level k-1's bottom
+                               vdc_up * (to_km1 - to_c) * dzwr2_ref[km1],
+                               0.0)
+            vtf = jnp.where(top_k, jnp.where(mask, stfb[n], 0.0), vtf_up)
+            vdf = jnp.where(mask, (vtf - vtfb) * dzr, 0.0)
+
+            outb[n, k] = hdtk - ltk + vdf
+        return wtkb, wsum
+
+    wtk0 = jnp.broadcast_to(dh, (by, nx))
+    jax.lax.fori_loop(0, km, level, (wtk0, wtk0 + 0.0), unroll=1)
+
+    # ---- write the tile ----------------------------------------------------
+    out_c = pltpu.make_async_copy(
+        outb, out_hbm.at[:, :, pl.ds(j0, by), :], sems.at[jnp.int32(27)])
+    out_c.start()
+    out_c.wait()
+
+
+def _pick_by(nt, km, ny, nx):
+    """Largest y-tile (power of two) whose VMEM working set fits the budget."""
+    for by in (32, 16, 8, 4):
+        if ny % by and ny < by:
+            continue
+        per_row = nx * 4
+        b = (2 * km * (by + 1) * per_row           # u, v
+             + 2 * nt * km * (by + 2) * per_row    # trcr, tmix
+             + nt * km * by * per_row              # told
+             + 2 * km * by * per_row               # vdc
+             + nt * km * by * per_row              # out
+             + 16 * by * per_row)                  # 2-D fields
+        if b <= _VMEM_BUDGET and by <= ny:
+            return by
+    return 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ew", "varthick", "interpret"))
+def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
+                          dyu, dxu, tarea_r, dtn, dts, dte, dtw,
+                          dz, dzr, dz2r, dzwr2, ah,
+                          ew="cyclic", varthick=True, interpret=False):
+    """ft = ah*Del2(tmix) - L_adv(trcr) + D_v(told) in one HBM pass.
+
+    Shapes: u/v (km,ny,nx); trcr/tmix/told (nt,km,ny,nx); vdc (2,km,ny,nx);
+    stf (nt,ny,nx); dh (ny,nx); kmt int32 (ny,nx); 2-D metric fields
+    (ny,nx); dz/dzr/dz2r/dzwr2 (km,) profiles; ah scalar.
+    """
+    nt, km, ny, nx = trcr.shape
+    by = _pick_by(nt, km, ny, nx)
+    ntiles = -(-ny // by)
+    f32 = jnp.float32
+    kmt = kmt.astype(jnp.int32)
+    ah_arr = jnp.full((1, 1), ah, f32)
+
+    scratch = [
+        pltpu.VMEM((km, by + 1, nx), f32),        # ub
+        pltpu.VMEM((km, by + 1, nx), f32),        # vb
+        pltpu.VMEM((nt, km, by + 2, nx), f32),    # tb
+        pltpu.VMEM((nt, km, by + 2, nx), f32),    # tmb
+        pltpu.VMEM((nt, km, by, nx), f32),        # tob
+        pltpu.VMEM((2, km, by, nx), f32),         # vdcb
+        pltpu.VMEM((nt, by, nx), f32),            # stfb
+        pltpu.VMEM((by, nx), f32),                # dhb
+        pltpu.VMEM((by + 2, nx), jnp.int32),      # kmtb
+        pltpu.VMEM((by + 1, nx), f32),            # dyub
+        pltpu.VMEM((by + 1, nx), f32),            # dxub
+        pltpu.VMEM((by, nx), f32),                # tareab
+        pltpu.VMEM((4, by, nx), f32),             # dtb
+        pltpu.VMEM((1, 1), f32),                  # ahb
+        pltpu.VMEM((nt, km, by, nx), f32),        # outb
+        pltpu.SemaphoreType.DMA((28,)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # dz, dzr, dz2r, dzwr2
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 17,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nt, km, by, nx, ew, varthick),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, km, ny, nx), f32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024),
+    )(dz, dzr, dz2r, dzwr2,
+      u, v, trcr, tmix, told, vdc, stf, dh, kmt,
+      dyu, dxu, tarea_r, dtn, dts, dte, dtw, ah_arr)
+
+
+def available(cfg, grid) -> bool:
+    """The fused path applies: centered advection, del2 tracer mixing,
+    full cells, closed/cyclic-EW boundaries with closed NS, float32, TPU
+    (tripole and partial bottom cells fall back to the jnp chain).
+
+    Under an active multi-chip ``dispatch_mesh`` the kernel's y-tile halo
+    DMAs would cross shard boundaries; the jnp chain (whose shifts XLA
+    lowers to collective-permute halo exchanges) is used instead until the
+    kernel grows a shard_map halo-exchange front-end.
+    """
+    from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
+    if _DISPATCH_MESH.get() is not None:
+        return False
+    ok = (cfg.tadvect == "centered" and cfg.hmix_tracer == "del2"
+          and grid.DZT is None and cfg.ns_boundary == "closed"
+          and not cfg.lsubmeso
+          and cfg.ew_boundary in ("cyclic", "closed"))
+    if not ok:
+        return False
+    if USE_PALLAS is not None:
+        return bool(USE_PALLAS)
+    return (jnp.dtype(cfg.jnp_dtype) == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def tracer_tendency(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
+    """Model-facing wrapper: assemble the static per-grid operands and call
+    the fused kernel. Replaces the jnp chain in baroclinic.driver
+    (hdifft + comp_flux_vel/advt + vdifft; source/baroclinic.F90:1902)."""
+    f32 = jnp.float32
+    vg = grid.vgrid
+    dz = vg.dz.astype(f32)
+    dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
+    return tracer_tendency_tiles(
+        u.astype(f32), v.astype(f32), trcr.astype(f32), tmix.astype(f32),
+        told.astype(f32), vdc.astype(f32), stf.astype(f32), dh.astype(f32),
+        grid.KMT, grid.DYU.astype(f32), grid.DXU.astype(f32),
+        grid.TAREA_R.astype(f32),
+        grid.DTN.astype(f32), grid.DTS.astype(f32),
+        grid.DTE.astype(f32), grid.DTW.astype(f32),
+        dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
+        (1.0 / (0.5 * (dz + dz_kp1))).astype(f32),
+        float(cfg.auto_ah),
+        ew=cfg.ew_boundary,
+        varthick=(cfg.sfc_layer == "varthick"),
+        interpret=force_interpret)

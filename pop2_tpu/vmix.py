@@ -168,7 +168,11 @@ def convad(cfg: ModelConfig, grid: Grid, tnew, ts_range=None):
         return tnew
     km = cfg.km
     dz = grid.vgrid.dz
-    # dztxcel == dz, dzwxcel(k) = 1/(dz_k + dz_{k+1}) without acceleration
+    # dztxcel = dz/dttxcel under depth acceleration; == dz without
+    # (source/time_management.F90:1003-1009, used by convad's pair mixing)
+    if cfg.time.laccel and cfg.time.dttxcel is not None:
+        xcel = jnp.asarray(cfg.time.dttxcel, dz.dtype).at[0].set(1.0)
+        dz = dz / xcel
     pressz = grid.vgrid.pressz
 
     def mix_pair(tr, k):
