@@ -19,13 +19,20 @@ in ecosys_driver.F90:134-135, every process here is a whole-field
 attenuation and sinking-particle remineralization — are cumulative/scan ops
 over the (tiny) km axis, vectorized across all columns.
 
-Units: mmol m^-3 for C/N/P/Si/O2 (Fe in nmol m^-3 = umol m^-3 * 1e-3 scale
+Units: mmol m^-3 for C/N/P/Si/O2 (Fe and ligand in nmol m^-3-scale units
 chosen so half-saturations are O(1)); Chl in mg m^-3; ALK in meq m^-3.
 Fluxes (STF) in [tracer] * cm/s, matching the framework convention.
-Simplifications vs MARBL (documented, not hidden): fixed Redfield C:N:P,
-fixed Fe:C quotas, no variable Si:C, no explicit ligands/denitrification/
-sediment model; Fe scavenging is a closed loss (as in MARBL, where it goes
-to the sediment pool).
+
+MARBL-parity scope (the full 32-tracer menu of marbl0.43.0's default
+settings file, cf. ecosys_driver.F90:107 tracer_cnt): variable P:C
+stoichiometry with explicit phytoplankton P pools (spP/diatP/diazP, the
+PquotaSlope model), water-column denitrification in low-O2 waters, an
+explicit Fe-binding ligand (Lig) controlling scavenging, refractory DOM
+(DOCr/DONr/DOPr), and the alternative-CO2 carbonate pair
+(DIC_ALT_CO2/ALK_ALT_CO2). Remaining simplifications vs MARBL (documented,
+not hidden): fixed Fe:C and Si:C quotas, no sediment burial model (the
+bottom cell remineralizes the arriving flux; MARBL sends part to
+sediments), single adaptive zooplankton class.
 """
 
 from __future__ import annotations
@@ -101,12 +108,33 @@ GG_A = (5.80871, 3.20291, 4.17887, 5.10006, -9.86643e-2, 3.80369)
 GG_B = (-7.01577e-3, -7.70028e-3, -1.13864e-2, -9.51519e-3)
 GG_C = -2.75915e-7
 
+# -- MARBL-parity extensions --------------------------------------------------
+# variable P:C quota (MARBL PquotaSlope model): uptake quota
+#   gQp = clip(PQ_INT + PQ_SLOPE * PO4, PQ_MIN, PQ_MAX)   [mmolP/mmolC]
+PQ_INT = 5.571e-3
+PQ_SLOPE = 7.0e-3             # per (mmol PO4 / m^3)
+PQ_MIN = 1.0 / 250.0
+PQ_MAX = 1.0 / 59.0
+# water-column denitrification: below-O2 remineralization consumes NO3 at
+# the canonical 136:16 C:N (MARBL denitrif stoichiometry)
+DENITRIF_C_N = 136.0 / 16.0   # mmol C per mmol NO3
+K_NO3_DENIT = 1.0             # mmol/m^3 NO3 half-saturation of denitrif
+# refractory DOM: a small share of DOM production, centuries-scale remin
+DOCR_FRAC = 0.02
+DOCR_REMIN = 1.0 / (16000.0 * 365.0)   # 1/day (MARBL ~16 kyr lifetime)
+# explicit Fe-binding ligand (nmol-scale units, same as Fe)
+LIG_PER_C = 5.0e-5            # ligand production per C remineralized
+LIG_PHOTODEG = 0.02           # 1/day at PAR_LIG reference irradiance
+PAR_LIG = 50.0                # W/m^2
+FE_FREE_SCAV = 30.0 / 365.0   # 1/day scavenging of ligand-free Fe
+
 TRACER_NAMES = (
-    "PO4", "NO3", "SiO3", "NH4", "Fe", "O2", "DIC", "ALK",
-    "DOC", "DON", "DOP",
-    "spC", "spChl", "spFe", "spCaCO3",
-    "diatC", "diatChl", "diatFe", "diatSi",
-    "diazC", "diazChl", "diazFe",
+    "PO4", "NO3", "SiO3", "NH4", "Fe", "Lig", "O2",
+    "DIC", "DIC_ALT_CO2", "ALK", "ALK_ALT_CO2",
+    "DOC", "DON", "DOP", "DOCr", "DONr", "DOPr",
+    "spC", "spChl", "spFe", "spP", "spCaCO3",
+    "diatC", "diatChl", "diatFe", "diatP", "diatSi",
+    "diazC", "diazChl", "diazFe", "diazP",
     "zooC",
 )
 IDX = {n: i for i, n in enumerate(TRACER_NAMES)}
@@ -176,10 +204,14 @@ class Ecosystem(TracerPackage):
     names = TRACER_NAMES
 
     def __init__(self, fe_dust_flux: float = 1.0e-8,
-                 pco2_atm: float = 284.7):
+                 pco2_atm: float = 284.7,
+                 pco2_atm_alt: float = 284.7):
         #: surface iron deposition (nmol/m^3 * cm/s STF units)
         self.fe_dust_flux = fe_dust_flux
         self.pco2_atm = pco2_atm
+        #: atmospheric pCO2 seen by the ALT_CO2 pair (e.g. held
+        #: preindustrial to diagnose anthropogenic carbon, MARBL lecovars)
+        self.pco2_atm_alt = pco2_atm_alt
         self.slot0 = 2
 
     # -- initial condition ---------------------------------------------------
@@ -199,6 +231,12 @@ class Ecosystem(TracerPackage):
         v[IDX["DOC"]] = 40.0 * np.exp(-zt / 300.0)
         v[IDX["DON"]] = Q_N_C * v[IDX["DOC"]]
         v[IDX["DOP"]] = Q_P_C * v[IDX["DOC"]]
+        v[IDX["DOCr"]] = 16.0          # refractory background (deep DOC)
+        v[IDX["DONr"]] = 1.8
+        v[IDX["DOPr"]] = 0.03
+        v[IDX["Lig"]] = 0.5 + 0.5 * deep  # nmol-scale, ~Fe magnitude
+        v[IDX["DIC_ALT_CO2"]] = v[IDX["DIC"]]
+        v[IDX["ALK_ALT_CO2"]] = v[IDX["ALK"]]
         photic = np.exp(-zt / 100.0)
         for p, q in (("sp", Q_FE_C_SP), ("diat", Q_FE_C_DIAT),
                      ("diaz", Q_FE_C_DIAZ)):
@@ -207,6 +245,7 @@ class Ecosystem(TracerPackage):
             v[IDX[p + "Chl"]] = (THETA_N_MAX[p] * 0.5 * Q_N_C
                                  * v[IDX[p + "C"]])
             v[IDX[p + "Fe"]] = q * v[IDX[p + "C"]]
+            v[IDX[p + "P"]] = Q_P_C * v[IDX[p + "C"]]
         v[IDX["diatSi"]] = Q_SI_C * v[IDX["diatC"]]
         v[IDX["spCaCO3"]] = 0.03 * photic
         v[IDX["zooC"]] = 0.1 * photic
@@ -302,13 +341,20 @@ class Ecosystem(TracerPackage):
         tot_agg = sum(r.agg for r in rates.values())
 
         # ---- phytoplankton state updates ----------------------------------
+        # variable P:C uptake quota (MARBL PquotaSlope model): P-rich water
+        # raises the cellular quota toward PQ_MAX, oligotrophic water drops
+        # it toward PQ_MIN
+        gqp = jnp.clip(PQ_INT + PQ_SLOPE * t["PO4"], PQ_MIN, PQ_MAX)
+        qp = {}
         for p, r in rates.items():
             cinv = 1.0 / jnp.maximum(t[p + "C"], 1.0e-10)
+            qp[p] = t[p + "P"] * cinv        # realized quota (mmolP/mmolC)
             losses = r.graze + r.loss + r.agg
             src[p + "C"] += r.photo_c - losses
-            # Chl and quota Fe follow the C losses proportionally
+            # Chl and quota Fe/P follow the C losses proportionally
             src[p + "Chl"] += r.photo_chl - losses * t[p + "Chl"] * cinv
             src[p + "Fe"] += r.photo_c * fe_q[p] - losses * t[p + "Fe"] * cinv
+            src[p + "P"] += r.photo_c * gqp - losses * t[p + "P"] * cinv
         src["diatSi"] += (rates["diat"].photo_c * Q_SI_C
                           - (rates["diat"].graze + rates["diat"].loss
                              + rates["diat"].agg)
@@ -350,37 +396,85 @@ class Ecosystem(TracerPackage):
         don_remin = dom_remin * t["DON"]
         dop_remin = dom_remin * t["DOP"]
 
-        src["DOC"] += doc_prod - doc_remin
-        src["DON"] += Q_N_C * doc_prod - don_remin
-        src["DOP"] += Q_P_C * doc_prod - dop_remin
+        # refractory DOM: a small share of DOM production escapes the
+        # semilabile pool and remineralizes on a centuries timescale
+        # (MARBL's DOCr/DONr/DOPr)
+        docr_prod = DOCR_FRAC * doc_prod
+        docr_remin = DOCR_REMIN / SPD * t["DOCr"]
+        donr_prod = DOCR_FRAC * Q_N_C * doc_prod
+        donr_remin = DOCR_REMIN / SPD * t["DONr"]
+
+        src["DOC"] += doc_prod - docr_prod - doc_remin
+        src["DOCr"] += docr_prod - docr_remin
+        src["DON"] += Q_N_C * doc_prod - donr_prod - don_remin
+        src["DONr"] += donr_prod - donr_remin
+
+        # ---- phosphorus routing (variable quotas) --------------------------
+        # phyto P losses follow the C routing with each class's realized
+        # quota; the zooplankton pool is Redfield, so the quota excess (or
+        # deficit) of assimilated grazing exchanges directly with PO4
+        resp_frac = 1.0 - GRAZE_EFF - GRAZE_POC - GRAZE_DOC
+        sinkp_prod = (sum((GRAZE_POC * rates[p].graze + rates[p].agg
+                           + 0.5 * rates[p].loss) * qp[p] for p in rates)
+                      + z_loss2 * Q_P_C)
+        dop_prod = (sum((GRAZE_DOC * rates[p].graze
+                         + 0.5 * rates[p].loss) * qp[p] for p in rates)
+                    + z_loss * Q_P_C)
+        po4_direct = sum(
+            (resp_frac * rates[p].graze) * qp[p]
+            + GRAZE_EFF * rates[p].graze * (qp[p] - Q_P_C)
+            for p in rates)
+        dopr_prod = DOCR_FRAC * dop_prod
+        dopr_remin = DOCR_REMIN / SPD * t["DOPr"]
+        src["DOP"] += dop_prod - dopr_prod - dop_remin
+        src["DOPr"] += dopr_prod - dopr_remin
+        p_remin = _sink_remin(sinkp_prod, dz3, mask, at_bottom, POC_LENGTH)
 
         # ---- nutrients ------------------------------------------------------
         nitrif = jnp.where(par < PAR_NITRIF,
                            NITRIF_RATE / SPD * t["NH4"], 0.0)
-        remin_c = poc_remin + doc_remin + resp
-        src["NH4"] += (Q_N_C * (poc_remin + resp) + don_remin
+        remin_c = poc_remin + doc_remin + resp + docr_remin
+        # water-column denitrification (MARBL): the remineralization not
+        # supported by O2 consumes NO3 at the 136:16 C:N stoichiometry,
+        # shutting down as NO3 itself vanishes
+        denit_c = (remin_c * (1.0 - o2_lim)
+                   * t["NO3"] / (t["NO3"] + K_NO3_DENIT))
+        denit_no3 = denit_c / DENITRIF_C_N
+        src["NH4"] += (Q_N_C * (poc_remin + resp) + don_remin + donr_remin
                        - sum(r.nh4_up for r in rates.values()) - nitrif)
-        src["NO3"] += nitrif - sum(r.no3_up for r in rates.values())
-        src["PO4"] += (Q_P_C * (poc_remin + resp) + dop_remin
-                       - Q_P_C * tot_photo)
+        src["NO3"] += (nitrif - denit_no3
+                       - sum(r.no3_up for r in rates.values()))
+        src["PO4"] += (p_remin + dop_remin + dopr_remin + po4_direct
+                       - sum(rates[p].photo_c for p in rates) * gqp)
         src["SiO3"] += si_remin - rates["diat"].photo_c * Q_SI_C
-        # dissolved Fe: uptake into quotas, return via sinking-quota remin,
-        # scavenging loss (MARBL routes it to the sediment pool)
-        scav = (FE_SCAVENGE / SPD * t["Fe"]
-                * (1.0 + FE_MAX_SCALE * jnp.minimum(t["Fe"], 2.0) / 2.0))
+        # dissolved Fe: uptake into quotas, return via sinking-quota remin;
+        # scavenging discriminates ligand-bound from free iron (MARBL's
+        # explicit Lig tracer replaces the fixed ligand assumption)
+        fe_free = jnp.maximum(t["Fe"] - t["Lig"], 0.0)
+        fe_bound = t["Fe"] - fe_free
+        scav = (FE_SCAVENGE / SPD * fe_bound
+                * (1.0 + FE_MAX_SCALE * jnp.minimum(t["Fe"], 2.0) / 2.0)
+                + FE_FREE_SCAV / SPD * fe_free)
         src["Fe"] += (fe_remin - scav
                       - sum(rates[p].photo_c * fe_q[p] for p in rates))
+        # ligand: produced during remineralization, destroyed by photolysis
+        # in the lit surface ocean
+        src["Lig"] += (LIG_PER_C * remin_c
+                       - LIG_PHOTODEG / SPD * (par / PAR_LIG) * t["Lig"])
 
         # ---- oxygen / carbon ------------------------------------------------
-        # O2 consumption saturates as O2 vanishes (anaerobic remineralization
-        # continues without an explicit denitrification N budget — the one
-        # deliberate O2/C stoichiometry gap vs MARBL)
+        # O2 consumption covers the oxic remin share; the anoxic share runs
+        # on NO3 (denitrification above)
         src["O2"] += O2_PER_C * (tot_photo - remin_c * o2_lim)
         src["DIC"] += (remin_c - tot_photo - caco3_prod + caco3_remin)
         src["ALK"] += (sum(r.no3_up for r in rates.values())
                        - sum(r.nh4_up for r in rates.values())
-                       - 2.0 * nitrif
+                       - 2.0 * nitrif + denit_no3
                        - 2.0 * (caco3_prod - caco3_remin))
+        # the alternative-CO2 pair sees identical interior sources; only the
+        # air-sea boundary condition differs (set_sflux)
+        src["DIC_ALT_CO2"] += src["DIC"]
+        src["ALK_ALT_CO2"] += src["ALK"]
 
         out = jnp.stack([jnp.where(mask, src[n], 0.0)
                          for n in self.names])
@@ -434,6 +528,20 @@ class Ecosystem(TracerPackage):
         dco2star = ff * self.pco2_atm * 1.0e-6 - res.co2star
         flux = flux.at[IDX["DIC"]].set(
             mask * pv_co2 * dco2star * 1.026e6)
+
+        # the ALT_CO2 pair exchanges with its own atmosphere (e.g. held
+        # preindustrial); everything else identical
+        dic_a = 0.5 * (tracers_old[s0 + IDX["DIC_ALT_CO2"], 0]
+                       + tracers_cur[s0 + IDX["DIC_ALT_CO2"], 0])
+        alk_a = 0.5 * (tracers_old[s0 + IDX["ALK_ALT_CO2"], 0]
+                       + tracers_cur[s0 + IDX["ALK_ALT_CO2"], 0])
+        res_a = co2calc.co2calc_surface(
+            sst_c, sss_c,
+            jnp.clip(dic_a, 100.0, 4000.0) * 1.0e-6 / 1.026,
+            jnp.clip(alk_a, 100.0, 4000.0) * 1.0e-6 / 1.026)
+        dco2star_a = ff * self.pco2_atm_alt * 1.0e-6 - res_a.co2star
+        flux = flux.at[IDX["DIC_ALT_CO2"]].set(
+            mask * pv_co2 * dco2star_a * 1.026e6)
         return flux
 
     def reset(self, cfg, grid, tracer_block):

@@ -64,10 +64,11 @@ def test_interior_conserves_elements(ecfg, egrid):
         return sum(_col_integral(egrid, t) for t in terms)
 
     # phosphorus (no fixation path; N gains mass through diazotrophs):
+    # explicit phyto P pools (variable quotas) + Redfield zooplankton
     p_total = tot(src[IDX["PO4"]]
-                  + Q_P_C * (src[IDX["spC"]] + src[IDX["diatC"]]
-                             + src[IDX["diazC"]] + src[IDX["zooC"]])
-                  + src[IDX["DOP"]])
+                  + src[IDX["spP"]] + src[IDX["diatP"]] + src[IDX["diazP"]]
+                  + Q_P_C * src[IDX["zooC"]]
+                  + src[IDX["DOP"]] + src[IDX["DOPr"]])
     # P is conserved except the sinking-POC pool which remineralizes in
     # the column (closed) -> integral must vanish
     scale = tot(np.abs(src[IDX["PO4"]])) + 1e-30
@@ -78,12 +79,68 @@ def test_interior_conserves_elements(ecfg, egrid):
     si_scale = tot(np.abs(src[IDX["SiO3"]])) + 1e-30
     assert abs(si_total) < 1e-6 * si_scale
 
-    # carbon: DIC + DOC + organic C + CaCO3 closed
-    c_total = tot(src[IDX["DIC"]] + src[IDX["DOC"]] + src[IDX["spC"]]
+    # carbon: DIC + DOC (+ refractory) + organic C + CaCO3 closed
+    c_total = tot(src[IDX["DIC"]] + src[IDX["DOC"]] + src[IDX["DOCr"]]
+                  + src[IDX["spC"]]
                   + src[IDX["diatC"]] + src[IDX["diazC"]]
                   + src[IDX["zooC"]] + src[IDX["spCaCO3"]])
     c_scale = tot(np.abs(src[IDX["DIC"]])) + 1e-30
     assert abs(c_total) < 1e-6 * c_scale
+    # the ALT_CO2 pair mirrors DIC/ALK in the interior exactly
+    np.testing.assert_array_equal(src[IDX["DIC_ALT_CO2"]], src[IDX["DIC"]])
+    np.testing.assert_array_equal(src[IDX["ALK_ALT_CO2"]], src[IDX["ALK"]])
+
+
+def test_denitrification_in_low_oxygen(ecfg, egrid):
+    """Where O2 is depleted, remineralization consumes NO3 (denitrification,
+    MARBL 136:16 C:N); in oxygenated water it does not."""
+    pkg, ts, forcing = _setup(ecfg, egrid)
+    kmask = np.asarray(egrid.kmask_t)
+    # oxygenated control
+    src_ox = np.asarray(pkg.set_interior(ecfg, egrid, ts, ts,
+                                         forcing=forcing))
+    # anoxic: strip O2 everywhere
+    ts_anox = ts.at[2 + IDX["O2"]].set(0.0)
+    src_ax = np.asarray(pkg.set_interior(ecfg, egrid, ts_anox, ts_anox,
+                                         forcing=forcing))
+    deep = kmask[5:] > 0  # below the photic zone: remin dominates
+    # anoxia moves the NO3 tendency down (denitrification sink)
+    assert (src_ax[IDX["NO3"]][5:][deep].mean()
+            < src_ox[IDX["NO3"]][5:][deep].mean())
+    # and O2 consumption shuts off
+    assert src_ax[IDX["O2"]][5:][deep].min() >= -1e-20
+
+
+def test_ligand_limits_fe_scavenging(ecfg, egrid):
+    """Fe beyond the ligand capacity scavenges much faster than bound Fe
+    (the point of carrying an explicit Lig tracer)."""
+    pkg, ts, forcing = _setup(ecfg, egrid)
+    kmask = np.asarray(egrid.kmask_t)
+    fe_hi = 1.5
+    # well-ligated: Lig > Fe
+    ts_b = ts.at[2 + IDX["Fe"]].set(fe_hi * kmask)
+    ts_b = ts_b.at[2 + IDX["Lig"]].set(10.0 * kmask)
+    src_b = np.asarray(pkg.set_interior(ecfg, egrid, ts_b, ts_b,
+                                        forcing=forcing))
+    # ligand-starved: same Fe, no ligand
+    ts_f = ts.at[2 + IDX["Fe"]].set(fe_hi * kmask)
+    ts_f = ts_f.at[2 + IDX["Lig"]].set(0.0)
+    src_f = np.asarray(pkg.set_interior(ecfg, egrid, ts_f, ts_f,
+                                        forcing=forcing))
+    deep = kmask[5:] > 0
+    assert (src_f[IDX["Fe"]][5:][deep].mean()
+            < src_b[IDX["Fe"]][5:][deep].mean())
+
+
+def test_variable_p_quota_tracks_po4(ecfg, egrid):
+    """P uptake per unit C growth rises with ambient PO4 (PquotaSlope
+    model): the PO4 drawdown per fixed C fixation is larger in P-rich
+    water."""
+    from pop2_tpu.ecosys import PQ_INT, PQ_SLOPE, PQ_MIN, PQ_MAX
+    lo = np.clip(PQ_INT + PQ_SLOPE * 0.05, PQ_MIN, PQ_MAX)
+    hi = np.clip(PQ_INT + PQ_SLOPE * 2.0, PQ_MIN, PQ_MAX)
+    assert hi > lo
+    assert PQ_MIN <= lo <= PQ_MAX
 
 
 def test_growth_in_light_only(ecfg, egrid):
