@@ -69,8 +69,12 @@ class TimeConfig:
 
     dt_option: str = "steps_per_day"
     dt_count: float = 45.0             # steps per day by default
-    time_mix_opt: str = "avg"          # 'avg' | 'robert' (Matsuno not rebuilt)
+    # 'avg' | 'avgfit' | 'robert' (Matsuno not rebuilt). 'avgfit' fits the
+    # timestep so every coupling interval (day/fit_freq) ends exactly on a
+    # full step (source/time_management.F90:795-870)
+    time_mix_opt: str = "avg"
     time_mix_freq: int = 17            # averaging interval (steps)
+    fit_freq: int = 1                  # coupling intervals per day (avgfit)
     robert_alpha: float = 1.0          # Robert filter alpha
     robert_nu: float = 0.1             # Robert filter strength
     impcor: bool = True                # implicit treatment of Coriolis
@@ -90,10 +94,38 @@ class TimeConfig:
     alpha: float = 1.0 / 3.0
     theta: float = 0.5
 
+    def avgfit_params(self):
+        """Step counts and fitted dtt for time_mix_opt='avgfit'
+        (source/time_management.F90:799-870): an averaging step advances
+        time by dtt/2, so dtt is chosen such that each coupling interval
+        (seconds_in_day/fit_freq) holds exactly ``fullsteps_per_interval``
+        full + ``halfsteps_per_interval`` half steps and ends on a full
+        step. Returns (full, half, nsteps_per_interval, dtt)."""
+        if self.time_mix_freq <= 3:
+            raise ValueError("avgfit requires time_mix_freq > 3 "
+                             "(source/time_management.F90:811)")
+        if self.dt_option != "steps_per_day":
+            raise ValueError("avgfit fits steps to the day; use "
+                             "dt_option='steps_per_day'")
+        tmf = self.time_mix_freq
+        full = max(int(self.dt_count) // self.fit_freq, 1)
+        half = (tmf + full) // (tmf - 1)
+        n = full + half
+        # never end an interval on a half step (:831-849)
+        if n % tmf == 0 or (full == 1 and half == 1):
+            full += 1
+            half = (tmf + full) // (tmf - 1)
+            n = full + half
+        dtt = 86400.0 / (self.fit_freq * (full + 0.5 * half))
+        return full, half, n, dtt
+
     @property
     def dtt(self) -> float:
-        """Tracer timestep in seconds (source/time_management.F90:754-791)."""
+        """Tracer timestep in seconds (source/time_management.F90:754-791);
+        avgfit returns the fitted value (:861-864)."""
         seconds_in_day = 86400.0
+        if self.time_mix_opt == "avgfit":
+            return self.avgfit_params()[3]
         if self.dt_option == "steps_per_day":
             return seconds_in_day / self.dt_count
         if self.dt_option == "seconds":

@@ -130,14 +130,24 @@ class Model:
 
         self._scan_leapfrog = _scan_leapfrog
 
-    # -- time manager (source/time_management.F90:2157-2175) ----------------
+    # -- time manager (source/time_management.F90:2157-2234) ----------------
     def step_flags(self, nsteps_total: int) -> Tuple[bool, bool]:
         """(leapfrog, avg_ts) for 1-based step number ``nsteps_total``."""
         leapfrog = nsteps_total != 1
         avg_ts = False  # robert filtering happens inside every step
-        if self.cfg.time.time_mix_opt == "avg":
-            avg_ts = (nsteps_total % self.cfg.time.time_mix_freq == 0
+        tm = self.cfg.time
+        if tm.time_mix_opt == "avg":
+            avg_ts = (nsteps_total % tm.time_mix_freq == 0
                       and nsteps_total > 1)
+        elif tm.time_mix_opt == "avgfit":
+            # averaging at step 2 of each interval and every time_mix_freq
+            # steps within it, never on the interval's last step
+            # (set_switches, source/time_management.F90:2195-2213)
+            _, _, n, _ = tm.avgfit_params()
+            nsti = (nsteps_total - 1) % n + 1
+            avg_ts = (nsteps_total > 1
+                      and (nsti == 2 or (nsti % tm.time_mix_freq == 0
+                                         and nsti != n)))
         return leapfrog, avg_ts
 
     def initial_state(self) -> State:
@@ -234,8 +244,11 @@ class Model:
         """Advance one step; returns (state, diagnostics)."""
         forcing = forcing or self.forcing
         self.nsteps_total += 1
-        self.time_manager.advance()
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
+        # averaging steps are half steps on the calendar
+        # (source/time_management.F90:1854-1858)
+        self.time_manager.advance(
+            0.5 * self.cfg.time.dtt if avg_ts else None)
         with_output = bool(self.tavg_streams or self.history_streams)
         if with_output:
             state, diags, extras = self._step(state, forcing,

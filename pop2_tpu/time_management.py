@@ -9,8 +9,10 @@ host-side classes — the jitted step never sees the calendar; it only consumes
 the (leapfrog, avg_ts) flags, exactly the role the reference's switches play
 outside the block loops.
 
-Offset/reference dates for flags (has_offset_date) and the 'avgfit' step
-fitting are not rebuilt; frequencies count from the run start.
+Offset/reference dates for flags (has_offset_date) are not rebuilt;
+frequencies count from the run start. The 'avgfit' step fitting lives in
+``config.TimeConfig.avgfit_params`` with its scheduling in
+``model.Model.step_flags``.
 """
 
 from __future__ import annotations
@@ -61,11 +63,14 @@ class Calendar:
     newhour: bool = False
     newday: bool = False
 
-    def advance(self) -> None:
-        """One timestep of date arithmetic."""
+    def advance(self, dt_seconds: Optional[float] = None) -> None:
+        """One timestep of date arithmetic. ``dt_seconds`` overrides the
+        step size (averaging steps advance dtt/2,
+        source/time_management.F90:1854-1858)."""
         self.nsteps_total += 1
         hour_before = int(self.seconds_this_day // 3600)
-        self.seconds_this_day += self.dt_seconds
+        self.seconds_this_day += (self.dt_seconds if dt_seconds is None
+                                  else dt_seconds)
         self.eod = self.eom = self.eoy = False
         self.midnight = self.newday = False
 
@@ -197,8 +202,8 @@ class TimeManager:
     def override_time_flag(self, name: str, value: Optional[bool]) -> None:
         self.flags[name].override(value)
 
-    def advance(self) -> None:
-        self.calendar.advance()
+    def advance(self, dt_seconds: Optional[float] = None) -> None:
+        self.calendar.advance(dt_seconds)
 
     def reset(self) -> None:
         """Rewind the calendar to the run start; registered flags persist
