@@ -233,6 +233,9 @@ class ModelConfig:
     tidal_mix_max: float = 100.0             # cm^2/s cap
     tidal_local_mixing_fraction: float = 0.33
     tidal_mixing_efficiency: float = 0.20
+    # 18.6-yr lunar nodal cycle modulation of the tidal energy
+    # (tidal_mixing.F90 ltidal_lunar_cycle; tidal_mixing.py LNC factors)
+    ltidal_lunar_cycle: bool = False
     tidal_vertical_decay_scale: float = 500.0e2  # cm
     tidal_energy_file: Optional[str] = None  # POP binary E(x,y) record
     tidal_energy_const: float = 0.0          # W/m^2 fallback when no file

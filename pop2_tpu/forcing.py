@@ -39,6 +39,8 @@ class Forcing:
     #                                    (sw_absorption 'chlorophyll'/'file')
     roff_f: Optional[jnp.ndarray] = None  # (ny, nx) river runoff kg/m^2/s
     #                                       (estuary EBM exchange)
+    tidal_lnc: Optional[jnp.ndarray] = None  # () 18.6-yr lunar-nodal-cycle
+    #                        energy modulation (tidal_mixing.py LNC factors)
 
 
 def analytic_forcing(cfg: ModelConfig, grid: Grid) -> Forcing:

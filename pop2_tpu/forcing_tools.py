@@ -127,15 +127,25 @@ class TimeSeries:
         raw = np.loadtxt(path)
         return cls.create(raw[:, 0], raw[:, 1:].squeeze())
 
-    def at(self, year):
-        """Linear interpolation at decimal model year, clamped to the
-        series endpoints (taxmode 'extend' semantics)."""
-        t = jnp.clip(jnp.asarray(year, self.years.dtype),
-                     self.years[0], self.years[-1])
-        idx = jnp.clip(jnp.searchsorted(self.years, t, side="right") - 1,
+    def at(self, year, taxmode: str = "extend"):
+        """Linear interpolation at decimal model year
+        (forcing_timeseries_mod.F90 taxmode semantics):
+          'extend'      — clamp to the endpoint values outside the series;
+          'extrapolate' — continue the slope of the first/last segment
+                          beyond the endpoints (:taxmode_extrapolate).
+        """
+        t = jnp.asarray(year, self.years.dtype)
+        if taxmode == "extend":
+            t_eff = jnp.clip(t, self.years[0], self.years[-1])
+        elif taxmode == "extrapolate":
+            t_eff = t  # segment weights run outside [0, 1] at the ends
+        else:
+            raise NotImplementedError(f"taxmode {taxmode}")
+        idx = jnp.clip(jnp.searchsorted(self.years, t_eff, side="right") - 1,
                        0, self.years.shape[0] - 2)
         t0, t1 = self.years[idx], self.years[idx + 1]
-        w = jnp.where(t1 > t0, (t - t0) / jnp.where(t1 > t0, t1 - t0, 1.0),
+        w = jnp.where(t1 > t0,
+                      (t_eff - t0) / jnp.where(t1 > t0, t1 - t0, 1.0),
                       0.0)
         lo = self.data[idx]
         hi = self.data[idx + 1]

@@ -258,7 +258,7 @@ def wscale(sigma, hbl, ustar, bfsfc, want="both"):
 
 
 def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
-             dbloc, umix, vmix_):
+             dbloc, umix, vmix_, tidal_lnc=None):
     """Interior mixing: background + shear instability
     (source/vmix_kpp.F90:1428-1995, non-tidal path).
     Returns (visc, vdc_s) as (km+2, ny, nx) interface arrays (index k =
@@ -309,13 +309,18 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
         dzt = thickness_t(cfg, grid)
         dzt_kp1 = jnp.concatenate([dzt[1:], dzt[-1:]], axis=0)
         n2 = dbloc / (0.5 * (dzt + dzt_kp1))
+        # 18.6-yr lunar nodal cycle: the tidal energy (and so the
+        # diffusivity) is modulated by the nodal factor (tidal_mixing.py
+        # lunar_nodal_modulation; tidal_mixing.F90 ltidal_lunar_cycle)
+        lnc = 1.0 if tidal_lnc is None else tidal_lnc
         if cfg.tidal_mixing_method == "polzin":
             # Polzin/Melet stratification-shaped profile (per step)
-            tdiff = tidal_mixing.polzin_diff(
+            tdiff = lnc * tidal_mixing.polzin_diff(
                 cfg, grid, tidal_mixing.PolzinStatics(*st.tidal_polzin), n2)
         else:
             # Jayne and Schmittner: static coefficient / N^2
-            tdiff = jnp.where(n2 > 0.0, st.tidal_coef / (n2 + EPS), 0.0)
+            tdiff = jnp.where(n2 > 0.0,
+                              lnc * st.tidal_coef / (n2 + EPS), 0.0)
         if st.tidal_socn is not None:
             # Schmittner Southern-Ocean deep floor
             # (source/tidal_mixing.F90:1410-1435)
@@ -872,12 +877,13 @@ def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
 def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
                tmix, umix, vmix_, stf, shf_qsw, smft,
                convect_diff: float, convect_visc: float,
-               ucur=None, vcur=None, chl=None) -> KPPOut:
+               ucur=None, vcur=None, chl=None, tidal_lnc=None) -> KPPOut:
     """Full KPP pipeline (driver: source/vmix_kpp.F90:918-1422)."""
     km = cfg.km
 
     dbloc, dbsfc = buoydiff(cfg, grid, st, tmix)
-    visc, vdc_s = ri_iwmix(cfg, grid, bc, st, dbloc, umix, vmix_)
+    visc, vdc_s = ri_iwmix(cfg, grid, bc, st, dbloc, umix, vmix_,
+                           tidal_lnc=tidal_lnc)
     vdc_t = vdc_s
     if cfg.kpp_ldbl_diff:
         vdc_t, vdc_s = ddmix(cfg, grid, tmix, vdc_t, vdc_s)

@@ -244,6 +244,13 @@ class Model:
         """Advance one step; returns (state, diagnostics)."""
         forcing = forcing or self.forcing
         self.nsteps_total += 1
+        if self.cfg.ltidal_mixing and self.cfg.ltidal_lunar_cycle:
+            # 18.6-yr lunar nodal cycle: refresh the tidal energy
+            # modulation from the model calendar (tidal_mixing.py LNC)
+            from pop2_tpu import tidal_mixing as tm_mod
+            year = self.time_manager.calendar.year_fraction
+            forcing = forcing.replace(tidal_lnc=jnp.asarray(
+                tm_mod.lunar_nodal_modulation(year), self.cfg.jnp_dtype))
         leapfrog, avg_ts = self.step_flags(self.nsteps_total)
         # averaging steps are half steps on the calendar
         # (source/time_management.F90:1854-1858)

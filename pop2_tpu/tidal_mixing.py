@@ -213,3 +213,31 @@ def polzin_diff(cfg: ModelConfig, grid, statics: PolzinStatics, n2):
     diff = jnp.where(in_col,
                      freq_fac * statics.coef2d[None] * shape_fac, 0.0)
     return diff
+
+
+# ---------------------------------------------------------------------------
+# 18.6-year lunar nodal cycle (LNC) modulation
+# (source/tidal_mixing.F90:419-520, 1462-1742: the reference reads
+# per-constituent daily modulation timeseries; rebuilt here from the
+# standard Doodson nodal amplitude factors, which is what those files
+# contain — energy scales as the squared amplitude factor)
+# ---------------------------------------------------------------------------
+
+LNC_PERIOD_YEARS = 18.613
+#: epoch (year) at which the lunar ascending-node longitude N = 0
+LNC_EPOCH_YEAR = 1969.9
+#: share of the barotropic tidal dissipation by constituent (Egbert & Ray)
+LNC_ENERGY_WEIGHTS = {"m2": 0.68, "s2": 0.17, "k1": 0.10, "o1": 0.05}
+#: amplitude nodal-factor coefficients f = 1 + a*cos(N) (Doodson); solar
+#: S2 carries no lunar modulation
+LNC_AMP_COEF = {"m2": -0.0373, "s2": 0.0, "k1": 0.1150, "o1": 0.1885}
+
+
+def lunar_nodal_modulation(year_frac: float) -> float:
+    """Energy-weighted tidal-dissipation modulation factor at decimal year
+    ``year_frac``: sum_c w_c (1 + a_c cos N)^2 with N the lunar node
+    longitude (period 18.613 yr). Multiplies the tidal energy (and hence
+    the tidal diffusivity) when ltidal_lunar_cycle is active."""
+    n = 2.0 * np.pi * (year_frac - LNC_EPOCH_YEAR) / LNC_PERIOD_YEARS
+    return float(sum(w * (1.0 + LNC_AMP_COEF[c] * np.cos(n)) ** 2
+                     for c, w in LNC_ENERGY_WEIGHTS.items()))

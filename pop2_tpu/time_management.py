@@ -114,6 +114,16 @@ class Calendar:
     def elapsed_days_float(self) -> float:
         return self.elapsed_days + self.seconds_this_day / SECONDS_IN_DAY
 
+    @property
+    def year_fraction(self) -> float:
+        """Decimal year (e.g. 1969.75) from the current model date."""
+        diy = sum(days_in_month(self.iyear, mo, self.allow_leapyear)
+                  for mo in range(1, 13))
+        doy = (sum(days_in_month(self.iyear, mo, self.allow_leapyear)
+                   for mo in range(1, self.imonth))
+               + (self.iday - 1) + self.seconds_this_day / SECONDS_IN_DAY)
+        return self.iyear + doy / diy
+
 
 @dataclass
 class TimeFlag:

@@ -25,11 +25,18 @@ tests/test_tracer_pallas.py against the jnp chain.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Tracing the fused kernel inside the full jitted step nests deeply enough
+# (jit -> scan -> pallas -> fori_loop body over nt tracers) to exhaust
+# CPython's default 1000-frame stack on some backends; raise it once.
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
 
 #: None = auto (TPU + float32 + supported config); True/False forces.
 USE_PALLAS = None
@@ -154,6 +161,9 @@ def _kernel(nt, km, by, nx, ew, varthick,
     # a lax.fori_loop, not a Python loop: the unrolled form is a ~km-times
     # larger Mosaic program whose (remote) compile dominated wall-clock
     def level(k, carry):
+        # under jax_enable_x64 the fori index is i64; Mosaic's i32<->i64
+        # convert lowering recurses unboundedly, so force i32 up front
+        k = k.astype(jnp.int32)
         wtk, wsum = carry                     # w at top of level k; cumsum
         kk = k + 1  # 1-based level
         km1 = jnp.maximum(k - 1, 0)

@@ -175,3 +175,16 @@ def test_timeseries_reader(tmp_path):
     ts3 = TimeSeries.create(years, vv)
     out = np.asarray(ts3.at(1925.0))
     np.testing.assert_allclose(out, [303.5, 303.5 * 0.9])
+
+
+def test_timeseries_extrapolate_taxmode():
+    """taxmode='extrapolate' continues the end-segment slopes
+    (forcing_timeseries_mod.F90); 'extend' clamps."""
+    import numpy as np
+    from pop2_tpu.forcing_tools import TimeSeries
+    ts = TimeSeries.create([2000.0, 2001.0, 2002.0], [1.0, 2.0, 4.0])
+    assert float(ts.at(1999.0)) == 1.0                       # extend clamps
+    assert float(ts.at(2003.0)) == 4.0
+    assert float(ts.at(1999.0, taxmode="extrapolate")) == 0.0  # slope 1/yr
+    assert float(ts.at(2003.0, taxmode="extrapolate")) == 6.0  # slope 2/yr
+    assert float(ts.at(2001.5, taxmode="extrapolate")) == 3.0  # interior same

@@ -143,3 +143,46 @@ def test_tidal_methods_run_in_model():
         st = m.initial_state()
         st = m.run(st, nsteps=3)
         assert np.isfinite(np.asarray(st.tracer_cur)).all()
+
+
+def test_lunar_nodal_modulation_cycle():
+    """18.6-yr LNC factor: unit mean over a full cycle, correct period and
+    magnitude (Doodson amplitude factors, tidal_mixing.py LNC)."""
+    import numpy as np
+    from pop2_tpu.tidal_mixing import (lunar_nodal_modulation,
+                                       LNC_PERIOD_YEARS, LNC_EPOCH_YEAR)
+    yrs = LNC_EPOCH_YEAR + np.linspace(0.0, LNC_PERIOD_YEARS, 200,
+                                       endpoint=False)
+    f = np.array([lunar_nodal_modulation(y) for y in yrs])
+    assert abs(f.mean() - 1.0) < 0.01
+    assert 0.01 < f.max() - f.min() < 0.15  # percent-level net modulation
+    # constituent-level modulation is larger but partially cancels: the
+    # semidiurnal lunar factor falls as the diurnal factors rise
+    # periodicity
+    assert abs(lunar_nodal_modulation(LNC_EPOCH_YEAR)
+               - lunar_nodal_modulation(LNC_EPOCH_YEAR
+                                        + LNC_PERIOD_YEARS)) < 1e-9
+
+
+def test_lnc_modulates_kpp_diffusivity(test_cfg, test_grid):
+    """tidal_lnc scales the tidal diffusivity contribution in ri_iwmix."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pop2_tpu import kpp
+    from pop2_tpu.grid import grid_bc
+    from pop2_tpu.state import initial_state
+
+    cfg = test_cfg.with_(vmix="kpp", ltidal_mixing=True,
+                         ltidal_lunar_cycle=True,
+                         tidal_energy_const=0.01)
+    grid = test_grid
+    st = kpp.build_statics(cfg, grid)
+    bc = grid_bc(cfg)
+    s = initial_state(cfg, grid)
+    dbloc, _ = kpp.buoydiff(cfg, grid, st, s.tracer_cur)
+    v1, d1 = kpp.ri_iwmix(cfg, grid, bc, st, dbloc, s.u_cur, s.v_cur,
+                          tidal_lnc=jnp.asarray(1.0))
+    v2, d2 = kpp.ri_iwmix(cfg, grid, bc, st, dbloc, s.u_cur, s.v_cur,
+                          tidal_lnc=jnp.asarray(1.1))
+    assert float(jnp.max(d2 - d1)) > 0.0          # more energy, more mixing
+    assert float(jnp.min(d2 - d1)) >= -1e-12
