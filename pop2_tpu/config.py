@@ -311,6 +311,11 @@ class ModelConfig:
     gm_kappa_depth_1: float = 1.0    # depth-profile kappa parameters
     gm_kappa_depth_2: float = 0.0
     gm_kappa_depth_scale: float = 150000.0  # cm
+    # anisotropic GM (source/hmix_gm_aniso.F90, Smith & Gent 2004): the
+    # diffusivity becomes direction-dependent with the major axis along the
+    # grid x-direction ('grid') or the local flow ('flow'); None = isotropic
+    gm_aniso: Optional[str] = None
+    gm_aniso_ratio: float = 0.2      # minor/major diffusivity ratio
     # KPP (source/vmix_kpp.F90:335-353)
     bckgrnd_vdc2: float = 0.0        # atan-profile amplitude
     bckgrnd_vdc_dpth: float = 2500.0e2   # transition depth (cm)

@@ -361,11 +361,35 @@ def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     return kisop, kthic, cancellation
 
 
+def _aniso_factors(cfg: ModelConfig, grid: Grid, bc: BC, umix, vmix_m):
+    """Directional diffusivity factors (ax, ay) for anisotropic GM
+    (source/hmix_gm_aniso.F90, Smith & Gent 2004). The full scheme carries
+    a 2x2 kappa tensor; the TPU rebuild keeps its diagonal in the rotated
+    frame — kappa_x = kmaj cos^2(theta) + kmin sin^2(theta) and the
+    complement for kappa_y, theta the local flow direction ('flow') or zero
+    ('grid') — which preserves the scheme's intent (suppress cross-stream
+    eddy transport) without the cross-term quarter-cell bookkeeping."""
+    r = cfg.gm_aniso_ratio
+    if cfg.gm_aniso == "grid":
+        return 1.0, r
+    if cfg.gm_aniso == "flow":
+        if umix is None or vmix_m is None:
+            raise ValueError("gm_aniso='flow' needs mix-time velocities")
+        ut = ugrid_to_tgrid(umix, bc)
+        vt = ugrid_to_tgrid(vmix_m, bc)
+        u2, v2 = ut ** 2, vt ** 2
+        s = u2 + v2 + EPS
+        cos2, sin2 = u2 / s, v2 / s
+        return cos2 + r * sin2, sin2 + r * cos2     # (km, ny, nx) each
+    raise NotImplementedError(f"gm_aniso {cfg.gm_aniso}")
+
+
 def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
               hblt: Optional[jnp.ndarray] = None,
               umix=None, vmix_m=None) -> GMOut:
     """GM/Redi tracer tendency + VDC_GM (hdifft_gm,
-    source/hmix_gm.F90:1102-2219); kappa per cfg.gm_kappa_*_type."""
+    source/hmix_gm.F90:1102-2219); kappa per cfg.gm_kappa_*_type,
+    optionally anisotropic (cfg.gm_aniso, hmix_gm_aniso.F90)."""
     km = cfg.km
     dz = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
     dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
@@ -390,6 +414,15 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     kisop = kisop.at[1].set(jnp.where(at_bottom, 0.0, kisop[1]))
     kthic = kthic.at[1].set(jnp.where(at_bottom, 0.0, kthic[1]))
 
+    # anisotropic GM: direction-dependent diffusivities (hmix_gm_aniso.F90)
+    if cfg.gm_aniso is not None:
+        ax, ay = _aniso_factors(cfg, grid, bc, umix, vmix_m)
+        kisop_x, kisop_y = kisop * ax, kisop * ay
+        kthic_x, kthic_y = kthic * ax, kthic * ay
+    else:
+        kisop_x = kisop_y = kisop
+        kthic_x = kthic_y = kthic
+
     # surface-boundary-layer horizontal diffusion (HOR_DIFF,
     # source/hmix_gm.F90:1613-1632, use_const_ah_bkg_srfbl path)
     zt_above = jnp.concatenate([jnp.zeros_like(grid.vgrid.zt[:1]),
@@ -403,29 +436,39 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
             jnp.where(at_bottom, cfg.gm_ah_bkg_bottom, hor_diff[1]))
 
     in_mask = kidx <= grid.KMT[None]
-    sf_slx = jnp.where(in_mask[None, None], kthic[None] * slx * dz, 0.0)
-    sf_sly = jnp.where(in_mask[None, None], kthic[None] * sly * dz, 0.0)
+    sf_slx = jnp.where(in_mask[None, None], kthic_x[None] * slx * dz, 0.0)
+    sf_sly = jnp.where(in_mask[None, None], kthic_y[None] * sly * dz, 0.0)
 
     hyx = grid.HTE / grid.HUS
     hxy = grid.HTN / grid.HUW
     hyxw = bc.w(hyx)
     hxys = bc.s(hxy)
 
-    # effective vertical diffusivity VDC_GM (source/hmix_gm.F90:1720-1750)
+    # effective vertical diffusivity VDC_GM (source/hmix_gm.F90:1720-1750);
+    # |S|^2 split per direction so the anisotropic kappas weight their own
+    # slope components
     km_mask = (kidx < grid.KMT[None]).astype(dz.dtype)
-    quad = (hyx * slx[0, 1] ** 2 + hyxw * slx[1, 1] ** 2
-            + hxy * sly[0, 1] ** 2 + hxys * sly[1, 1] ** 2)
-    quad_kp1 = (hyx * slx[0, 0] ** 2 + hyxw * slx[1, 0] ** 2
-                + hxy * sly[0, 0] ** 2 + hxys * sly[1, 0] ** 2)
-    kisop_ktp_kp1 = jnp.concatenate(
-        [kisop[0, 1:], jnp.zeros_like(kisop[0, :1])], axis=0)
-    quad_dn = jnp.concatenate([quad_kp1[1:], jnp.zeros_like(quad_kp1[:1])],
-                              axis=0)
+    quad_x = hyx * slx[0, 1] ** 2 + hyxw * slx[1, 1] ** 2
+    quad_y = hxy * sly[0, 1] ** 2 + hxys * sly[1, 1] ** 2
+    quad_x_kp1 = hyx * slx[0, 0] ** 2 + hyxw * slx[1, 0] ** 2
+    quad_y_kp1 = hxy * sly[0, 0] ** 2 + hxys * sly[1, 0] ** 2
+
+    def ktp_kp1(kf):
+        return jnp.concatenate([kf[0, 1:], jnp.zeros_like(kf[0, :1])],
+                               axis=0)
+
+    kisop_x_ktp_kp1 = ktp_kp1(kisop_x)
+    kisop_y_ktp_kp1 = ktp_kp1(kisop_y)
+
+    def dn(q):
+        return jnp.concatenate([q[1:], jnp.zeros_like(q[:1])], axis=0)
+
     dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]], axis=0)
     dzw_k = jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
     vdc_gm = (dzw_k * km_mask * grid.TAREA_R
-              * (dz * 0.25 * kisop[1] * quad
-                 + dz_kp1 * 0.25 * kisop_ktp_kp1 * quad_dn))
+              * (dz * 0.25 * (kisop_x[1] * quad_x + kisop_y[1] * quad_y)
+                 + dz_kp1 * 0.25 * (kisop_x_ktp_kp1 * dn(quad_x_kp1)
+                                    + kisop_y_ktp_kp1 * dn(quad_y_kp1))))
     vdc_gm = vdc_gm.at[-1].set(0.0)
 
     # horizontal fluxes (source/hmix_gm.F90:1805-1895)
@@ -434,45 +477,51 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     cy = jnp.where((kidx <= grid.KMT[None]) & (kidx <= grid.KMTN[None]),
                    0.25 * hxy, 0.0)
 
-    keff = kisop + hor_diff
-    wx = keff[0] + keff[1]                      # ktp + kbt at (i, j)
+    keff_x = kisop_x + hor_diff
+    keff_y = kisop_y + hor_diff
+    wx = keff_x[0] + keff_x[1]                  # ktp + kbt at (i, j)
+    wy = keff_y[0] + keff_y[1]
     work3 = wx + bc.e(wx)                       # east-face effective diff
-    work4 = wx + bc.n(wx)
+    work4 = wy + bc.n(wy)
 
     fx = dz[None] * cx[None] * tx * work3[None]
     fy = dz[None] * cy[None] * ty * work4[None]
 
     # skew contribution (zero when kappa_isop == kappa_thic and no
-    # differential tapering: 'cancellation', source/hmix_gm.F90:970-983)
+    # differential tapering: 'cancellation', source/hmix_gm.F90:970-983;
+    # the directional factors scale isop and thic alike, preserving it)
     cancellation = kappa_equal and cfg.gm_slm_r == cfg.gm_slm_b
     tz_kp1 = jnp.concatenate([tz[:, 1:], tz[:, -1:]], axis=1)
     if not cancellation:
-        w1 = kisop[0] * slx[0, 0] * dz - sf_slx[0, 0]
-        w2 = kisop[1] * slx[0, 1] * dz - sf_slx[0, 1]
-        w3 = bc.e(kisop[0] * slx[1, 0] * dz - sf_slx[1, 0])
-        w4 = bc.e(kisop[1] * slx[1, 1] * dz - sf_slx[1, 1])
+        w1 = kisop_x[0] * slx[0, 0] * dz - sf_slx[0, 0]
+        w2 = kisop_x[1] * slx[0, 1] * dz - sf_slx[0, 1]
+        w3 = bc.e(kisop_x[0] * slx[1, 0] * dz - sf_slx[1, 0])
+        w4 = bc.e(kisop_x[1] * slx[1, 1] * dz - sf_slx[1, 1])
         fx = fx - cx[None] * (w1[None] * tz + w2[None] * tz_kp1
                               + w3[None] * bc.e(tz)
                               + w4[None] * bc.e(tz_kp1))
-        w1 = kisop[0] * sly[0, 0] * dz - sf_sly[0, 0]
-        w2 = kisop[1] * sly[0, 1] * dz - sf_sly[0, 1]
+        w1 = kisop_y[0] * sly[0, 0] * dz - sf_sly[0, 0]
+        w2 = kisop_y[1] * sly[0, 1] * dz - sf_sly[0, 1]
         # tripole: the south-face y-slope's ghost row is the fold of the
         # north-face counterpart with a sign flip (face swap under the
         # 180-degree rotation)
-        w3 = bc.n_partner(kisop[0] * sly[1, 0] * dz - sf_sly[1, 0],
-                          kisop[0] * sly[0, 0] * dz - sf_sly[0, 0],
+        w3 = bc.n_partner(kisop_y[0] * sly[1, 0] * dz - sf_sly[1, 0],
+                          kisop_y[0] * sly[0, 0] * dz - sf_sly[0, 0],
                           "center", "vector")
-        w4 = bc.n_partner(kisop[1] * sly[1, 1] * dz - sf_sly[1, 1],
-                          kisop[1] * sly[0, 1] * dz - sf_sly[0, 1],
+        w4 = bc.n_partner(kisop_y[1] * sly[1, 1] * dz - sf_sly[1, 1],
+                          kisop_y[1] * sly[0, 1] * dz - sf_sly[0, 1],
                           "center", "vector")
         fy = fy - cy[None] * (w1[None] * tz + w2[None] * tz_kp1
                               + w3[None] * bc.n(tz)
                               + w4[None] * bc.n(tz_kp1))
 
     # vertical flux at the bottom of each cell (source/hmix_gm.F90:1900-2080)
-    def cross(sl_x, sl_y, txl, tyl):
-        return (sl_x[0] * hyx * txl + sl_y[0] * hxy * tyl
-                + sl_x[1] * hyxw * bc.w(txl) + sl_y[1] * hxys * bc.s(tyl))
+    # split per direction so anisotropic kappas weight their own components
+    def cross_x(sl_x, txl):
+        return sl_x[0] * hyx * txl + sl_x[1] * hyxw * bc.w(txl)
+
+    def cross_y(sl_y, tyl):
+        return sl_y[0] * hxy * tyl + sl_y[1] * hxys * bc.s(tyl)
 
     tx_kp1 = jnp.concatenate([tx[:, 1:], tx[:, -1:]], axis=1)
     ty_kp1 = jnp.concatenate([ty[:, 1:], ty[:, -1:]], axis=1)
@@ -487,19 +536,26 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
                                       jnp.zeros_like(sf_sly[:, 0, :1])],
                                      axis=1)
 
+    def kcross(kx, ky, sl_x, sl_y, txl, tyl):
+        return (kx[None] * cross_x(sl_x, txl)
+                + ky[None] * cross_y(sl_y, tyl))
+
     if cancellation:
-        work = (dz[None] * kisop[1][None] * cross(slx[:, 1], sly[:, 1],
-                                                  tx, ty)
-                + dz_kp1[None] * kisop_ktp_kp1[None]
-                * cross(slx_ktp_kp1, sly_ktp_kp1, tx_kp1, ty_kp1))
+        work = (dz[None] * kcross(kisop_x[1], kisop_y[1],
+                                  slx[:, 1], sly[:, 1], tx, ty)
+                + dz_kp1[None] * kcross(kisop_x_ktp_kp1, kisop_y_ktp_kp1,
+                                        slx_ktp_kp1, sly_ktp_kp1,
+                                        tx_kp1, ty_kp1))
         fz = -km_mask[None] * 0.5 * work
     else:
-        work = (dz[None] * kisop[1][None] * cross(slx[:, 1], sly[:, 1],
-                                                  tx, ty)
-                + cross(sf_slx[:, 1], sf_sly[:, 1], tx, ty)
-                + dz_kp1[None] * kisop_ktp_kp1[None]
-                * cross(slx_ktp_kp1, sly_ktp_kp1, tx_kp1, ty_kp1)
-                + cross(sf_slx_ktp_kp1, sf_sly_ktp_kp1, tx_kp1, ty_kp1))
+        work = (dz[None] * kcross(kisop_x[1], kisop_y[1],
+                                  slx[:, 1], sly[:, 1], tx, ty)
+                + cross_x(sf_slx[:, 1], tx) + cross_y(sf_sly[:, 1], ty)
+                + dz_kp1[None] * kcross(kisop_x_ktp_kp1, kisop_y_ktp_kp1,
+                                        slx_ktp_kp1, sly_ktp_kp1,
+                                        tx_kp1, ty_kp1)
+                + cross_x(sf_slx_ktp_kp1, tx_kp1)
+                + cross_y(sf_sly_ktp_kp1, ty_kp1))
         fz = -km_mask[None] * 0.25 * work
     fz = fz.at[:, -1].set(0.0)
     fz_top = jnp.concatenate([jnp.zeros_like(fz[:, :1]), fz[:, :-1]], axis=1)

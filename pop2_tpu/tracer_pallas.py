@@ -161,9 +161,6 @@ def _kernel(nt, km, by, nx, ew, varthick,
     # a lax.fori_loop, not a Python loop: the unrolled form is a ~km-times
     # larger Mosaic program whose (remote) compile dominated wall-clock
     def level(k, carry):
-        # under jax_enable_x64 the fori index is i64; Mosaic's i32<->i64
-        # convert lowering recurses unboundedly, so force i32 up front
-        k = k.astype(jnp.int32)
         wtk, wsum = carry                     # w at top of level k; cumsum
         kk = k + 1  # 1-based level
         km1 = jnp.maximum(k - 1, 0)
@@ -239,7 +236,10 @@ def _kernel(nt, km, by, nx, ew, varthick,
         return wtkb, wsum
 
     wtk0 = jnp.broadcast_to(dh, (by, nx))
-    jax.lax.fori_loop(0, km, level, (wtk0, wtk0 + 0.0), unroll=1)
+    # i32 loop bounds: under jax_enable_x64 Python-int bounds make the index
+    # i64, and Mosaic's 64<->32-bit integer converts recurse unboundedly
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(km), level,
+                      (wtk0, wtk0 + 0.0), unroll=1)
 
     # ---- write the tile ----------------------------------------------------
     out_c = pltpu.make_async_copy(

@@ -148,3 +148,71 @@ def test_gm_flow_dependent_kappa_conserves(gcfg, ggrid, ktype):
     scale = (np.abs(gtk) * w).sum(axis=(1, 2, 3)) + 1e-30
     assert np.all(np.abs(total) < 1e-9 * scale)
     assert np.asarray(out.vdc_gm).min() >= 0.0
+
+
+def test_gm_aniso_grid_suppresses_cross_direction(test_cfg, test_grid):
+    """gm_aniso='grid' with a small ratio: y-direction GM/Redi transport is
+    suppressed relative to x (hmix_gm_aniso.F90 intent). A tracer varying
+    only in y feels ~ratio x the tendency of the same variation in x."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pop2_tpu import gm as gm_mod
+    from pop2_tpu.grid import grid_bc, thickness_t
+    from pop2_tpu.state import initial_state
+    from pop2_tpu import eos
+
+    cfg = test_cfg.with_(hmix_tracer="gm", gm_aniso="grid",
+                         gm_aniso_ratio=0.1)
+    cfg_iso = test_cfg.with_(hmix_tracer="gm")
+    grid = test_grid
+    bc = grid_bc(cfg)
+    ts_range = (eos.build_ts_range(np.asarray(grid.vgrid.zt),
+                                   cfg.jnp_dtype)
+                if cfg.state_range_opt == "enforce" else None)
+    s = initial_state(cfg, grid)
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    mask = np.asarray(grid.kmask_t)
+
+    def pert(axis):
+        T = np.array(s.tracer_cur[0])
+        if axis == "x":
+            T += 0.5 * np.sin(np.arange(nx) * 2 * np.pi / nx)[None, None, :] * mask
+        else:
+            T += 0.5 * np.sin(np.arange(ny) * 2 * np.pi / ny)[None, :, None] * mask
+        return jnp.asarray(np.stack([T, np.asarray(s.tracer_cur[1])]))
+
+    out_x = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, pert("x"))
+    out_y = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, pert("y"))
+    out_y_iso = gm_mod.hdifft_gm(cfg_iso, grid, bc, ts_range, pert("y"))
+
+    ny_norm = float(jnp.abs(out_y.gtk[0]).mean())
+    ny_iso = float(jnp.abs(out_y_iso.gtk[0]).mean())
+    # y tendencies shrink toward the ratio vs the isotropic run
+    assert ny_norm < 0.5 * ny_iso
+    # conservation still holds under anisotropy
+    dzt = np.asarray(thickness_t(cfg, grid))
+    vol = dzt * np.asarray(grid.TAREA)[None] * mask
+    tot = float((np.asarray(out_y.gtk[0]) * vol).sum())
+    scale = float((np.abs(np.asarray(out_y.gtk[0])) * vol).sum()) + 1e-30
+    assert abs(tot) < 1e-6 * scale
+    assert np.isfinite(np.asarray(out_x.gtk)).all()
+
+
+def test_gm_aniso_flow_aligns_with_velocity(test_cfg, test_grid):
+    """gm_aniso='flow': zonal flow gives kappa_x > kappa_y."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pop2_tpu import gm as gm_mod
+    from pop2_tpu.grid import grid_bc
+
+    cfg = test_cfg.with_(hmix_tracer="gm", gm_aniso="flow",
+                         gm_aniso_ratio=0.2)
+    grid = test_grid
+    bc = grid_bc(cfg)
+    km, ny, nx = cfg.km, cfg.ny, cfg.nx
+    u = jnp.asarray(10.0 * np.asarray(grid.kmask_u))
+    v = jnp.zeros_like(u)
+    ax, ay = gm_mod._aniso_factors(cfg, grid, bc, u, v)
+    ocean = np.asarray(grid.kmask_t) > 0
+    assert np.asarray(ax)[ocean].min() > 0.9        # major along x
+    assert np.asarray(ay)[ocean].max() < 0.35       # minor across
