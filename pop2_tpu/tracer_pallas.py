@@ -29,6 +29,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -43,6 +44,11 @@ USE_PALLAS = None
 force_interpret = False
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of VMEM for the tile working set
+
+# i32 ref-index constants: under jax_enable_x64, literal Python indices
+# lower to i64 memref_slice operands, which Mosaic rejects; NumPy scalars
+# stay static (concretizable) AND keep their 32-bit dtype
+_I0, _I1, _I2, _I3 = (np.int32(0), np.int32(1), np.int32(2), np.int32(3))
 
 
 def _roll_e(x, ew):
@@ -91,7 +97,7 @@ def _kernel(nt, km, by, nx, ew, varthick,
     def dma(src, dst, slot):
         # index as i32: under jax_enable_x64 a Python int lowers to i64,
         # which Mosaic's memref_slice rejects
-        c = pltpu.make_async_copy(src, dst, sems.at[jnp.int32(slot)])
+        c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
         c.start()
         copies.append(c)
 
@@ -107,10 +113,10 @@ def _kernel(nt, km, by, nx, ew, varthick,
     dma(dyu_hbm.at[pl.ds(j0, by), :], dyub.at[1:, :], 9)
     dma(dxu_hbm.at[pl.ds(j0, by), :], dxub.at[1:, :], 10)
     dma(tarea_r_hbm.at[pl.ds(j0, by), :], tareab, 11)
-    dma(dtn_hbm.at[pl.ds(j0, by), :], dtb.at[0], 12)
-    dma(dts_hbm.at[pl.ds(j0, by), :], dtb.at[1], 13)
-    dma(dte_hbm.at[pl.ds(j0, by), :], dtb.at[2], 14)
-    dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[3], 15)
+    dma(dtn_hbm.at[pl.ds(j0, by), :], dtb.at[_I0], 12)
+    dma(dts_hbm.at[pl.ds(j0, by), :], dtb.at[_I1], 13)
+    dma(dte_hbm.at[pl.ds(j0, by), :], dtb.at[_I2], 14)
+    dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[_I3], 15)
     dma(ah_hbm, ahb, 16)
 
     # south halo rows (j0-1); zero-fill at the south edge
@@ -155,7 +161,7 @@ def _kernel(nt, km, by, nx, ew, varthick,
     kmt_w = _roll_w(kmt_c, ew)
     tarea_r = tareab[:, :]
     dh = dhb[:, :]
-    ah = ahb[0, 0]
+    ah = ahb[_I0, _I0]
 
     # ---- k loop: all chains fused, w-cumsum carried ------------------------
     # a lax.fori_loop, not a Python loop: the unrolled form is a ~km-times
@@ -186,16 +192,17 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
         # masked del2 coefficients (hmix_del2.F90:611-634 via hmix.py)
         mask = kmt_c >= kk
-        cn = jnp.where((kmt_n >= kk) & mask, dtb[0], 0.0)
-        cs = jnp.where((kmt_s >= kk) & mask, dtb[1], 0.0)
-        ce = jnp.where((kmt_e >= kk) & mask, dtb[2], 0.0)
-        cw = jnp.where((kmt_w >= kk) & mask, dtb[3], 0.0)
+        cn = jnp.where((kmt_n >= kk) & mask, dtb[_I0], 0.0)
+        cs = jnp.where((kmt_s >= kk) & mask, dtb[_I1], 0.0)
+        ce = jnp.where((kmt_e >= kk) & mask, dtb[_I2], 0.0)
+        cw = jnp.where((kmt_w >= kk) & mask, dtb[_I3], 0.0)
         ccd = -(cn + cs + ce + cw)
 
         top_k = k == 0
         bot_k = k == km - 1
         for n in range(nt):
-            tB = tb[n, k]                     # rows [j0-1, j0+by+1)
+            ni = np.int32(n)
+            tB = tb[ni, k]                     # rows [j0-1, j0+by+1)
             tc = tB[1:by + 1]
             # horizontal advection (advt_centered, advection.F90:2139)
             ltk = 0.5 * (cc_f * tc
@@ -204,35 +211,35 @@ def _kernel(nt, km, by, nx, ew, varthick,
                 * tarea_r * dzr
             # vertical advection; at k=0 wtk == dh and there is either no
             # advection through the surface (varthick) or the one-sided form
-            t_km1 = tb[n, km1, 1:by + 1]
-            t_kp1 = tb[n, kp1, 1:by + 1]
+            t_km1 = tb[ni, km1, 1:by + 1]
+            t_kp1 = tb[ni, kp1, 1:by + 1]
             top0 = (jnp.zeros_like(tc) if varthick else 2.0 * wtk * tc)
             top = jnp.where(top_k, top0, wtk * (t_km1 + tc))
             bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
             ltk = ltk + dz2r * (top - bot)
 
             # del2 diffusion on tmix
-            tm = tmb[n, k]
+            tm = tmb[ni, k]
             tmc = tm[1:by + 1]
             hdtk = ah * (ccd * tmc + cn * tm[2:] + cs * tm[:by]
                          + ce * _roll_e(tmc, ew) + cw * _roll_w(tmc, ew))
 
             # explicit vertical diffusion on told (vertical_mix.F90:691)
-            nc = min(n, 1)
+            nc = np.int32(min(n, 1))
             vdc_n = vdcb[nc, k]
-            to_c = tob[n, k]
-            to_kp1 = tob[n, kp1]
+            to_c = tob[ni, k]
+            to_kp1 = tob[ni, kp1]
             vtfb = jnp.where(below,  # false at the column bottom already
                              vdc_n * (to_c - to_kp1) * dzwr2_ref[k], 0.0)
-            to_km1 = tob[n, km1]
+            to_km1 = tob[ni, km1]
             vdc_up = vdcb[nc, km1]
             vtf_up = jnp.where(kmt_c > k,  # k < KMT for level k-1's bottom
                                vdc_up * (to_km1 - to_c) * dzwr2_ref[km1],
                                0.0)
-            vtf = jnp.where(top_k, jnp.where(mask, stfb[n], 0.0), vtf_up)
+            vtf = jnp.where(top_k, jnp.where(mask, stfb[ni], 0.0), vtf_up)
             vdf = jnp.where(mask, (vtf - vtfb) * dzr, 0.0)
 
-            outb[n, k] = hdtk - ltk + vdf
+            outb[ni, k] = hdtk - ltk + vdf
         return wtkb, wsum
 
     wtk0 = jnp.broadcast_to(dh, (by, nx))
@@ -243,7 +250,7 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
     # ---- write the tile ----------------------------------------------------
     out_c = pltpu.make_async_copy(
-        outb, out_hbm.at[:, :, pl.ds(j0, by), :], sems.at[jnp.int32(27)])
+        outb, out_hbm.at[:, :, pl.ds(j0, by), :], sems.at[np.int32(27)])
     out_c.start()
     out_c.wait()
 
