@@ -42,6 +42,8 @@ if sys.getrecursionlimit() < 10000:
 #: None = auto (TPU + float32 + supported config); True/False forces.
 USE_PALLAS = None
 force_interpret = False
+#: statically unroll the level loop (fast Mosaic compile) vs fori_loop
+_STATIC_K_LOOP = True
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of VMEM for the tile working set
 
@@ -54,7 +56,7 @@ _I0, _I1, _I2, _I3 = (np.int32(0), np.int32(1), np.int32(2), np.int32(3))
 def _roll_e(x, ew):
     """Value at i+1 (east neighbor) along the last axis. pltpu.roll requires
     a non-negative shift, so the leftward roll is nx-1 (mod nx)."""
-    g = pltpu.roll(x, x.shape[-1] - 1, axis=x.ndim - 1)
+    g = pltpu.roll(x, np.int32(x.shape[-1] - 1), axis=x.ndim - 1)
     if ew == "closed":
         nx = x.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
@@ -64,7 +66,7 @@ def _roll_e(x, ew):
 
 def _roll_w(x, ew):
     """Value at i-1 (west neighbor)."""
-    g = pltpu.roll(x, 1, axis=x.ndim - 1)
+    g = pltpu.roll(x, np.int32(1), axis=x.ndim - 1)
     if ew == "closed":
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
         g = jnp.where(lane == 0, 0.0, g)
@@ -78,40 +80,37 @@ def _kernel(nt, km, by, nx, ew, varthick,
             stf_hbm, dh_hbm, kmt_hbm, dyu_hbm, dxu_hbm, tarea_r_hbm,
             dtn_hbm, dts_hbm, dte_hbm, dtw_hbm, ah_hbm,
             out_hbm,
-            # VMEM scratch
-            ub, vb, tb, tmb, tob, vdcb, stfb, dhb, kmtb,
-            dyub, dxub, tareab, dtb, ahb, outb, sems):
+            # VMEM scratch: center tiles + separate one-row halo buffers
+            # (Mosaic cannot slice VMEM at sublane offset 1, so neighbor
+            # rows are reconstructed by sublane rotate + row select)
+            ub, vb, ubs, vbs, tb, tmb, tbs, tbn, tms, tmn,
+            tob, vdcb, stfb, dhb, kmtb, kmts, kmtn,
+            dyub, dxub, dyus, dxus, tareab, dtb, ahb, outb, sems):
     ny = u_hbm.shape[-2]
     t = pl.program_id(0)
-    ntiles = pl.num_programs(0)
     j0 = jnp.minimum(t * by, ny - by)  # clamp final (ragged) tile
 
     # ---- DMA the tile working set -----------------------------------------
-    # u, v need the south halo row (rows [j0-1, j0+by)); trcr/tmix/kmt need
-    # both halo rows; told/vdc/stf/dh and the 2-D coefficient fields need
-    # only the tile rows. Halo rows are fetched with separate one-row copies
-    # (zero-filled at the domain edge: the closed-NS boundary shifts in
-    # zeros, stencil.py _shift_y).
     copies = []
 
     def dma(src, dst, slot):
-        # index as i32: under jax_enable_x64 a Python int lowers to i64,
-        # which Mosaic's memref_slice rejects
+        # i32 semaphore index: a Python int lowers to i64 under x64, which
+        # Mosaic's memref_slice rejects
         c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
         c.start()
         copies.append(c)
 
-    dma(u_hbm.at[:, pl.ds(j0, by), :], ub.at[:, 1:, :], 0)
-    dma(v_hbm.at[:, pl.ds(j0, by), :], vb.at[:, 1:, :], 1)
-    dma(trcr_hbm.at[:, :, pl.ds(j0, by), :], tb.at[:, :, 1:by + 1, :], 2)
-    dma(tmix_hbm.at[:, :, pl.ds(j0, by), :], tmb.at[:, :, 1:by + 1, :], 3)
+    dma(u_hbm.at[:, pl.ds(j0, by), :], ub, 0)
+    dma(v_hbm.at[:, pl.ds(j0, by), :], vb, 1)
+    dma(trcr_hbm.at[:, :, pl.ds(j0, by), :], tb, 2)
+    dma(tmix_hbm.at[:, :, pl.ds(j0, by), :], tmb, 3)
     dma(told_hbm.at[:, :, pl.ds(j0, by), :], tob, 4)
     dma(vdc_hbm.at[:, :, pl.ds(j0, by), :], vdcb, 5)
     dma(stf_hbm.at[:, pl.ds(j0, by), :], stfb, 6)
     dma(dh_hbm.at[pl.ds(j0, by), :], dhb, 7)
-    dma(kmt_hbm.at[pl.ds(j0, by), :], kmtb.at[1:by + 1, :], 8)
-    dma(dyu_hbm.at[pl.ds(j0, by), :], dyub.at[1:, :], 9)
-    dma(dxu_hbm.at[pl.ds(j0, by), :], dxub.at[1:, :], 10)
+    dma(kmt_hbm.at[pl.ds(j0, by), :], kmtb, 8)
+    dma(dyu_hbm.at[pl.ds(j0, by), :], dyub, 9)
+    dma(dxu_hbm.at[pl.ds(j0, by), :], dxub, 10)
     dma(tarea_r_hbm.at[pl.ds(j0, by), :], tareab, 11)
     dma(dtn_hbm.at[pl.ds(j0, by), :], dtb.at[_I0], 12)
     dma(dts_hbm.at[pl.ds(j0, by), :], dtb.at[_I1], 13)
@@ -119,70 +118,91 @@ def _kernel(nt, km, by, nx, ew, varthick,
     dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[_I3], 15)
     dma(ah_hbm, ahb, 16)
 
-    # south halo rows (j0-1); zero-fill at the south edge
+    # halo rows: south (j0-1) and north (j0+by); the domain edges are
+    # overwritten with zeros below (closed-NS boundary shifts in zeros,
+    # stencil.py _shift_y)
     js = jnp.maximum(j0 - 1, 0)
-    dma(u_hbm.at[:, pl.ds(js, 1), :], ub.at[:, 0:1, :], 17)
-    dma(v_hbm.at[:, pl.ds(js, 1), :], vb.at[:, 0:1, :], 18)
-    dma(trcr_hbm.at[:, :, pl.ds(js, 1), :], tb.at[:, :, 0:1, :], 19)
-    dma(tmix_hbm.at[:, :, pl.ds(js, 1), :], tmb.at[:, :, 0:1, :], 20)
-    dma(kmt_hbm.at[pl.ds(js, 1), :], kmtb.at[0:1, :], 21)
-    dma(dyu_hbm.at[pl.ds(js, 1), :], dyub.at[0:1, :], 22)
-    dma(dxu_hbm.at[pl.ds(js, 1), :], dxub.at[0:1, :], 23)
-    # north halo rows (j0+by); zero-fill at the north edge
+    dma(u_hbm.at[:, pl.ds(js, 1), :], ubs, 17)
+    dma(v_hbm.at[:, pl.ds(js, 1), :], vbs, 18)
+    dma(trcr_hbm.at[:, :, pl.ds(js, 1), :], tbs, 19)
+    dma(tmix_hbm.at[:, :, pl.ds(js, 1), :], tms, 20)
+    dma(kmt_hbm.at[pl.ds(js, 1), :], kmts, 21)
+    dma(dyu_hbm.at[pl.ds(js, 1), :], dyus, 22)
+    dma(dxu_hbm.at[pl.ds(js, 1), :], dxus, 23)
     jn = jnp.minimum(j0 + by, ny - 1)
-    dma(trcr_hbm.at[:, :, pl.ds(jn, 1), :], tb.at[:, :, by + 1:, :], 24)
-    dma(tmix_hbm.at[:, :, pl.ds(jn, 1), :], tmb.at[:, :, by + 1:, :], 25)
-    dma(kmt_hbm.at[pl.ds(jn, 1), :], kmtb.at[by + 1:, :], 26)
+    dma(trcr_hbm.at[:, :, pl.ds(jn, 1), :], tbn, 24)
+    dma(tmix_hbm.at[:, :, pl.ds(jn, 1), :], tmn, 25)
+    dma(kmt_hbm.at[pl.ds(jn, 1), :], kmtn, 26)
 
     for c in copies:
         c.wait()
 
     @pl.when(j0 == 0)
-    def _():  # closed southern edge: halo row is zero / land
-        ub[:, 0:1, :] = jnp.zeros_like(ub[:, 0:1, :])
-        vb[:, 0:1, :] = jnp.zeros_like(vb[:, 0:1, :])
-        tb[:, :, 0:1, :] = jnp.zeros_like(tb[:, :, 0:1, :])
-        tmb[:, :, 0:1, :] = jnp.zeros_like(tmb[:, :, 0:1, :])
-        kmtb[0:1, :] = jnp.zeros_like(kmtb[0:1, :])
-        dyub[0:1, :] = jnp.zeros_like(dyub[0:1, :])
-        dxub[0:1, :] = jnp.zeros_like(dxub[0:1, :])
+    def _():  # closed southern edge: halo rows are zero / land
+        ubs[...] = jnp.zeros_like(ubs[...])
+        vbs[...] = jnp.zeros_like(vbs[...])
+        tbs[...] = jnp.zeros_like(tbs[...])
+        tms[...] = jnp.zeros_like(tms[...])
+        kmts[...] = jnp.zeros_like(kmts[...])
+        dyus[...] = jnp.zeros_like(dyus[...])
+        dxus[...] = jnp.zeros_like(dxus[...])
 
     @pl.when(j0 + by == ny)
     def _():  # closed northern edge
-        tb[:, :, by + 1:, :] = jnp.zeros_like(tb[:, :, by + 1:, :])
-        tmb[:, :, by + 1:, :] = jnp.zeros_like(tmb[:, :, by + 1:, :])
-        kmtb[by + 1:, :] = jnp.zeros_like(kmtb[by + 1:, :])
+        tbn[...] = jnp.zeros_like(tbn[...])
+        tmn[...] = jnp.zeros_like(tmn[...])
+        kmtn[...] = jnp.zeros_like(kmtn[...])
+
+    # ---- row-shift helpers -------------------------------------------------
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+
+    def sh_n(x, north_row):
+        """Value at j+1: sublane rotate by -1 with the north halo row
+        entering at the top row."""
+        g = pltpu.roll(x, np.int32(by - 1), axis=x.ndim - 2)
+        return jnp.where(row2 == by - 1, north_row, g)
+
+    def sh_s(x, south_row):
+        """Value at j-1."""
+        g = pltpu.roll(x, np.int32(1), axis=x.ndim - 2)
+        return jnp.where(row2 == 0, south_row, g)
 
     # ---- 2-D precomputation ------------------------------------------------
-    kmt_c = kmtb[1:by + 1, :]
-    kmt_n = kmtb[2:by + 2, :]
-    kmt_s = kmtb[0:by, :]
+    kmt_c = kmtb[...]
+    kmt_n = sh_n(kmt_c, kmtn[...])
+    kmt_s = sh_s(kmt_c, kmts[...])
     kmt_e = _roll_e(kmt_c, ew)
     kmt_w = _roll_w(kmt_c, ew)
-    tarea_r = tareab[:, :]
-    dh = dhb[:, :]
+    tarea_r = tareab[...]
+    dh = dhb[...]
     ah = ahb[_I0, _I0]
+    dyu_c, dxu_c = dyub[...], dxub[...]
+    dyu_s, dxu_s = dyus[...], dxus[...]
 
     # ---- k loop: all chains fused, w-cumsum carried ------------------------
-    # a lax.fori_loop, not a Python loop: the unrolled form is a ~km-times
-    # larger Mosaic program whose (remote) compile dominated wall-clock
     def level(k, carry):
         wtk, wsum = carry                     # w at top of level k; cumsum
         kk = k + 1  # 1-based level
-        km1 = jnp.maximum(k - 1, 0)
-        kp1 = jnp.minimum(k + 1, km - 1)
+        if isinstance(k, (int, np.integer)):  # static unroll: literal idx
+            km1 = np.int32(max(k - 1, 0))
+            kp1 = np.int32(min(k + 1, km - 1))
+        else:
+            km1 = jnp.maximum(k - 1, 0)
+            kp1 = jnp.minimum(k + 1, km - 1)
         dz = dz_ref[k]
         dzr = dzr_ref[k]
         dz2r = dz2r_ref[k]
 
         # flux velocities (comp_flux_vel, advection.F90:2066-2127)
-        a = ub[k] * dyub[:, :] * dz          # rows [j0-1, j0+by)
-        b = vb[k] * dxub[:, :] * dz
-        ute = 0.5 * (a[1:] + a[:-1])         # rows j0..: needs (j, j-1)
-        vtn_h = 0.5 * (b + _roll_w(b, ew))   # rows [j0-1, j0+by)
+        a = ub[k] * dyu_c * dz
+        b = vb[k] * dxu_c * dz
+        a_s = ubs[k] * dyu_s * dz             # south halo row (1, nx)
+        b_s = vbs[k] * dxu_s * dz
+        ute = 0.5 * (a + sh_s(a, a_s))
+        vtn = 0.5 * (b + _roll_w(b, ew))
+        vtn_srow = 0.5 * (b_s + _roll_w(b_s, ew))
+        vts = sh_s(vtn, vtn_srow)
         utw = _roll_w(ute, ew)
-        vtn = vtn_h[1:]
-        vts = vtn_h[:-1]
 
         cc_f = vtn - vts + ute - utw
         fc = cc_f * tarea_r
@@ -202,26 +222,28 @@ def _kernel(nt, km, by, nx, ew, varthick,
         bot_k = k == km - 1
         for n in range(nt):
             ni = np.int32(n)
-            tB = tb[ni, k]                     # rows [j0-1, j0+by+1)
-            tc = tB[1:by + 1]
+            tc = tb[ni, k]
+            t_n = sh_n(tc, tbn[ni, k])
+            t_s = sh_s(tc, tbs[ni, k])
             # horizontal advection (advt_centered, advection.F90:2139)
             ltk = 0.5 * (cc_f * tc
-                         + vtn * tB[2:] - vts * tB[:by]
+                         + vtn * t_n - vts * t_s
                          + ute * _roll_e(tc, ew) - utw * _roll_w(tc, ew)) \
                 * tarea_r * dzr
             # vertical advection; at k=0 wtk == dh and there is either no
             # advection through the surface (varthick) or the one-sided form
-            t_km1 = tb[ni, km1, 1:by + 1]
-            t_kp1 = tb[ni, kp1, 1:by + 1]
+            t_km1 = tb[ni, km1]
+            t_kp1 = tb[ni, kp1]
             top0 = (jnp.zeros_like(tc) if varthick else 2.0 * wtk * tc)
             top = jnp.where(top_k, top0, wtk * (t_km1 + tc))
             bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
             ltk = ltk + dz2r * (top - bot)
 
             # del2 diffusion on tmix
-            tm = tmb[ni, k]
-            tmc = tm[1:by + 1]
-            hdtk = ah * (ccd * tmc + cn * tm[2:] + cs * tm[:by]
+            tmc = tmb[ni, k]
+            tm_n = sh_n(tmc, tmn[ni, k])
+            tm_s = sh_s(tmc, tms[ni, k])
+            hdtk = ah * (ccd * tmc + cn * tm_n + cs * tm_s
                          + ce * _roll_e(tmc, ew) + cw * _roll_w(tmc, ew))
 
             # explicit vertical diffusion on told (vertical_mix.F90:691)
@@ -243,10 +265,17 @@ def _kernel(nt, km, by, nx, ew, varthick,
         return wtkb, wsum
 
     wtk0 = jnp.broadcast_to(dh, (by, nx))
-    # i32 loop bounds: under jax_enable_x64 Python-int bounds make the index
-    # i64, and Mosaic's 64<->32-bit integer converts recurse unboundedly
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(km), level,
-                      (wtk0, wtk0 + 0.0), unroll=1)
+    if _STATIC_K_LOOP:
+        # static unroll: every VMEM access has literal indices, which
+        # Mosaic compiles far faster than the dynamic-index fori form
+        carry = (wtk0, wtk0 + 0.0)
+        for k in range(km):
+            carry = level(np.int32(k), carry)
+    else:
+        # i32 loop bounds: under jax_enable_x64 Python-int bounds make the
+        # index i64, whose Mosaic convert lowering recurses unboundedly
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(km), level,
+                          (wtk0, wtk0 + 0.0), unroll=1)
 
     # ---- write the tile ----------------------------------------------------
     out_c = pltpu.make_async_copy(
@@ -292,17 +321,27 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     ah_arr = jnp.full((1, 1), ah, f32)
 
     scratch = [
-        pltpu.VMEM((km, by + 1, nx), f32),        # ub
-        pltpu.VMEM((km, by + 1, nx), f32),        # vb
-        pltpu.VMEM((nt, km, by + 2, nx), f32),    # tb
-        pltpu.VMEM((nt, km, by + 2, nx), f32),    # tmb
+        pltpu.VMEM((km, by, nx), f32),            # ub
+        pltpu.VMEM((km, by, nx), f32),            # vb
+        pltpu.VMEM((km, 1, nx), f32),             # ubs (south halo)
+        pltpu.VMEM((km, 1, nx), f32),             # vbs
+        pltpu.VMEM((nt, km, by, nx), f32),        # tb
+        pltpu.VMEM((nt, km, by, nx), f32),        # tmb
+        pltpu.VMEM((nt, km, 1, nx), f32),         # tbs
+        pltpu.VMEM((nt, km, 1, nx), f32),         # tbn
+        pltpu.VMEM((nt, km, 1, nx), f32),         # tms
+        pltpu.VMEM((nt, km, 1, nx), f32),         # tmn
         pltpu.VMEM((nt, km, by, nx), f32),        # tob
         pltpu.VMEM((2, km, by, nx), f32),         # vdcb
         pltpu.VMEM((nt, by, nx), f32),            # stfb
         pltpu.VMEM((by, nx), f32),                # dhb
-        pltpu.VMEM((by + 2, nx), jnp.int32),      # kmtb
-        pltpu.VMEM((by + 1, nx), f32),            # dyub
-        pltpu.VMEM((by + 1, nx), f32),            # dxub
+        pltpu.VMEM((by, nx), jnp.int32),          # kmtb
+        pltpu.VMEM((1, nx), jnp.int32),           # kmts
+        pltpu.VMEM((1, nx), jnp.int32),           # kmtn
+        pltpu.VMEM((by, nx), f32),                # dyub
+        pltpu.VMEM((by, nx), f32),                # dxub
+        pltpu.VMEM((1, nx), f32),                 # dyus
+        pltpu.VMEM((1, nx), f32),                 # dxus
         pltpu.VMEM((by, nx), f32),                # tareab
         pltpu.VMEM((4, by, nx), f32),             # dtb
         pltpu.VMEM((1, 1), f32),                  # ahb
