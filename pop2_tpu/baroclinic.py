@@ -273,40 +273,58 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
         rho_new = state.rho_cur
 
     # ---- momentum (clinic, source/baroclinic.F90:1635-1895) ---------------
-    luk, lvk = advect.advu(cfg, grid, bc, state.u_cur, state.v_cur, dhu)
-    fx = -luk
-    fy = -lvk
-
-    if cfg.time.impcor and leapfrog:
-        fx = fx + grid.FCOR * (gamma * state.v_cur
-                               + (1.0 - gamma) * state.v_old)
-        fy = fy - grid.FCOR * (gamma * state.u_cur
-                               + (1.0 - gamma) * state.u_old)
-    elif not cfg.time.impcor and leapfrog:
-        fx = fx + grid.FCOR * state.v_cur
-        fy = fy - grid.FCOR * state.u_cur
+    dzc = thickness_u(cfg, grid)
+    from pop2_tpu import clinic_pallas
+    if clinic_pallas.available(cfg, grid):
+        # fused Pallas kernel: advu + coriolis + gradp + hdiffu + vdiffu
+        # + ZX/ZY in one HBM pass (the reference's hot loops
+        # advection.F90:1127, hmix_del2.F90:892, vertical_mix.F90:853,
+        # pressure_grad.F90:185)
+        fx, fy, zx, zy = clinic_pallas.clinic_rhs(
+            cfg, grid, state, umix, vmix_m, rho_new, coeffs.vvc,
+            forcing.smf, dhu, leapfrog)
     else:
-        fx = fx + grid.FCOR * state.v_old
-        fy = fy - grid.FCOR * state.u_old
+        luk, lvk = advect.advu(cfg, grid, bc, state.u_cur, state.v_cur,
+                               dhu)
+        fx = -luk
+        fy = -lvk
 
-    bouss = pgrad.bouss_factor(cfg, grid.vgrid.pressz)
-    pkx, pky = pgrad.gradp(cfg, grid, bc, bouss, state.rho_old,
-                           state.rho_cur, rho_new, leapfrog)
-    fx = fx - pkx
-    fy = fy - pky
+        if cfg.time.impcor and leapfrog:
+            fx = fx + grid.FCOR * (gamma * state.v_cur
+                                   + (1.0 - gamma) * state.v_old)
+            fy = fy - grid.FCOR * (gamma * state.u_cur
+                                   + (1.0 - gamma) * state.u_old)
+        elif not cfg.time.impcor and leapfrog:
+            fx = fx + grid.FCOR * state.v_cur
+            fy = fy - grid.FCOR * state.u_cur
+        else:
+            fx = fx + grid.FCOR * state.v_old
+            fy = fy - grid.FCOR * state.u_old
 
-    hduk, hdvk = hmix.hdiffu(cfg, grid, bc, umix, vmix_m)
-    fx = fx + hduk
-    fy = fy + hdvk
+        bouss = pgrad.bouss_factor(cfg, grid.vgrid.pressz)
+        pkx, pky = pgrad.gradp(cfg, grid, bc, bouss, state.rho_old,
+                               state.rho_cur, rho_new, leapfrog)
+        fx = fx - pkx
+        fy = fy - pky
 
-    du, dv = vmix.vdiffu(cfg, grid, coeffs.vvc, state.u_old, state.v_old,
-                         forcing.smf)
-    fx = fx + du
-    fy = fy + dv
+        hduk, hdvk = hmix.hdiffu(cfg, grid, bc, umix, vmix_m)
+        fx = fx + hduk
+        fy = fy + hdvk
 
-    zero3 = jnp.zeros_like(fx)
-    fx = jnp.where(grid.kmask_u, fx, zero3)
-    fy = jnp.where(grid.kmask_u, fy, zero3)
+        du, dv = vmix.vdiffu(cfg, grid, coeffs.vvc, state.u_old,
+                             state.v_old, forcing.smf)
+        fx = fx + du
+        fy = fy + dv
+
+        zero3 = jnp.zeros_like(fx)
+        fx = jnp.where(grid.kmask_u, fx, zero3)
+        fy = jnp.where(grid.kmask_u, fy, zero3)
+
+        # vertical average of forcing, thickness-weighted under partial
+        # bottom cells (source/baroclinic.F90:1035-1057); fx/fy are
+        # already zero below the bottom
+        zx = grid.HUR * jnp.sum(fx * dzc, axis=0)
+        zy = grid.HUR * jnp.sum(fy * dzc, axis=0)
 
     # implicit Coriolis 2x2 transform (source/baroclinic.F90:1013-1027)
     if cfg.time.impcor:
@@ -317,12 +335,6 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     else:
         rhs_u = c2dtu * fx
         rhs_v = c2dtu * fy
-
-    # vertical average of forcing, thickness-weighted under partial bottom
-    # cells (source/baroclinic.F90:1035-1057)
-    dzc = thickness_u(cfg, grid)  # fx/fy are already zero below the bottom
-    zx = grid.HUR * jnp.sum(fx * dzc, axis=0)
-    zy = grid.HUR * jnp.sum(fy * dzc, axis=0)
 
     # implicit vertical friction (source/baroclinic.F90:1066-1069)
     if cfg.implicit_vertical_mix:

@@ -1,0 +1,482 @@
+"""Fused Pallas TPU kernel for the momentum (clinic) hot path.
+
+The reference's second-hottest loop is ``clinic`` (source/baroclinic.F90:1635
+-> advu source/advection.F90:1127, hdiffu source/hmix_del2.F90:892, vdiffu
+source/vertical_mix.F90:853, gradp source/pressure_grad.F90:185). The jnp
+formulation materializes the four U-face flux fields, every shifted operand,
+and the pressure cumsum to HBM.
+
+This kernel performs the whole forcing assembly in ONE pass over HBM: for
+each y-tile it DMAs the operands (with one-row halos) into VMEM, computes
+
+    fx = -L(u) + f*(wc*v_cur + wo*v_old) - PKX + am*Lap(u,v) + D_v(u_old)
+    fy = -L(v) - f*(wc*u_cur + wo*u_old) - PKY + am*Lap(v,-u) + D_v(v_old)
+
+entirely on-chip (U-face flux velocities, the k-cumsum for w-from-continuity
+at U points, the pressure-gradient vertical integral, the metric terms, wind
+stress / quadratic bottom drag), writes the masked forcing once, and also
+emits its thickness-weighted vertical averages ZX/ZY
+(source/baroclinic.F90:1035-1057) so the driver never re-reads fx/fy for
+them.
+
+Scope (v1, mirroring tracer_pallas): del2 momentum mixing, no topostress,
+1-D layer thickness (no partial bottom cells), closed north-south boundary,
+float32. Everything else falls back to the jnp chain; equivalence is
+asserted by tests/test_clinic_pallas.py against the jnp chain.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pop2_tpu import constants as const
+from pop2_tpu.tracer_pallas import _roll_e, _roll_w
+
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
+
+#: None = auto (TPU + float32 + supported config); True/False forces.
+USE_PALLAS = None
+force_interpret = False
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+_I0, _I1 = np.int32(0), np.int32(1)
+
+# index layout of the stacked 2-D grid-metric operand (static per grid)
+_G2D = ("DYU", "DXU", "UAREA_R", "FCOR", "KXU", "KYU", "DXUR", "DYUR",
+        "DUCM", "DUN", "DUS", "DUE", "DUW",
+        "DMC", "DMN", "DMS", "DME", "DMW", "HUR")
+_NG = len(_G2D)
+
+
+def _kernel(km, by, nx, ew,
+            dz_ref, dzr_ref, dz2r_ref, dzwr2_ref, facs_ref, par_ref,
+            # HBM refs
+            uc_hbm, vc_hbm, uo_hbm, vo_hbm, um_hbm, vm_hbm, ra_hbm,
+            vvc_hbm, g2d_hbm, kmu_hbm, dhu_hbm, smf_hbm,
+            fx_hbm, fy_hbm, zx_hbm, zy_hbm,
+            # VMEM scratch
+            ucb, vcb, uob, vob, umb, vmb, rab, vvcb,
+            ucs, ucn, vcs, vcn, ums, umn, vms, vmn, ran,
+            g2db, dyxs, dyxn, kmub, dhub, smfb,
+            fxb, fyb, zxb, zyb, sems):
+    ny = uc_hbm.shape[-2]
+    t = pl.program_id(0)
+    j0 = jnp.minimum(t * by, ny - by)  # clamp final (ragged) tile
+
+    copies = []
+
+    def dma(src, dst, slot):
+        c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+        c.start()
+        copies.append(c)
+
+    dma(uc_hbm.at[:, pl.ds(j0, by), :], ucb, 0)
+    dma(vc_hbm.at[:, pl.ds(j0, by), :], vcb, 1)
+    dma(uo_hbm.at[:, pl.ds(j0, by), :], uob, 2)
+    dma(vo_hbm.at[:, pl.ds(j0, by), :], vob, 3)
+    dma(um_hbm.at[:, pl.ds(j0, by), :], umb, 4)
+    dma(vm_hbm.at[:, pl.ds(j0, by), :], vmb, 5)
+    dma(ra_hbm.at[:, pl.ds(j0, by), :], rab, 6)
+    dma(vvc_hbm.at[:, pl.ds(j0, by), :], vvcb, 7)
+    dma(g2d_hbm.at[:, pl.ds(j0, by), :], g2db, 8)
+    dma(kmu_hbm.at[pl.ds(j0, by), :], kmub, 9)
+    dma(dhu_hbm.at[pl.ds(j0, by), :], dhub, 10)
+    dma(smf_hbm.at[:, pl.ds(j0, by), :], smfb, 11)
+
+    js = jnp.maximum(j0 - 1, 0)
+    dma(uc_hbm.at[:, pl.ds(js, 1), :], ucs, 12)
+    dma(vc_hbm.at[:, pl.ds(js, 1), :], vcs, 13)
+    dma(um_hbm.at[:, pl.ds(js, 1), :], ums, 14)
+    dma(vm_hbm.at[:, pl.ds(js, 1), :], vms, 15)
+    dma(g2d_hbm.at[pl.ds(_I0, 2), pl.ds(js, 1), :], dyxs, 16)
+    jn = jnp.minimum(j0 + by, ny - 1)
+    dma(uc_hbm.at[:, pl.ds(jn, 1), :], ucn, 17)
+    dma(vc_hbm.at[:, pl.ds(jn, 1), :], vcn, 18)
+    dma(um_hbm.at[:, pl.ds(jn, 1), :], umn, 19)
+    dma(vm_hbm.at[:, pl.ds(jn, 1), :], vmn, 20)
+    dma(ra_hbm.at[:, pl.ds(jn, 1), :], ran, 21)
+    dma(g2d_hbm.at[pl.ds(_I0, 2), pl.ds(jn, 1), :], dyxn, 22)
+
+    for c in copies:
+        c.wait()
+
+    @pl.when(j0 == 0)
+    def _():  # closed southern edge: halo rows are zero / land
+        ucs[...] = jnp.zeros_like(ucs[...])
+        vcs[...] = jnp.zeros_like(vcs[...])
+        ums[...] = jnp.zeros_like(ums[...])
+        vms[...] = jnp.zeros_like(vms[...])
+        dyxs[...] = jnp.zeros_like(dyxs[...])
+
+    is_top = j0 + by == ny
+
+    @pl.when(is_top)
+    def _():  # closed northern edge
+        ucn[...] = jnp.zeros_like(ucn[...])
+        vcn[...] = jnp.zeros_like(vcn[...])
+        umn[...] = jnp.zeros_like(umn[...])
+        vmn[...] = jnp.zeros_like(vmn[...])
+        ran[...] = jnp.zeros_like(ran[...])
+        dyxn[...] = jnp.zeros_like(dyxn[...])
+
+    # ---- row-shift helpers -------------------------------------------------
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+
+    def sh_n(x, north_row):
+        g = pltpu.roll(x, np.int32(by - 1), axis=x.ndim - 2)
+        return jnp.where(row2 == by - 1, north_row, g)
+
+    def sh_s(x, south_row):
+        g = pltpu.roll(x, np.int32(1), axis=x.ndim - 2)
+        return jnp.where(row2 == 0, south_row, g)
+
+    # 1 everywhere except the global top row (used to express n(s(x)) == x
+    # away from the closed northern edge); explicit f32 so the weak Python
+    # scalars cannot widen to f64 under jax_enable_x64 (Mosaic is 32-bit)
+    tm = jnp.where(is_top & (row2 == by - 1),
+                   jnp.float32(0.0), jnp.float32(1.0))
+
+    # ---- 2-D precomputation ------------------------------------------------
+    dyu_c, dxu_c = g2db[_I0], g2db[_I1]
+    dyu_s, dxu_s = dyxs[_I0], dyxs[_I1]
+    dyu_n, dxu_n = dyxn[_I0], dyxn[_I1]
+    uarear = g2db[np.int32(2)]
+    fcor = g2db[np.int32(3)]
+    kxu = g2db[np.int32(4)]
+    kyu = g2db[np.int32(5)]
+    dxur = g2db[np.int32(6)]
+    dyur = g2db[np.int32(7)]
+    ducm = g2db[np.int32(8)]
+    dun = g2db[np.int32(9)]
+    dus = g2db[np.int32(10)]
+    due = g2db[np.int32(11)]
+    duw = g2db[np.int32(12)]
+    dmc = g2db[np.int32(13)]
+    dmn = g2db[np.int32(14)]
+    dms = g2db[np.int32(15)]
+    dme = g2db[np.int32(16)]
+    dmw = g2db[np.int32(17)]
+    hur = g2db[np.int32(18)]
+    kmu_c = kmub[...]
+    dhu = dhub[...]
+    am = par_ref[0]
+    bdrag = par_ref[1]
+    wcor_c = par_ref[2]
+    wcor_o = par_ref[3]
+
+    sfc_mask = kmu_c >= 1
+    sfc_u = jnp.where(sfc_mask, smfb[_I0], 0.0)
+    sfc_v = jnp.where(sfc_mask, smfb[_I1], 0.0)
+
+    # ---- k loop: the whole forcing assembly fused --------------------------
+    def level(k, carry):
+        (wuk, wsum, rkx_p, rky_p, pkx, pky,
+         vuf_p, vvf_p, zxa, zya) = carry
+        kk = k + 1  # 1-based level
+        kp1 = np.int32(min(k + 1, km - 1))
+        dz = dz_ref[k]
+        dzr = dzr_ref[k]
+        dz2r = dz2r_ref[k]
+        mask = kmu_c >= kk
+
+        u = ucb[k]
+        v = vcb[k]
+
+        # U-face flux velocities (advection.F90:1245-1339)
+        a = u * dyu_c * dz
+        b = v * dxu_c * dz
+        a_s = ucs[k] * dyu_s * dz
+        b_s = vcs[k] * dxu_s * dz
+        a_n = ucn[k] * dyu_n * dz
+        b_n = vcn[k] * dxu_n * dz
+        uuw = (0.25 * (a + _roll_w(a, ew))
+               + 0.125 * (sh_s(a, a_s) + sh_s(_roll_w(a, ew),
+                                              _roll_w(a_s, ew))
+                          + sh_n(a, a_n) + sh_n(_roll_w(a, ew),
+                                                _roll_w(a_n, ew))))
+        uue = _roll_e(uuw, ew)
+        vus = (0.25 * (b + sh_s(b, b_s))
+               + 0.125 * (_roll_w(b, ew)
+                          + sh_s(_roll_w(b, ew), _roll_w(b_s, ew))
+                          + _roll_e(b, ew)
+                          + sh_s(_roll_e(b, ew), _roll_e(b_s, ew))))
+        # vun = n(vus): expand n() through vus' own south shifts; n(s(b))
+        # equals b away from the closed top edge (tm masks that row)
+        bn = sh_n(b, b_n)
+        vun = (0.25 * (bn + b * tm)
+               + 0.125 * (_roll_w(bn, ew) + _roll_w(b, ew) * tm
+                          + _roll_e(bn, ew) + _roll_e(b, ew) * tm))
+
+        cc = vun - vus + uue - uuw
+        fc = cc * uarear
+        wsum = wsum + fc
+        wukb = wsum
+
+        # momentum advection L(u), L(v) (advection.F90:1127-1491)
+        u_n = sh_n(u, ucn[k])
+        u_s = sh_s(u, ucs[k])
+        v_n = sh_n(v, vcn[k])
+        v_s = sh_s(v, vcs[k])
+        luk = 0.5 * (cc * u + vun * u_n - vus * u_s
+                     + uue * _roll_e(u, ew) - uuw * _roll_w(u, ew)) \
+            * uarear * dzr
+        lvk = 0.5 * (cc * v + vun * v_n - vus * v_s
+                     + uue * _roll_e(v, ew) - uuw * _roll_w(v, ew)) \
+            * uarear * dzr
+        u_kp1 = ucb[kp1]
+        v_kp1 = vcb[kp1]
+        if k == 0:
+            top_u = dzr * wuk * u
+            top_v = dzr * wuk * v
+        else:
+            u_km1 = ucb[np.int32(k - 1)]
+            v_km1 = vcb[np.int32(k - 1)]
+            top_u = dz2r * wuk * (u_km1 + u)
+            top_v = dz2r * wuk * (v_km1 + v)
+        if k == km - 1:
+            bot_u = jnp.zeros_like(u)
+            bot_v = bot_u
+        else:
+            bot_u = dz2r * wukb * (u + u_kp1)
+            bot_v = dz2r * wukb * (v + v_kp1)
+        luk = luk + top_u - bot_u + u * v * kyu - v * v * kxu
+        lvk = lvk + top_v - bot_v + u * v * kxu - u * u * kyu
+
+        # Coriolis (baroclinic.F90:971-995)
+        uo = uob[k]
+        vo = vob[k]
+        cor_x = fcor * (wcor_c * v + wcor_o * vo)
+        cor_y = -fcor * (wcor_c * u + wcor_o * uo)
+
+        # pressure gradient vertical integral (pressure_grad.F90:262-296);
+        # rhoavg is pre-multiplied by the bouss factor
+        f = rab[k]
+        f_n = sh_n(f, ran[k])
+        f_e = _roll_e(f, ew)
+        f_ne = _roll_e(f_n, ew)
+        rkx = jnp.where(mask, dxur * 0.5 * (f_ne - f - f_n + f_e), 0.0)
+        rky = jnp.where(mask, dyur * 0.5 * (f_ne - f + f_n - f_e), 0.0)
+        if k == 0:
+            rkx_p, rky_p = rkx, rky
+        fac = facs_ref[k]
+        pkx = pkx + fac * (rkx + rkx_p)
+        pky = pky + fac * (rky + rky_p)
+
+        # del2 momentum diffusion with U/V metric mixing
+        # (hmix_del2.F90:892-936)
+        um = umb[k]
+        vm = vmb[k]
+        nu = sh_n(um, umn[k])
+        nv = sh_n(vm, vmn[k])
+        su = sh_s(um, ums[k])
+        sv = sh_s(vm, vms[k])
+        eu, wu = _roll_e(um, ew), _roll_w(um, ew)
+        ev, wv = _roll_e(vm, ew), _roll_w(vm, ew)
+        lap_u = ducm * um + dun * nu + dus * su + due * eu + duw * wu
+        lap_v = ducm * vm + dun * nv + dus * sv + due * ev + duw * wv
+        mix_u = dmc * um + dmn * nu + dms * su + dme * eu + dmw * wu
+        mix_v = dmc * vm + dmn * nv + dms * sv + dme * ev + dmw * wv
+        hduk = am * (lap_u + mix_v)
+        hdvk = am * (lap_v - mix_u)
+
+        # explicit vertical friction: wind stress top BC, quadratic bottom
+        # drag (vertical_mix.F90:853-1026)
+        uo_kp1 = uob[kp1]
+        vo_kp1 = vob[kp1]
+        vvc = vvcb[k]
+        dzwr2 = dzwr2_ref[k]
+        vufb = vvc * (uo - uo_kp1) * dzwr2
+        vvfb = vvc * (vo - vo_kp1) * dzwr2
+        at_bot = kk == kmu_c
+        vmag = bdrag * jnp.sqrt(uo * uo + vo * vo)
+        vufb = jnp.where(at_bot, vmag * uo, vufb)
+        vvfb = jnp.where(at_bot, vmag * vo, vvfb)
+        vuf = sfc_u if k == 0 else vuf_p
+        vvf = sfc_v if k == 0 else vvf_p
+        du = (vuf - vufb) * dzr
+        dv = (vvf - vvfb) * dzr
+
+        fxk = jnp.where(mask, (((-luk + cor_x) - pkx) + hduk) + du, 0.0)
+        fyk = jnp.where(mask, (((-lvk + cor_y) - pky) + hdvk) + dv, 0.0)
+        fxb[k] = fxk
+        fyb[k] = fyk
+        zxa = zxa + fxk * dz
+        zya = zya + fyk * dz
+        return (wukb, wsum, rkx, rky, pkx, pky, vufb, vvfb, zxa, zya)
+
+    zero2 = jnp.zeros((by, nx), jnp.float32)
+    wuk0 = jnp.broadcast_to(dhu, (by, nx))
+    carry = (wuk0, wuk0 + 0.0, zero2, zero2, zero2, zero2, zero2, zero2,
+             zero2, zero2)
+    # static unroll: every VMEM access has literal indices, which Mosaic
+    # compiles far faster than the dynamic-index fori form
+    for k in range(km):
+        carry = level(np.int32(k), carry)
+    zxb[...] = hur * carry[8]
+    zyb[...] = hur * carry[9]
+
+    outs = []
+    for slot, (src, dst) in enumerate([
+            (fxb, fx_hbm.at[:, pl.ds(j0, by), :]),
+            (fyb, fy_hbm.at[:, pl.ds(j0, by), :]),
+            (zxb, zx_hbm.at[pl.ds(j0, by), :]),
+            (zyb, zy_hbm.at[pl.ds(j0, by), :])]):
+        c = pltpu.make_async_copy(src, dst, sems.at[np.int32(23 + slot)])
+        c.start()
+        outs.append(c)
+    for c in outs:
+        c.wait()
+
+
+def _pick_by(km, ny, nx):
+    """Largest y-tile (power of two) whose VMEM working set fits."""
+    for by in (16, 8, 4):
+        if by > ny:
+            continue
+        per_row = nx * 4
+        b = (10 * km * by * per_row            # 8 center 3-D + fx/fy out
+             + 9 * km * per_row                # one-row 3-D halos
+             + (_NG + 12) * by * per_row)      # 2-D fields
+        if b <= _VMEM_BUDGET:
+            return by
+    return 4
+
+
+@functools.partial(jax.jit, static_argnames=("ew", "interpret"))
+def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
+                     g2d, kmu, dhu, smf,
+                     dz, dzr, dz2r, dzwr2, facs, params,
+                     ew="cyclic", interpret=False):
+    """(fx, fy, zx, zy) in one HBM pass.
+
+    Shapes: velocity/rhoavg/vvc (km,ny,nx); g2d (len(_G2D),ny,nx) stacked
+    metric fields; kmu int32 (ny,nx); dhu (ny,nx); smf (2,ny,nx); profiles
+    (km,); params (4,) = [am, bottom_drag, wcor_cur, wcor_old].
+    """
+    km, ny, nx = ucur.shape
+    by = _pick_by(km, ny, nx)
+    ntiles = -(-ny // by)
+    f32 = jnp.float32
+    kmu = kmu.astype(jnp.int32)
+
+    scratch = (
+        [pltpu.VMEM((km, by, nx), f32) for _ in range(8)]      # center 3-D
+        + [pltpu.VMEM((km, 1, nx), f32) for _ in range(9)]     # row halos
+        + [pltpu.VMEM((_NG, by, nx), f32),                     # g2db
+           pltpu.VMEM((2, 1, nx), f32),                        # dyxs
+           pltpu.VMEM((2, 1, nx), f32),                        # dyxn
+           pltpu.VMEM((by, nx), jnp.int32),                    # kmub
+           pltpu.VMEM((by, nx), f32),                          # dhub
+           pltpu.VMEM((2, by, nx), f32),                       # smfb
+           pltpu.VMEM((km, by, nx), f32),                      # fxb
+           pltpu.VMEM((km, by, nx), f32),                      # fyb
+           pltpu.VMEM((by, nx), f32),                          # zxb
+           pltpu.VMEM((by, nx), f32),                          # zyb
+           pltpu.SemaphoreType.DMA((27,))])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,  # dz, dzr, dz2r, dzwr2, facs, params
+        grid=(ntiles,),
+        # pin operands to HBM: under memory_space=ANY Mosaic may promote
+        # small operands into VMEM, where the tile/halo DMA slices at
+        # dynamic (and for halos, odd) sublane offsets fail its (8,128)
+        # tiling-divisibility prover; HBM slices have no such constraint
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 12,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, km, by, nx, ew),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((km, ny, nx), f32),
+                   jax.ShapeDtypeStruct((km, ny, nx), f32),
+                   jax.ShapeDtypeStruct((ny, nx), f32),
+                   jax.ShapeDtypeStruct((ny, nx), f32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024),
+    )(dz, dzr, dz2r, dzwr2, facs, params,
+      ucur.astype(f32), vcur.astype(f32), uold.astype(f32),
+      vold.astype(f32), umix.astype(f32), vmixm.astype(f32),
+      rhoavg.astype(f32), vvc.astype(f32), g2d, kmu,
+      dhu.astype(f32), smf.astype(f32))
+
+
+def available(cfg, grid) -> bool:
+    """The fused path applies: del2 momentum mixing, no topostress, full
+    cells, closed/cyclic-EW with closed NS, float32, TPU. Under an active
+    multi-chip dispatch mesh the y-tile halo DMAs would cross shard
+    boundaries; the jnp chain is used instead (same policy as
+    tracer_pallas.available)."""
+    from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
+    if _DISPATCH_MESH.get() is not None:
+        return False
+    ok = (cfg.hmix_momentum == "del2" and not cfg.ltopostress
+          and grid.DZU is None and cfg.ns_boundary == "closed"
+          and cfg.ew_boundary in ("cyclic", "closed")
+          # lane-exact width: see tracer_pallas.available
+          and cfg.nx % 128 == 0)
+    if not ok:
+        return False
+    if USE_PALLAS is not None:
+        return bool(USE_PALLAS)
+    return (jnp.dtype(cfg.jnp_dtype) == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def pack_g2d(cfg, grid):
+    """Stack the static 2-D metric operands in _G2D order. DUCM is
+    DUC + DUM (the combined center weight of hmix_del2.F90:892)."""
+    f32 = jnp.float32
+    fields = {name: getattr(grid, name) for name in _G2D
+              if name not in ("DUCM",)}
+    fields["DUCM"] = grid.DUC + grid.DUM
+    return jnp.stack([fields[name].astype(f32) for name in _G2D])
+
+
+def clinic_rhs(cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
+               leapfrog: bool):
+    """Model-facing wrapper: assemble static operands, compute the
+    pressure-averaged density (pre-scaled by the bouss factor), pick the
+    Coriolis time weights, and call the fused kernel. Replaces the jnp
+    momentum forcing assembly in baroclinic.driver
+    (advu + coriolis + gradp + hdiffu + vdiffu + ZX/ZY;
+    source/baroclinic.F90:935-1057)."""
+    from pop2_tpu import pgrad
+    f32 = jnp.float32
+    km = cfg.km
+    vg = grid.vgrid
+
+    if cfg.lpressure_avg and leapfrog:
+        rhoavg = 0.25 * (rho_new + 2.0 * state.rho_cur + state.rho_old)
+    else:
+        rhoavg = state.rho_cur
+    bouss = pgrad.bouss_factor(cfg, vg.pressz)
+    rhoavg = rhoavg * jnp.reshape(bouss, (km, 1, 1))
+
+    if cfg.time.impcor and leapfrog:
+        wc, wo = cfg.time.gamma, 1.0 - cfg.time.gamma
+    elif leapfrog:
+        wc, wo = 1.0, 0.0
+    else:
+        wc, wo = 0.0, 1.0
+
+    dz = vg.dz.astype(f32)
+    dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
+    facs = (vg.dzw[0:km] * (const.GRAV * 0.5)).astype(f32)
+    params = jnp.array([cfg.auto_am, cfg.bottom_drag, wc, wo], f32)
+
+    return clinic_rhs_tiles(
+        state.u_cur, state.v_cur, state.u_old, state.v_old, umix, vmixm,
+        rhoavg, vvc, pack_g2d(cfg, grid), grid.KMU, dhu, smf,
+        dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
+        (1.0 / (0.5 * (dz + dz_kp1))).astype(f32), facs, params,
+        ew=cfg.ew_boundary, interpret=force_interpret)

@@ -351,8 +351,12 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # dz, dzr, dz2r, dzwr2
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 17,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        # pin operands to HBM: under memory_space=ANY Mosaic may promote
+        # small operands into VMEM, where the tile/halo DMA slices at
+        # dynamic (and for halos, odd) sublane offsets fail its (8,128)
+        # tiling-divisibility prover; HBM slices have no such constraint
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 17,
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
@@ -383,7 +387,11 @@ def available(cfg, grid) -> bool:
     ok = (cfg.tadvect == "centered" and cfg.hmix_tracer == "del2"
           and grid.DZT is None and cfg.ns_boundary == "closed"
           and not cfg.lsubmeso
-          and cfg.ew_boundary in ("cyclic", "closed"))
+          and cfg.ew_boundary in ("cyclic", "closed")
+          # lane-exact width: when nx % 128 != 0 the padded HBM memref
+          # becomes (8,128)-tiled and Mosaic cannot prove the dynamic
+          # y-offsets of the tile/halo DMA slices divisible by 8
+          and cfg.nx % 128 == 0)
     if not ok:
         return False
     if USE_PALLAS is not None:
