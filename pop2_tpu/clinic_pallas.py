@@ -70,7 +70,9 @@ def _kernel(km, by, nx, ew,
             fxb, fyb, zxb, zyb, sems):
     ny = uc_hbm.shape[-2]
     t = pl.program_id(0)
-    j0 = jnp.minimum(t * by, ny - by)  # clamp final (ragged) tile
+    ntiles = pl.num_programs(0)
+    # exact 8-aligned tiling, see tracer_pallas._kernel
+    j0 = pl.multiple_of(t * by, 8)
 
     copies = []
 
@@ -92,24 +94,28 @@ def _kernel(km, by, nx, ew,
     dma(dhu_hbm.at[pl.ds(j0, by), :], dhub, 10)
     dma(smf_hbm.at[:, pl.ds(j0, by), :], smfb, 11)
 
-    js = jnp.maximum(j0 - 1, 0)
-    dma(uc_hbm.at[:, pl.ds(js, 1), :], ucs, 12)
-    dma(vc_hbm.at[:, pl.ds(js, 1), :], vcs, 13)
-    dma(um_hbm.at[:, pl.ds(js, 1), :], ums, 14)
-    dma(vm_hbm.at[:, pl.ds(js, 1), :], vms, 15)
-    dma(g2d_hbm.at[pl.ds(_I0, 2), pl.ds(js, 1), :], dyxs, 16)
-    jn = jnp.minimum(j0 + by, ny - 1)
-    dma(uc_hbm.at[:, pl.ds(jn, 1), :], ucn, 17)
-    dma(vc_hbm.at[:, pl.ds(jn, 1), :], vcn, 18)
-    dma(um_hbm.at[:, pl.ds(jn, 1), :], umn, 19)
-    dma(vm_hbm.at[:, pl.ds(jn, 1), :], vmn, 20)
-    dma(ra_hbm.at[:, pl.ds(jn, 1), :], ran, 21)
-    dma(g2d_hbm.at[pl.ds(_I0, 2), pl.ds(jn, 1), :], dyxn, 22)
+    # halo rows as aligned 8-row blocks (Mosaic DMA alignment; see
+    # tracer_pallas._kernel): south neighbor row j0-1 = LAST row of
+    # [j0-8, j0); north neighbor row j0+by = FIRST row of [j0+by, +8)
+    @pl.when(t > 0)
+    def _():
+        js = pl.multiple_of(j0 - 8, 8)
+        halos = []
+        for src, dst, slot in ((uc_hbm, ucs, 12), (vc_hbm, vcs, 13),
+                               (um_hbm, ums, 14), (vm_hbm, vms, 15)):
+            c = pltpu.make_async_copy(src.at[:, pl.ds(js, 8), :], dst,
+                                      sems.at[np.int32(slot)])
+            c.start()
+            halos.append(c)
+        c = pltpu.make_async_copy(g2d_hbm.at[pl.ds(_I0, 2),
+                                             pl.ds(js, 8), :],
+                                  dyxs, sems.at[np.int32(16)])
+        c.start()
+        halos.append(c)
+        for c in halos:
+            c.wait()
 
-    for c in copies:
-        c.wait()
-
-    @pl.when(j0 == 0)
+    @pl.when(t == 0)
     def _():  # closed southern edge: halo rows are zero / land
         ucs[...] = jnp.zeros_like(ucs[...])
         vcs[...] = jnp.zeros_like(vcs[...])
@@ -117,7 +123,26 @@ def _kernel(km, by, nx, ew,
         vms[...] = jnp.zeros_like(vms[...])
         dyxs[...] = jnp.zeros_like(dyxs[...])
 
-    is_top = j0 + by == ny
+    is_top = t == ntiles - 1
+
+    @pl.when(t < ntiles - 1)
+    def _():
+        jn = pl.multiple_of(j0 + by, 8)
+        halos = []
+        for src, dst, slot in ((uc_hbm, ucn, 17), (vc_hbm, vcn, 18),
+                               (um_hbm, umn, 19), (vm_hbm, vmn, 20),
+                               (ra_hbm, ran, 21)):
+            c = pltpu.make_async_copy(src.at[:, pl.ds(jn, 8), :], dst,
+                                      sems.at[np.int32(slot)])
+            c.start()
+            halos.append(c)
+        c = pltpu.make_async_copy(g2d_hbm.at[pl.ds(_I0, 2),
+                                             pl.ds(jn, 8), :],
+                                  dyxn, sems.at[np.int32(22)])
+        c.start()
+        halos.append(c)
+        for c in halos:
+            c.wait()
 
     @pl.when(is_top)
     def _():  # closed northern edge
@@ -128,7 +153,18 @@ def _kernel(km, by, nx, ew,
         ran[...] = jnp.zeros_like(ran[...])
         dyxn[...] = jnp.zeros_like(dyxn[...])
 
-    # ---- row-shift helpers -------------------------------------------------
+    for c in copies:
+        c.wait()
+
+    # ---- halo-row extraction + row-shift helpers ---------------------------
+    def row7(b):
+        """Last row of an 8-row halo block as a (1, nx) value."""
+        return pltpu.roll(b, np.int32(1), axis=b.ndim - 2)[..., 0:1, :]
+
+    def row0(b):
+        """First row of an 8-row halo block."""
+        return b[..., 0:1, :]
+
     row2 = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
 
     def sh_n(x, north_row):
@@ -147,8 +183,8 @@ def _kernel(km, by, nx, ew,
 
     # ---- 2-D precomputation ------------------------------------------------
     dyu_c, dxu_c = g2db[_I0], g2db[_I1]
-    dyu_s, dxu_s = dyxs[_I0], dyxs[_I1]
-    dyu_n, dxu_n = dyxn[_I0], dyxn[_I1]
+    dyu_s, dxu_s = row7(dyxs[_I0]), row7(dyxs[_I1])
+    dyu_n, dxu_n = row0(dyxn[_I0]), row0(dyxn[_I1])
     uarear = g2db[np.int32(2)]
     fcor = g2db[np.int32(3)]
     kxu = g2db[np.int32(4)]
@@ -194,10 +230,10 @@ def _kernel(km, by, nx, ew,
         # U-face flux velocities (advection.F90:1245-1339)
         a = u * dyu_c * dz
         b = v * dxu_c * dz
-        a_s = ucs[k] * dyu_s * dz
-        b_s = vcs[k] * dxu_s * dz
-        a_n = ucn[k] * dyu_n * dz
-        b_n = vcn[k] * dxu_n * dz
+        a_s = row7(ucs[k]) * dyu_s * dz
+        b_s = row7(vcs[k]) * dxu_s * dz
+        a_n = row0(ucn[k]) * dyu_n * dz
+        b_n = row0(vcn[k]) * dxu_n * dz
         uuw = (0.25 * (a + _roll_w(a, ew))
                + 0.125 * (sh_s(a, a_s) + sh_s(_roll_w(a, ew),
                                               _roll_w(a_s, ew))
@@ -222,10 +258,10 @@ def _kernel(km, by, nx, ew,
         wukb = wsum
 
         # momentum advection L(u), L(v) (advection.F90:1127-1491)
-        u_n = sh_n(u, ucn[k])
-        u_s = sh_s(u, ucs[k])
-        v_n = sh_n(v, vcn[k])
-        v_s = sh_s(v, vcs[k])
+        u_n = sh_n(u, row0(ucn[k]))
+        u_s = sh_s(u, row7(ucs[k]))
+        v_n = sh_n(v, row0(vcn[k]))
+        v_s = sh_s(v, row7(vcs[k]))
         luk = 0.5 * (cc * u + vun * u_n - vus * u_s
                      + uue * _roll_e(u, ew) - uuw * _roll_w(u, ew)) \
             * uarear * dzr
@@ -260,7 +296,7 @@ def _kernel(km, by, nx, ew,
         # pressure gradient vertical integral (pressure_grad.F90:262-296);
         # rhoavg is pre-multiplied by the bouss factor
         f = rab[k]
-        f_n = sh_n(f, ran[k])
+        f_n = sh_n(f, row0(ran[k]))
         f_e = _roll_e(f, ew)
         f_ne = _roll_e(f_n, ew)
         rkx = jnp.where(mask, dxur * 0.5 * (f_ne - f - f_n + f_e), 0.0)
@@ -275,10 +311,10 @@ def _kernel(km, by, nx, ew,
         # (hmix_del2.F90:892-936)
         um = umb[k]
         vm = vmb[k]
-        nu = sh_n(um, umn[k])
-        nv = sh_n(vm, vmn[k])
-        su = sh_s(um, ums[k])
-        sv = sh_s(vm, vms[k])
+        nu = sh_n(um, row0(umn[k]))
+        nv = sh_n(vm, row0(vmn[k]))
+        su = sh_s(um, row7(ums[k]))
+        sv = sh_s(vm, row7(vms[k]))
         eu, wu = _roll_e(um, ew), _roll_w(um, ew)
         ev, wv = _roll_e(vm, ew), _roll_w(vm, ew)
         lap_u = ducm * um + dun * nu + dus * su + due * eu + duw * wu
@@ -338,17 +374,18 @@ def _kernel(km, by, nx, ew,
 
 
 def _pick_by(km, ny, nx):
-    """Largest y-tile (power of two) whose VMEM working set fits."""
-    for by in (16, 8, 4):
-        if by > ny:
+    """Largest y-tile whose VMEM working set fits. Exact tiling only
+    (ny % by == 0, by % 8 == 0, Mosaic DMA alignment); None if none."""
+    for by in (16, 8):
+        if ny % by:
             continue
         per_row = nx * 4
         b = (10 * km * by * per_row            # 8 center 3-D + fx/fy out
-             + 9 * km * per_row                # one-row 3-D halos
-             + (_NG + 12) * by * per_row)      # 2-D fields
+             + 72 * km * per_row               # 8-row 3-D halo blocks
+             + (_NG + 30) * by * per_row)      # 2-D fields
         if b <= _VMEM_BUDGET:
             return by
-    return 4
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("ew", "interpret"))
@@ -364,16 +401,19 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
     """
     km, ny, nx = ucur.shape
     by = _pick_by(km, ny, nx)
-    ntiles = -(-ny // by)
+    if by is None:
+        raise ValueError(f"no admissible y-tile for ny={ny} (need a "
+                         "divisor in (16, 8)); use the jnp chain")
+    ntiles = ny // by
     f32 = jnp.float32
     kmu = kmu.astype(jnp.int32)
 
     scratch = (
         [pltpu.VMEM((km, by, nx), f32) for _ in range(8)]      # center 3-D
-        + [pltpu.VMEM((km, 1, nx), f32) for _ in range(9)]     # row halos
+        + [pltpu.VMEM((km, 8, nx), f32) for _ in range(9)]     # halo blocks
         + [pltpu.VMEM((_NG, by, nx), f32),                     # g2db
-           pltpu.VMEM((2, 1, nx), f32),                        # dyxs
-           pltpu.VMEM((2, 1, nx), f32),                        # dyxn
+           pltpu.VMEM((2, 8, nx), f32),                        # dyxs
+           pltpu.VMEM((2, 8, nx), f32),                        # dyxn
            pltpu.VMEM((by, nx), jnp.int32),                    # kmub
            pltpu.VMEM((by, nx), f32),                          # dhub
            pltpu.VMEM((2, by, nx), f32),                       # smfb
@@ -422,8 +462,8 @@ def available(cfg, grid) -> bool:
     ok = (cfg.hmix_momentum == "del2" and not cfg.ltopostress
           and grid.DZU is None and cfg.ns_boundary == "closed"
           and cfg.ew_boundary in ("cyclic", "closed")
-          # lane-exact width: see tracer_pallas.available
-          and cfg.nx % 128 == 0)
+          # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
+          and _pick_by(cfg.km, cfg.ny, cfg.nx) is not None)
     if not ok:
         return False
     if USE_PALLAS is not None:

@@ -88,7 +88,12 @@ def _kernel(nt, km, by, nx, ew, varthick,
             dyub, dxub, dyus, dxus, tareab, dtb, ahb, outb, sems):
     ny = u_hbm.shape[-2]
     t = pl.program_id(0)
-    j0 = jnp.minimum(t * by, ny - by)  # clamp final (ragged) tile
+    ntiles = pl.num_programs(0)
+    # exact tiling (ny % by == 0, by % 8 == 0, enforced by _pick_by):
+    # Mosaic requires provably 8-aligned y-offsets for HBM slices of
+    # (8,128)-tiled memrefs whenever nx > 128; pl.multiple_of carries the
+    # proof through the dynamic program id
+    j0 = pl.multiple_of(t * by, 8)
 
     # ---- DMA the tile working set -----------------------------------------
     copies = []
@@ -118,26 +123,34 @@ def _kernel(nt, km, by, nx, ew, varthick,
     dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[_I3], 15)
     dma(ah_hbm, ahb, 16)
 
-    # halo rows: south (j0-1) and north (j0+by); the domain edges are
-    # overwritten with zeros below (closed-NS boundary shifts in zeros,
-    # stencil.py _shift_y)
-    js = jnp.maximum(j0 - 1, 0)
-    dma(u_hbm.at[:, pl.ds(js, 1), :], ubs, 17)
-    dma(v_hbm.at[:, pl.ds(js, 1), :], vbs, 18)
-    dma(trcr_hbm.at[:, :, pl.ds(js, 1), :], tbs, 19)
-    dma(tmix_hbm.at[:, :, pl.ds(js, 1), :], tms, 20)
-    dma(kmt_hbm.at[pl.ds(js, 1), :], kmts, 21)
-    dma(dyu_hbm.at[pl.ds(js, 1), :], dyus, 22)
-    dma(dxu_hbm.at[pl.ds(js, 1), :], dxus, 23)
-    jn = jnp.minimum(j0 + by, ny - 1)
-    dma(trcr_hbm.at[:, :, pl.ds(jn, 1), :], tbn, 24)
-    dma(tmix_hbm.at[:, :, pl.ds(jn, 1), :], tmn, 25)
-    dma(kmt_hbm.at[pl.ds(jn, 1), :], kmtn, 26)
+    # halo rows, fetched as aligned 8-row blocks (Mosaic requires y-slices
+    # of multi-lane-tile HBM memrefs to be 8-row aligned in offset AND
+    # size); the south neighbor row j0-1 is the LAST row of [j0-8, j0),
+    # the north neighbor row j0+by the FIRST row of [j0+by, j0+by+8).
+    # Domain edges skip the DMA and zero the block instead (closed-NS
+    # boundary shifts in zeros, stencil.py _shift_y).
+    @pl.when(t > 0)
+    def _():
+        js = pl.multiple_of(j0 - 8, 8)
+        halos = []
+        for src, dst, slot in ((u_hbm, ubs, 17), (v_hbm, vbs, 18),
+                               (kmt_hbm, kmts, 21), (dyu_hbm, dyus, 22),
+                               (dxu_hbm, dxus, 23)):
+            c = pltpu.make_async_copy(
+                src.at[..., pl.ds(js, 8), :] if src.ndim == 3
+                else src.at[pl.ds(js, 8), :],
+                dst, sems.at[np.int32(slot)])
+            c.start()
+            halos.append(c)
+        for src, dst, slot in ((trcr_hbm, tbs, 19), (tmix_hbm, tms, 20)):
+            c = pltpu.make_async_copy(src.at[:, :, pl.ds(js, 8), :],
+                                      dst, sems.at[np.int32(slot)])
+            c.start()
+            halos.append(c)
+        for c in halos:
+            c.wait()
 
-    for c in copies:
-        c.wait()
-
-    @pl.when(j0 == 0)
+    @pl.when(t == 0)
     def _():  # closed southern edge: halo rows are zero / land
         ubs[...] = jnp.zeros_like(ubs[...])
         vbs[...] = jnp.zeros_like(vbs[...])
@@ -147,13 +160,41 @@ def _kernel(nt, km, by, nx, ew, varthick,
         dyus[...] = jnp.zeros_like(dyus[...])
         dxus[...] = jnp.zeros_like(dxus[...])
 
-    @pl.when(j0 + by == ny)
+    @pl.when(t < ntiles - 1)
+    def _():
+        jn = pl.multiple_of(j0 + by, 8)
+        halos = []
+        for src, dst, slot in ((trcr_hbm, tbn, 24), (tmix_hbm, tmn, 25)):
+            c = pltpu.make_async_copy(src.at[:, :, pl.ds(jn, 8), :],
+                                      dst, sems.at[np.int32(slot)])
+            c.start()
+            halos.append(c)
+        c = pltpu.make_async_copy(kmt_hbm.at[pl.ds(jn, 8), :], kmtn,
+                                  sems.at[np.int32(26)])
+        c.start()
+        halos.append(c)
+        for c in halos:
+            c.wait()
+
+    @pl.when(t == ntiles - 1)
     def _():  # closed northern edge
         tbn[...] = jnp.zeros_like(tbn[...])
         tmn[...] = jnp.zeros_like(tmn[...])
         kmtn[...] = jnp.zeros_like(kmtn[...])
 
-    # ---- row-shift helpers -------------------------------------------------
+    for c in copies:
+        c.wait()
+
+    # ---- halo-row extraction + row-shift helpers ---------------------------
+    def row7(b):
+        """Last row of an 8-row halo block as a (1, nx) value (the south
+        neighbor row j0-1): sublane-rotate row 7 to row 0, front-slice."""
+        return pltpu.roll(b, np.int32(1), axis=b.ndim - 2)[..., 0:1, :]
+
+    def row0(b):
+        """First row of an 8-row halo block (the north neighbor j0+by)."""
+        return b[..., 0:1, :]
+
     row2 = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
 
     def sh_n(x, north_row):
@@ -169,15 +210,15 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
     # ---- 2-D precomputation ------------------------------------------------
     kmt_c = kmtb[...]
-    kmt_n = sh_n(kmt_c, kmtn[...])
-    kmt_s = sh_s(kmt_c, kmts[...])
+    kmt_n = sh_n(kmt_c, row0(kmtn[...]))
+    kmt_s = sh_s(kmt_c, row7(kmts[...]))
     kmt_e = _roll_e(kmt_c, ew)
     kmt_w = _roll_w(kmt_c, ew)
     tarea_r = tareab[...]
     dh = dhb[...]
     ah = ahb[_I0, _I0]
     dyu_c, dxu_c = dyub[...], dxub[...]
-    dyu_s, dxu_s = dyus[...], dxus[...]
+    dyu_s, dxu_s = row7(dyus[...]), row7(dxus[...])
 
     # ---- k loop: all chains fused, w-cumsum carried ------------------------
     def level(k, carry):
@@ -196,8 +237,8 @@ def _kernel(nt, km, by, nx, ew, varthick,
         # flux velocities (comp_flux_vel, advection.F90:2066-2127)
         a = ub[k] * dyu_c * dz
         b = vb[k] * dxu_c * dz
-        a_s = ubs[k] * dyu_s * dz             # south halo row (1, nx)
-        b_s = vbs[k] * dxu_s * dz
+        a_s = row7(ubs[k]) * dyu_s * dz       # south halo row (1, nx)
+        b_s = row7(vbs[k]) * dxu_s * dz
         ute = 0.5 * (a + sh_s(a, a_s))
         vtn = 0.5 * (b + _roll_w(b, ew))
         vtn_srow = 0.5 * (b_s + _roll_w(b_s, ew))
@@ -223,8 +264,8 @@ def _kernel(nt, km, by, nx, ew, varthick,
         for n in range(nt):
             ni = np.int32(n)
             tc = tb[ni, k]
-            t_n = sh_n(tc, tbn[ni, k])
-            t_s = sh_s(tc, tbs[ni, k])
+            t_n = sh_n(tc, row0(tbn[ni, k]))
+            t_s = sh_s(tc, row7(tbs[ni, k]))
             # horizontal advection (advt_centered, advection.F90:2139)
             ltk = 0.5 * (cc_f * tc
                          + vtn * t_n - vts * t_s
@@ -241,8 +282,8 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
             # del2 diffusion on tmix
             tmc = tmb[ni, k]
-            tm_n = sh_n(tmc, tmn[ni, k])
-            tm_s = sh_s(tmc, tms[ni, k])
+            tm_n = sh_n(tmc, row0(tmn[ni, k]))
+            tm_s = sh_s(tmc, row7(tms[ni, k]))
             hdtk = ah * (ccd * tmc + cn * tm_n + cs * tm_s
                          + ce * _roll_e(tmc, ew) + cw * _roll_w(tmc, ew))
 
@@ -285,20 +326,22 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
 
 def _pick_by(nt, km, ny, nx):
-    """Largest y-tile (power of two) whose VMEM working set fits the budget."""
-    for by in (32, 16, 8, 4):
-        if ny % by and ny < by:
+    """Largest y-tile whose VMEM working set fits the budget. Exact tiling
+    only: ny % by == 0 with by a multiple of 8 (Mosaic alignment, see
+    _kernel); returns None when no admissible tile exists."""
+    for by in (32, 16, 8):
+        if ny % by:
             continue
         per_row = nx * 4
-        b = (2 * km * (by + 1) * per_row           # u, v
-             + 2 * nt * km * (by + 2) * per_row    # trcr, tmix
+        b = (2 * km * (by + 8) * per_row           # u, v + 8-row S halos
+             + 2 * nt * km * (by + 16) * per_row   # trcr, tmix + S/N halos
              + nt * km * by * per_row              # told
              + 2 * km * by * per_row               # vdc
              + nt * km * by * per_row              # out
-             + 16 * by * per_row)                  # 2-D fields
-        if b <= _VMEM_BUDGET and by <= ny:
+             + 40 * by * per_row)                  # 2-D fields + halos
+        if b <= _VMEM_BUDGET:
             return by
-    return 4
+    return None
 
 
 @functools.partial(
@@ -315,7 +358,10 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     """
     nt, km, ny, nx = trcr.shape
     by = _pick_by(nt, km, ny, nx)
-    ntiles = -(-ny // by)
+    if by is None:
+        raise ValueError(f"no admissible y-tile for ny={ny} (need a "
+                         "divisor in (32, 16, 8)); use the jnp chain")
+    ntiles = ny // by
     f32 = jnp.float32
     kmt = kmt.astype(jnp.int32)
     ah_arr = jnp.full((1, 1), ah, f32)
@@ -323,25 +369,25 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     scratch = [
         pltpu.VMEM((km, by, nx), f32),            # ub
         pltpu.VMEM((km, by, nx), f32),            # vb
-        pltpu.VMEM((km, 1, nx), f32),             # ubs (south halo)
-        pltpu.VMEM((km, 1, nx), f32),             # vbs
+        pltpu.VMEM((km, 8, nx), f32),             # ubs (S halo block)
+        pltpu.VMEM((km, 8, nx), f32),             # vbs
         pltpu.VMEM((nt, km, by, nx), f32),        # tb
         pltpu.VMEM((nt, km, by, nx), f32),        # tmb
-        pltpu.VMEM((nt, km, 1, nx), f32),         # tbs
-        pltpu.VMEM((nt, km, 1, nx), f32),         # tbn
-        pltpu.VMEM((nt, km, 1, nx), f32),         # tms
-        pltpu.VMEM((nt, km, 1, nx), f32),         # tmn
+        pltpu.VMEM((nt, km, 8, nx), f32),         # tbs
+        pltpu.VMEM((nt, km, 8, nx), f32),         # tbn
+        pltpu.VMEM((nt, km, 8, nx), f32),         # tms
+        pltpu.VMEM((nt, km, 8, nx), f32),         # tmn
         pltpu.VMEM((nt, km, by, nx), f32),        # tob
         pltpu.VMEM((2, km, by, nx), f32),         # vdcb
         pltpu.VMEM((nt, by, nx), f32),            # stfb
         pltpu.VMEM((by, nx), f32),                # dhb
         pltpu.VMEM((by, nx), jnp.int32),          # kmtb
-        pltpu.VMEM((1, nx), jnp.int32),           # kmts
-        pltpu.VMEM((1, nx), jnp.int32),           # kmtn
+        pltpu.VMEM((8, nx), jnp.int32),           # kmts
+        pltpu.VMEM((8, nx), jnp.int32),           # kmtn
         pltpu.VMEM((by, nx), f32),                # dyub
         pltpu.VMEM((by, nx), f32),                # dxub
-        pltpu.VMEM((1, nx), f32),                 # dyus
-        pltpu.VMEM((1, nx), f32),                 # dxus
+        pltpu.VMEM((8, nx), f32),                 # dyus
+        pltpu.VMEM((8, nx), f32),                 # dxus
         pltpu.VMEM((by, nx), f32),                # tareab
         pltpu.VMEM((4, by, nx), f32),             # dtb
         pltpu.VMEM((1, 1), f32),                  # ahb
@@ -388,10 +434,8 @@ def available(cfg, grid) -> bool:
           and grid.DZT is None and cfg.ns_boundary == "closed"
           and not cfg.lsubmeso
           and cfg.ew_boundary in ("cyclic", "closed")
-          # lane-exact width: when nx % 128 != 0 the padded HBM memref
-          # becomes (8,128)-tiled and Mosaic cannot prove the dynamic
-          # y-offsets of the tile/halo DMA slices divisible by 8
-          and cfg.nx % 128 == 0)
+          # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
+          and _pick_by(cfg.nt, cfg.km, cfg.ny, cfg.nx) is not None)
     if not ok:
         return False
     if USE_PALLAS is not None:
