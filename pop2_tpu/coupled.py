@@ -90,7 +90,15 @@ def ocn_import(cfg: ModelConfig, grid: Grid, x2o: Dict[str, jnp.ndarray],
                    atm_press=atm_press,
                    u10_sqr=(x2o["duu10n"] * const.CMPERM ** 2 * r
                             if "duu10n" in x2o else None),
-                   ifrac=(x2o["ifrac"] * r if "ifrac" in x2o else None))
+                   ifrac=(x2o["ifrac"] * r if "ifrac" in x2o else None),
+                   # per-component fluxes retained (SI) for the tavg
+                   # registry (forcing_coupled.F90 tavg accumulations)
+                   roff_f=get("rofl") * r,
+                   prec_f=prec * r, snow_f=get("snow") * r,
+                   evap_f=get("evap") * r, melt_f=get("melt") * r,
+                   ioff_f=get("rofi") * r, salt_f=get("salt") * r,
+                   senh_f=get("sen") * r, lwup_f=get("lwup") * r,
+                   lwdn_f=get("lwdn") * r, melth_f=get("melth") * r)
 
 
 def ocn_export(cfg: ModelConfig, grid: Grid, state: State,

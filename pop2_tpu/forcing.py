@@ -39,6 +39,19 @@ class Forcing:
     #                                    (sw_absorption 'chlorophyll'/'file')
     roff_f: Optional[jnp.ndarray] = None  # (ny, nx) river runoff kg/m^2/s
     #                                       (estuary EBM exchange)
+    # optional per-component coupler fluxes, retained in SI units purely
+    # for the tavg registry (PREC_F/EVAP_F/... tavg fields,
+    # source/forcing_coupled.F90 accumulate_tavg_field calls)
+    prec_f: Optional[jnp.ndarray] = None    # rain+snow, kg/m^2/s
+    snow_f: Optional[jnp.ndarray] = None    # kg/m^2/s
+    evap_f: Optional[jnp.ndarray] = None    # kg/m^2/s
+    melt_f: Optional[jnp.ndarray] = None    # ice melt water, kg/m^2/s
+    ioff_f: Optional[jnp.ndarray] = None    # ice runoff, kg/m^2/s
+    salt_f: Optional[jnp.ndarray] = None    # salt flux, kg(salt)/m^2/s
+    senh_f: Optional[jnp.ndarray] = None    # sensible heat, W/m^2
+    lwup_f: Optional[jnp.ndarray] = None    # longwave up, W/m^2
+    lwdn_f: Optional[jnp.ndarray] = None    # longwave down, W/m^2
+    melth_f: Optional[jnp.ndarray] = None   # ice melt heat, W/m^2
     tidal_lnc: Optional[jnp.ndarray] = None  # () 18.6-yr lunar-nodal-cycle
     #                        energy modulation (tidal_mixing.py LNC factors)
 

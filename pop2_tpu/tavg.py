@@ -300,6 +300,90 @@ def _ifrac(cfg, grid, state, aux):
 _register("ROFF_F", "River runoff flux", "kg/m^2/s", 2, _roff)
 _register("IFRAC", "Ice fraction from coupler", "fraction", 2, _ifrac)
 
+
+def _fcomp(attr, name):
+    """Per-component coupler flux retained on Forcing (SI units; the
+    reference accumulates these in forcing_coupled.F90's tavg calls)."""
+    def fn(cfg, grid, state, aux):
+        f = _need(aux, "forcing", name)
+        v = getattr(f, attr)
+        if v is None:
+            return jnp.zeros((cfg.ny, cfg.nx), cfg.jnp_dtype)
+        return v
+    return fn
+
+
+_register("PREC_F", "Precipitation flux from coupler (rain+snow)",
+          "kg/m^2/s", 2, _fcomp("prec_f", "PREC_F"))
+_register("SNOW_F", "Snow flux from coupler", "kg/m^2/s", 2,
+          _fcomp("snow_f", "SNOW_F"))
+_register("EVAP_F", "Evaporation flux from coupler", "kg/m^2/s", 2,
+          _fcomp("evap_f", "EVAP_F"))
+_register("MELT_F", "Melt flux from coupler", "kg/m^2/s", 2,
+          _fcomp("melt_f", "MELT_F"))
+_register("IOFF_F", "Ice runoff flux due to coupler", "kg/m^2/s", 2,
+          _fcomp("ioff_f", "IOFF_F"))
+_register("SALT_F", "Salt flux from coupler", "kg(salt)/m^2/s", 2,
+          _fcomp("salt_f", "SALT_F"))
+_register("SENH_F", "Sensible heat flux from coupler", "W/m^2", 2,
+          _fcomp("senh_f", "SENH_F"))
+_register("LWUP_F", "Longwave up heat flux from coupler", "W/m^2", 2,
+          _fcomp("lwup_f", "LWUP_F"))
+_register("LWDN_F", "Longwave down heat flux from coupler", "W/m^2", 2,
+          _fcomp("lwdn_f", "LWDN_F"))
+_register("MELTH_F", "Ice melt heat flux from coupler", "W/m^2", 2,
+          _fcomp("melth_f", "MELTH_F"))
+
+
+# -- penetrating shortwave diagnostics (sw_absorption.F90:880-940) -----------
+def _sw_trans_interfaces(cfg, grid):
+    """Transmission at layer-top interfaces zw(0..km-1): 1 at the surface;
+    Jerlov two-band decay below; top-layer absorption otherwise."""
+    km = cfg.km
+    if cfg.sw_absorption == "jerlov":
+        from pop2_tpu import sw_absorption as sw_mod
+        tops = jnp.concatenate([jnp.zeros((1,), cfg.jnp_dtype),
+                                grid.vgrid.zw[:km - 1]])
+        return sw_mod.sw_absorb_frac_jnp(tops, cfg.jerlov_water_type)
+    trans = jnp.zeros((km,), cfg.jnp_dtype)
+    return trans.at[0].set(1.0)
+
+
+def _qsw_htp(cfg, grid, state, aux):
+    f = _need(aux, "forcing", "QSW_HTP")
+    trans = _sw_trans_interfaces(cfg, grid)
+    below = trans[1] if cfg.km > 1 else 0.0
+    return (f.shf_qsw * (trans[0] - below) / const.HFLUX_FACTOR
+            * jnp.where(grid.KMT > 0, 1.0, 0.0))
+
+
+def _qsw_3d(cfg, grid, state, aux):
+    f = _need(aux, "forcing", "QSW_3D")
+    trans = _sw_trans_interfaces(cfg, grid)
+    return jnp.where(grid.kmask_t,
+                     f.shf_qsw[None] * trans[:, None, None]
+                     / const.HFLUX_FACTOR, 0.0)
+
+
+def _qsw_hbl(cfg, grid, state, aux):
+    f = _need(aux, "forcing", "QSW_HBL")
+    hblt = _need(aux, "hblt", "QSW_HBL")
+    if cfg.sw_absorption == "jerlov":
+        from pop2_tpu import sw_absorption as sw_mod
+        absorb = sw_mod.sw_absorb_frac_jnp(hblt, cfg.jerlov_water_type)
+        qsw = f.shf_qsw * (1.0 - absorb)
+    else:
+        qsw = f.shf_qsw
+    return qsw / const.HFLUX_FACTOR * jnp.where(grid.KMT > 0, 1.0, 0.0)
+
+
+_register("QSW_HTP", "Solar short-wave heat flux in top layer", "W/m^2", 2,
+          _qsw_htp)
+_register("QSW_3D", "Solar short-wave heat flux at layer tops", "W/m^2", 3,
+          _qsw_3d)
+_register("QSW_HBL", "Solar short-wave heat flux in boundary layer",
+          "W/m^2", 2, _qsw_hbl)
+
 # -- ice formation (ice.F90 tavg_QICE) ---------------------------------------
 _register("QICE", "Internal ocean heat used to form ice", "W/m^2", 2,
           lambda c, g, s, a: s.qice / const.HFLUX_FACTOR)
@@ -325,6 +409,21 @@ _register("VDC_S", "Vertical diffusivity, salinity class", "cm^2/s", 3,
           lambda c, g, s, a: _need(a, "vdc", "VDC_S")[1])
 _register("VVC", "Vertical viscosity", "cm^2/s", 3,
           lambda c, g, s, a: _need(a, "vvc", "VVC"))
+
+
+def _bck_vdc(cfg, grid):
+    """Background internal-wave diffusivity profile
+    (vmix_kpp.F90:560-585 via kpp.build_statics)."""
+    prof = (cfg.bckgrnd_vdc + cfg.bckgrnd_vdc2
+            * jnp.arctan(cfg.bckgrnd_vdc_linv
+                         * (grid.vgrid.zw - cfg.bckgrnd_vdc_dpth)))
+    return jnp.where(grid.kmask_t, prof[:, None, None], 0.0)
+
+
+_register("VDC_BCK", "Background vertical tracer diffusivity",
+          "cm^2/s", 3, lambda c, g, s, a: _bck_vdc(c, g))
+_register("VVC_BCK", "Background vertical viscosity", "cm^2/s", 3,
+          lambda c, g, s, a: c.prandtl * _bck_vdc(c, g))
 
 
 def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,

@@ -67,3 +67,44 @@ def test_unknown_field_raises(tmp_path):
     m = Model(get_config("mini"))
     with pytest.raises(KeyError):
         m.enable_tavg(["NOPE"], freq_steps=5)
+
+
+def test_registry_component_and_sw_fields(tmp_path):
+    """The coupler-component flux fields, shortwave diagnostics, and
+    background-profile fields evaluate and accumulate through a run
+    (gx1v7_tavg_contents production field set coverage)."""
+    import jax.numpy as jnp
+    from pop2_tpu import coupled
+
+    cfg = get_config("mini").with_(sw_absorption="jerlov", vmix="kpp")
+    m = Model(cfg)
+    fields = ["PREC_F", "SNOW_F", "EVAP_F", "MELT_F", "IOFF_F", "SALT_F",
+              "SENH_F", "LWUP_F", "LWDN_F", "MELTH_F", "ROFF_F",
+              "QSW_HTP", "QSW_3D", "QSW_HBL", "VDC_BCK", "VVC_BCK"]
+    m.enable_tavg(fields, freq_steps=3, outdir=str(tmp_path))
+
+    # coupler import with every component populated
+    r = np.asarray(m.grid.RCALCT)
+    rng = np.random.RandomState(0)
+    x2o = {k: jnp.asarray(np.abs(rng.randn(cfg.ny, cfg.nx)) * 1e-5)
+           for k in ("rain", "snow", "evap", "melt", "rofl", "rofi",
+                     "salt", "sen", "lwup", "lwdn", "melth", "swnet",
+                     "taux", "tauy")}
+    m.forcing = coupled.ocn_import(cfg, m.grid, x2o)
+
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    assert len(m.tavg_files) == 1
+
+    from scipy.io import netcdf_file
+    with netcdf_file(m.tavg_files[-1], "r") as f:
+        for name in fields:
+            v = f.variables[name][0].copy()
+            assert np.isfinite(v).all(), name
+        prec = f.variables["PREC_F"][0].copy()
+        q3d = f.variables["QSW_3D"][0].copy()
+    ocean = r > 0
+    assert prec[ocean].max() > 0.0
+    # transmission decays with depth
+    assert q3d[0][ocean].mean() >= q3d[-1][ocean].mean()
