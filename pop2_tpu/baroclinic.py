@@ -36,6 +36,7 @@ class BaroclinicOut(NamedTuple):
     vdc: jnp.ndarray         # (2, km, ny, nx) diffusivity used, for corrector
     vvc: jnp.ndarray = None  # (km, ny, nx) viscosity used (tavg extras)
     kpp: object = None       # KPPOut when vmix == 'kpp' (hblt/hmxl extras)
+    gm: object = None        # GMOut when hmix_tracer == 'gm' (kappa extras)
 
 
 def _dzt_arg(cfg: ModelConfig, grid: Grid):
@@ -108,6 +109,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     forcing = forcing.replace(stf=stf)
 
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
+    gm_diag = None
     from pop2_tpu import tracer_pallas
     if cfg.hmix_tracer != "gm" and tracer_pallas.available(cfg, grid):
         # fused Pallas kernel: hdifft + comp_flux_vel/advt + vdifft in one
@@ -126,6 +128,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix,
                                       hblt=hblt, umix=umix, vmix_m=vmix_m)
             ft = gm_out.gtk
+            gm_diag = gm_out
             coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
         else:
             ft = hmix.hdifft(cfg, grid, bc, tmix)
@@ -354,7 +357,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
     return BaroclinicOut(tracer_new=tracer_new, u_new=u_new, v_new=v_new,
                          rho_new=rho_new, zx=zx, zy=zy, vdc=coeffs.vdc,
-                         vvc=coeffs.vvc, kpp=coeffs.kpp)
+                         vvc=coeffs.vvc, kpp=coeffs.kpp, gm=gm_diag)
 
 
 def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,

@@ -40,6 +40,12 @@ EPS2 = 1.0e-20
 class GMOut(NamedTuple):
     gtk: jnp.ndarray       # (nt, km, ny, nx) tracer tendency
     vdc_gm: jnp.ndarray    # (km, ny, nx) addition to implicit diffusivity
+    # diagnostics for the tavg registry (KAPPA_ISOP/KAPPA_THIC/HOR_DIFF
+    # accumulations, source/hmix_gm.F90:1401-1421,1630): cell averages of
+    # the tapered top/bottom-half diffusivities
+    kappa_isop: jnp.ndarray = None   # (km, ny, nx)
+    kappa_thic: jnp.ndarray = None   # (km, ny, nx)
+    hor_diff: jnp.ndarray = None     # (km, ny, nx)
 
 
 def face_density_diffs(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
@@ -563,4 +569,7 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     gtk = ((fx - bc.w(fx) + fy - bc.s(fy) + fz_top - fz)
            * dzr[None] * grid.TAREA_R)
     gtk = jnp.where(grid.kmask_t[None], gtk, 0.0)
-    return GMOut(gtk=gtk, vdc_gm=vdc_gm)
+    return GMOut(gtk=gtk, vdc_gm=vdc_gm,
+                 kappa_isop=0.5 * (kisop[0] + kisop[1]),
+                 kappa_thic=0.5 * (kthic[0] + kthic[1]),
+                 hor_diff=0.5 * (hor_diff[0] + hor_diff[1]))

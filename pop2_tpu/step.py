@@ -211,6 +211,12 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
             "hmxl": bout.kpp.hmxl if bout.kpp is not None else None,
             "vdc": bout.vdc,
             "vvc": bout.vvc,
+            "kappa_isop": (bout.gm.kappa_isop if bout.gm is not None
+                           else None),
+            "kappa_thic": (bout.gm.kappa_thic if bout.gm is not None
+                           else None),
+            "hor_diff": (bout.gm.hor_diff if bout.gm is not None
+                         else None),
         }
         return new, diags, extras
     return new, diags

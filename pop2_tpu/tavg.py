@@ -48,6 +48,9 @@ class TavgAux(NamedTuple):
     hmxl: Optional[jnp.ndarray] = None   # (ny, nx) mixed-layer depth
     vdc: Optional[jnp.ndarray] = None    # (2, km, ny, nx) tracer diffusivity
     vvc: Optional[jnp.ndarray] = None    # (km, ny, nx) viscosity
+    kappa_isop: Optional[jnp.ndarray] = None  # (km, ny, nx) Redi kappa
+    kappa_thic: Optional[jnp.ndarray] = None  # (km, ny, nx) GM bolus kappa
+    hor_diff: Optional[jnp.ndarray] = None    # (km, ny, nx) srf-bl horiz ah
 
 
 @dataclasses.dataclass(frozen=True)
@@ -420,6 +423,15 @@ def _bck_vdc(cfg, grid):
     return jnp.where(grid.kmask_t, prof[:, None, None], 0.0)
 
 
+_register("KAPPA_ISOP", "Isopycnal (Redi) diffusivity (cell avg of the "
+          "tapered half-cell values)", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "kappa_isop", "KAPPA_ISOP"))
+_register("KAPPA_THIC", "Thickness (GM bolus) diffusivity (cell avg)",
+          "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "kappa_thic", "KAPPA_THIC"))
+_register("HOR_DIFF", "Horizontal diffusivity in the surface diabatic "
+          "layer (cell avg)", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "hor_diff", "HOR_DIFF"))
 _register("VDC_BCK", "Background vertical tracer diffusivity",
           "cm^2/s", 3, lambda c, g, s, a: _bck_vdc(c, g))
 _register("VVC_BCK", "Background vertical viscosity", "cm^2/s", 3,
