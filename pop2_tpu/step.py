@@ -217,6 +217,16 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
                            else None),
             "hor_diff": (bout.gm.hor_diff if bout.gm is not None
                          else None),
+            # total tracer time tendency over this step, pre-filter
+            # (TEND_TEMP/TEND_SALT, the reference's (TNEW-TOLD)/c2dt
+            # accumulation in baroclinic.F90)
+            "tend_tracer": ((tracer_new - state.tracer_cur
+                             if not leapfrog else
+                             tracer_new - state.tracer_old)
+                            / jnp.reshape(
+                                baroclinic._timestep_arrays(
+                                    cfg, leapfrog)[0],
+                                (1, cfg.km, 1, 1))),
         }
         return new, diags, extras
     return new, diags

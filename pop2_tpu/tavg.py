@@ -51,6 +51,7 @@ class TavgAux(NamedTuple):
     kappa_isop: Optional[jnp.ndarray] = None  # (km, ny, nx) Redi kappa
     kappa_thic: Optional[jnp.ndarray] = None  # (km, ny, nx) GM bolus kappa
     hor_diff: Optional[jnp.ndarray] = None    # (km, ny, nx) srf-bl horiz ah
+    tend_tracer: Optional[jnp.ndarray] = None  # (nt, km, ny, nx) dT/dt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -378,6 +379,76 @@ def _qsw_hbl(cfg, grid, state, aux):
     else:
         qsw = f.shf_qsw
     return qsw / const.HFLUX_FACTOR * jnp.where(grid.KMT > 0, 1.0, 0.0)
+
+
+# -- tracer tendency components (baroclinic.F90 / advection.F90 /
+#    horizontal_mix.F90 tavg accumulations). The advective and horizontal-
+#    diffusive pieces are recomputed from the state exactly as the step
+#    computed them (same functions); the total tendency and the implicit
+#    vertical flux come from step extras / the step's diffusivity.
+def _adv_3d(cfg, grid, state, aux, n):
+    from pop2_tpu import advect, baroclinic
+    fv = _flux_vel(cfg, grid, aux, state)
+    c2dtt = baroclinic._timestep_arrays(cfg, True)[0]  # lw_lim needs it
+    lt = advect.advt(cfg, grid, aux.bc, fv, state.tracer_cur,
+                     tmix=state.tracer_old, c2dtt=c2dtt)
+    return -lt[n]
+
+
+def _vint(cfg, grid, f3):
+    dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
+    return jnp.sum(f3 * dzc, axis=0)
+
+
+def _hdif_3d(cfg, grid, state, aux, n):
+    from pop2_tpu import hmix
+    if cfg.hmix_tracer == "gm":
+        from pop2_tpu import gm as gm_mod
+        out = gm_mod.hdifft_gm(cfg, grid, aux.bc, None, state.tracer_old,
+                               hblt=aux.hblt, umix=state.u_old,
+                               vmix_m=state.v_old)
+        return out.gtk[n]
+    return hmix.hdifft(cfg, grid, aux.bc, state.tracer_old)[n]
+
+
+def _dia_impvf(cfg, grid, state, aux, n):
+    """Diabatic implicit-vertical-diffusion flux across each level bottom
+    face, VDC*(T_k - T_{k+1})/dzw of the updated tracers
+    (source/vertical_mix.F90 tavg_DIA_IMPVF accumulation)."""
+    vdc = _need(aux, "vdc", "DIA_IMPVF")[min(n, 1)]
+    t = state.tracer_cur[n]
+    t_kp1 = jnp.concatenate([t[1:], t[-1:]], axis=0)
+    km = cfg.km
+    dzwr = jnp.reshape(1.0 / grid.vgrid.dzw[1:km + 1], (km, 1, 1))
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    below = kidx < grid.KMT[None]
+    return jnp.where(below, vdc * (t - t_kp1) * dzwr, 0.0)
+
+
+_register("TEND_TEMP", "Tendency of Potential Temperature", "degC/s", 3,
+          lambda c, g, s, a: _need(a, "tend_tracer", "TEND_TEMP")[0])
+_register("TEND_SALT", "Tendency of Salinity", "(g/g)/s", 3,
+          lambda c, g, s, a: _need(a, "tend_tracer", "TEND_SALT")[1])
+_register("ADV_3D_TEMP", "T Advection Tendency", "degC/s", 3,
+          lambda c, g, s, a: _adv_3d(c, g, s, a, 0))
+_register("ADV_3D_SALT", "S Advection Tendency", "(g/g)/s", 3,
+          lambda c, g, s, a: _adv_3d(c, g, s, a, 1))
+_register("ADVT", "Vertically-Integrated T Advection Tendency",
+          "degC cm/s", 2,
+          lambda c, g, s, a: _vint(c, g, _adv_3d(c, g, s, a, 0)))
+_register("ADVS", "Vertically-Integrated S Advection Tendency",
+          "(g/g) cm/s", 2,
+          lambda c, g, s, a: _vint(c, g, _adv_3d(c, g, s, a, 1)))
+_register("HDIFT", "Vertically-Integrated T Horizontal Diffusion Tendency",
+          "degC cm/s", 2,
+          lambda c, g, s, a: _vint(c, g, _hdif_3d(c, g, s, a, 0)))
+_register("HDIFS", "Vertically-Integrated S Horizontal Diffusion Tendency",
+          "(g/g) cm/s", 2,
+          lambda c, g, s, a: _vint(c, g, _hdif_3d(c, g, s, a, 1)))
+_register("DIA_IMPVF_TEMP", "T Diabatic Implicit Vertical Flux",
+          "degC cm/s", 3, lambda c, g, s, a: _dia_impvf(c, g, s, a, 0))
+_register("DIA_IMPVF_SALT", "S Diabatic Implicit Vertical Flux",
+          "(g/g) cm/s", 3, lambda c, g, s, a: _dia_impvf(c, g, s, a, 1))
 
 
 _register("QSW_HTP", "Solar short-wave heat flux in top layer", "W/m^2", 2,

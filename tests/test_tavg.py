@@ -108,3 +108,31 @@ def test_registry_component_and_sw_fields(tmp_path):
     assert prec[ocean].max() > 0.0
     # transmission decays with depth
     assert q3d[0][ocean].mean() >= q3d[-1][ocean].mean()
+
+
+def test_tendency_component_fields(tmp_path):
+    """TEND/ADV_3D/ADVT/HDIF/DIA_IMPVF tendency captures evaluate and the
+    vertically integrated advection of a conserved tracer sums to ~the
+    surface flux divergence scale (production contents coverage)."""
+    cfg = get_config("mini")
+    m = Model(cfg)
+    fields = ["TEND_TEMP", "TEND_SALT", "ADV_3D_TEMP", "ADV_3D_SALT",
+              "ADVT", "ADVS", "HDIFT", "HDIFS",
+              "DIA_IMPVF_TEMP", "DIA_IMPVF_SALT"]
+    m.enable_tavg(fields, freq_steps=3, outdir=str(tmp_path))
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    from scipy.io import netcdf_file
+    with netcdf_file(m.tavg_files[-1], "r") as f:
+        for name in fields:
+            v = f.variables[name][0].copy()
+            assert np.isfinite(v).all(), name
+        advt = f.variables["ADVT"][0].copy()
+        tend = f.variables["TEND_TEMP"][0].copy()
+    ocean = np.asarray(m.grid.RCALCT) > 0
+    # global advective tendency of a conserved tracer ~integrates to zero
+    area = np.asarray(m.grid.TAREA)
+    tot = (advt * area)[ocean].sum() / area[ocean].sum()
+    assert abs(tot) < 1e-4 * np.abs(advt[ocean]).max()
+    assert np.abs(tend[:, ocean]).max() > 0.0
