@@ -301,9 +301,19 @@ class ModelConfig:
     gm_ah_bkg_bottom: float = 0.0    # horizontal diffusion in bottom cell
     gm_slm_r: float = 0.3            # max slope for Redi tapering
     gm_slm_b: float = 0.3            # max slope for bolus tapering
-    # flow-dependent kappa (source/hmix_gm.F90:1345-1399, 2226-2659)
-    gm_kappa_isop_type: str = "const"  # 'const'|'depth'|'vmhs'|'eg'
+    # flow-dependent kappa (source/hmix_gm.F90:1345-1399, 2226-2659,
+    # 3011-3176); 'bfre' (normalized-N^2 vertical profile) is the
+    # production default for every gx/tx grid
+    # (bld/namelist_files/namelist_defaults_pop.xml:608-620)
+    gm_kappa_isop_type: str = "const"  # 'const'|'depth'|'bfre'|'vmhs'|'eg'
     gm_kappa_thic_type: str = "const"
+    gm_kappa_isop_deep: float = 0.1  # bfre deep floor (namelist kappa_isop_
+    gm_kappa_thic_deep: float = 0.1  # _deep/kappa_thic_deep, defaults :427)
+    # transition-layer parameterization (Danabasoglu et al. 2008;
+    # source/hmix_gm.F90:3183-3840; default ON in production,
+    # namelist_defaults_pop.xml:683)
+    gm_transition_layer: bool = False
+    gm_use_const_ah_bkg_srfbl: bool = True  # HOR_DIFF source (:1603-1628)
     gm_const_eg: float = 1.0         # Eden-Greatbatch tuning constant
     gm_gamma_eg: float = 300.0       # EG inverse-timescale cap
     gm_kappa_min_eg: float = 0.35e7  # cm^2/s

@@ -46,6 +46,21 @@ class GMOut(NamedTuple):
     kappa_isop: jnp.ndarray = None   # (km, ny, nx)
     kappa_thic: jnp.ndarray = None   # (km, ny, nx)
     hor_diff: jnp.ndarray = None     # (km, ny, nx)
+    # transition-layer diagnostics (DIA_DEPTH/TLT/INT_DEPTH tavg fields,
+    # source/hmix_gm.F90:2198-2209); None when the scheme is off
+    dia_depth: jnp.ndarray = None    # (ny, nx) diabatic-layer depth
+    tlt_thick: jnp.ndarray = None    # (ny, nx) transition-layer thickness
+    int_depth: jnp.ndarray = None    # (ny, nx) interior-region start depth
+
+
+class TLT(NamedTuple):
+    """Transition-layer fields (the reference's TLT derived type,
+    source/hmix_gm.F90:222-245)."""
+    diabatic_depth: jnp.ndarray   # (ny, nx) base of the diabatic region
+    thickness: jnp.ndarray        # (ny, nx) transition-layer thickness
+    interior_depth: jnp.ndarray   # (ny, nx) start of the adiabatic interior
+    k_level: jnp.ndarray          # (ny, nx) int32, 1-based level of the base
+    ztw: jnp.ndarray              # (ny, nx) int32, 1 = base at zt, 2 = at zw
 
 
 def face_density_diffs(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
@@ -137,31 +152,41 @@ def _slopes(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix):
     return tx, ty, tz, slx, sly
 
 
-def _tapers(cfg: ModelConfig, grid: Grid, slx, sly, bl_depth):
-    """Near-surface Rossby-radius taper (Large et al. 1997) and slope
-    control (source/hmix_gm.F90:1405-1595, 'notanh'). Returns
-    (taper_isop, taper_thic), each (2 halves, km, ny, nx)."""
+def _sla(cfg: ModelConfig, grid: Grid, slx, sly):
+    """Absolute-slope measure |S| per (half, k) (SLA / SLA_SAVE,
+    source/hmix_gm.F90:1236-1242, 1431-1436); kid = k-1 for ktp, k for
+    kbt. Returns (2 halves, km, ny, nx)."""
     km = cfg.km
-    zt = grid.vgrid.zt
     dzw = grid.vgrid.dzw
-
-    # |S| per (half, k): kid = k-1 for ktp, k for kbt
     dzw_h = jnp.stack([
         jnp.reshape(dzw[0:km], (km, 1, 1)),
         jnp.reshape(dzw[1:km + 1], (km, 1, 1))])
-    sla = dzw_h * jnp.sqrt(0.5 * (
+    return dzw_h * jnp.sqrt(0.5 * (
         (slx[0] ** 2 + slx[1] ** 2) / grid.DXT[None, None] ** 2
         + (sly[0] ** 2 + sly[1] ** 2) / grid.DYT[None, None] ** 2)) + EPS
 
-    # inverse Rossby radius |f|/c1, bounded to [15 km, 100 km]
-    # (source/hmix_gm.F90:889-894)
-    rbr = jnp.clip(jnp.abs(grid.FCORT) / 200.0, 1.0e-7, 1.0 / 1.5e6)
 
-    w1 = jnp.minimum(1.0, jnp.reshape(zt, (1, km, 1, 1)) * rbr / sla)
-    taper1 = 0.5 + 2.0 * (w1 - 0.5) * (1.0 - jnp.abs(w1 - 0.5))
-    zt_above = jnp.concatenate([jnp.zeros_like(zt[:1]), zt[:-1]])
-    in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
-    taper1 = jnp.where(in_bl, taper1, 1.0)
+def _tapers(cfg: ModelConfig, grid: Grid, sla, bl_depth, tlt=None):
+    """Near-surface Rossby-radius taper (Large et al. 1997) and slope
+    control (source/hmix_gm.F90:1405-1601, 'notanh'). With the transition
+    layer active, the Rossby taper is skipped (TAPER1 = 1, :1440) and the
+    slope tapers are disabled inside the diabatic region (:1596-1601).
+    Returns (taper_isop, taper_thic, taper1, taper2), each
+    (2 halves, km, ny, nx)."""
+    km = cfg.km
+    zt = grid.vgrid.zt
+
+    if tlt is None:
+        # inverse Rossby radius |f|/c1, bounded to [15 km, 100 km]
+        # (source/hmix_gm.F90:889-894)
+        rbr = jnp.clip(jnp.abs(grid.FCORT) / 200.0, 1.0e-7, 1.0 / 1.5e6)
+        w1 = jnp.minimum(1.0, jnp.reshape(zt, (1, km, 1, 1)) * rbr / sla)
+        taper1 = 0.5 + 2.0 * (w1 - 0.5) * (1.0 - jnp.abs(w1 - 0.5))
+        zt_above = jnp.concatenate([jnp.zeros_like(zt[:1]), zt[:-1]])
+        in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
+        taper1 = jnp.where(in_bl, taper1, 1.0)
+    else:
+        taper1 = jnp.ones_like(sla)
 
     def notanh(sla, slm):
         x = sla / slm
@@ -171,6 +196,22 @@ def _tapers(cfg: ModelConfig, grid: Grid, slx, sly, bl_depth):
     taper2 = notanh(sla, cfg.gm_slm_r)
     taper3 = (notanh(sla, cfg.gm_slm_b)
               if cfg.gm_slm_b != cfg.gm_slm_r else taper2)
+
+    if tlt is not None:
+        # no slope tapering inside the diabatic region; the taper test
+        # depths are zt(k+1) (ktp) / zw(k+1) (kbt) (:1406-1411)
+        ztv = np.asarray(grid.vgrid.zt)
+        zwv = np.asarray(grid.vgrid.zw)
+        kp1 = np.minimum(np.arange(1, km + 1), km - 1)
+        ref_ktp = ztv[kp1]
+        ref_ktp[km - 1] = zwv[km - 1]
+        ref_kbt = zwv[kp1]
+        ref_d = jnp.reshape(jnp.asarray(np.stack([ref_ktp, ref_kbt])),
+                            (2, km, 1, 1))
+        in_dia = ref_d <= tlt.diabatic_depth[None, None]
+        taper2 = jnp.where(in_dia, 1.0, taper2)
+        taper3 = jnp.where(in_dia, 1.0, taper3)
+
     return taper1 * taper2, taper1 * taper3, taper1, taper2
 
 
@@ -186,11 +227,13 @@ def _btp(grid: Grid, bc: BC):
     return 2.0 * const.OMEGA * jnp.cos(lat_t) / const.RADIUS
 
 
-def _displaced_density_diff(cfg, grid, ts_range, tmix):
+def _displaced_density_diff(cfg, grid, ts_range, tmix, clamp=True):
     """WORK3 = drho/dT*(T_k - T_{k+1}) + drho/dS*(S_k - S_{k+1}) with
     level-k coefficients displaced to level-(k+1) pressure, T clamped at
     -2C and the result clamped <= -eps2 (the shared stratification measure
-    of kappa_lon_lat_vmhs :2320-2331 and kappa_eg :2546-2556)."""
+    of kappa_lon_lat_vmhs :2320-2331 and kappa_eg :2546-2556). With
+    clamp=False the raw difference is returned (the bfre N^2 profile,
+    :3104-3111, applies max(0, .) instead)."""
     pz = grid.vgrid.pressz
     pz_kp1 = jnp.concatenate([pz[1:], pz[-1:]])
     _, drdt, drds = eos.state(cfg, pz_kp1, tmix[0], tmix[1], ts_range,
@@ -199,7 +242,309 @@ def _displaced_density_diff(cfg, grid, ts_range, tmix):
     t_kp1 = jnp.concatenate([tclip[1:], tclip[-1:]], axis=0)
     s_kp1 = jnp.concatenate([tmix[1, 1:], tmix[1, -1:]], axis=0)
     work3 = drdt * (tclip - t_kp1) + drds * (tmix[1] - s_kp1)
-    return jnp.minimum(work3, -EPS2)
+    return jnp.minimum(work3, -EPS2) if clamp else work3
+
+
+def kappa_vertical_bfre(cfg: ModelConfig, grid: Grid, ts_range, tmix, sdl):
+    """Normalized buoyancy-frequency vertical profile KAPPA_VERTICAL =
+    clip(N^2 / N^2_ref, 0.1, 1) at T points — the production 'bfre' kappa
+    vertical structure (buoyancy_frequency_dependent_profile,
+    source/hmix_gm.F90:3011-3176). ``sdl`` is the surface-diabatic-layer
+    depth (zw(1) / KPP HBLT / TLT interior depth, :3085-3087).
+
+    Returns (km, ny, nx); 1 at and above the reference level."""
+    km = cfg.km
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    dzwr = jnp.reshape(grid.vgrid.dzwr[1:km + 1], (km, 1, 1))
+    zw = jnp.reshape(jnp.asarray(grid.vgrid.zw), (km, 1, 1))
+
+    work3 = _displaced_density_diff(cfg, grid, ts_range, tmix, clamp=False)
+    below = kidx < grid.KMT[None]
+    n2 = jnp.where(below, jnp.maximum(0.0, -const.GRAV * work3 * dzwr), 0.0)
+
+    # reference level: first k with zw(k) > SDL, k <= KMT, N^2 > 0 (:3126-
+    # 3133; the loop runs k=1..km-1 so the bottom interface never qualifies)
+    cand = (zw > sdl[None]) & (kidx <= grid.KMT[None]) & (n2 > 0.0)
+    cand = cand.at[-1].set(False)
+    exists = jnp.any(cand, axis=0)
+    k_min0 = jnp.argmax(cand, axis=0)              # 0-based level index
+    n2_ref = jnp.take_along_axis(n2, k_min0[None], axis=0)[0]
+    k_min = jnp.where(exists, k_min0 + 1, km + 1)  # 1-based; km+1 = none
+
+    norm = jnp.where((kidx >= k_min[None]) & below & exists[None]
+                     & (n2_ref[None] != 0.0),
+                     jnp.clip(n2 / jnp.where(n2_ref[None] == 0.0, 1.0,
+                                             n2_ref[None]), 0.1, 1.0),
+                     1.0)
+    # copy the last interior interface value to the bottom one (:3153-3157)
+    norm_up = jnp.concatenate([norm[:1], norm[:-1]], axis=0)
+    norm = jnp.where(kidx == grid.KMT[None], norm_up, norm)
+
+    # copy interface values from above to T points, preserving extrema
+    # (:3167-3171): KAPPA_VERTICAL(k) = NORM(k-1) for K_MIN < k <= KMT
+    kv = jnp.where((kidx > k_min[None]) & (kidx <= grid.KMT[None]),
+                   norm_up, 1.0)
+    return kv
+
+
+def _rossby_radius(grid: Grid):
+    """Rossby deformation radius RB = Cg/|f| bounded to [15 km, 100 km]
+    (source/hmix_gm.F90:887-898), cm."""
+    rbr = jnp.clip(jnp.abs(grid.FCORT) / 200.0, 1.0e-7, 1.0 / 1.5e6)
+    return 1.0 / rbr
+
+
+def transition_layer(cfg: ModelConfig, grid: Grid, diabatic_depth, sla,
+                     rb) -> TLT:
+    """Transition-layer thickness/extent search (transition_layer,
+    source/hmix_gm.F90:3183-3434). ``sla`` is the (half, km, ny, nx)
+    absolute-slope measure SLA_SAVE (:1236-1242); ``rb`` the Rossby radius.
+
+    The reference's three sequential k sweeps with per-column state become
+    lax.scan's over stacked per-level constants."""
+    km = cfg.km
+    zt = np.asarray(grid.vgrid.zt)
+    zw = np.asarray(grid.vgrid.zw)
+    dd = diabatic_depth
+    kmt = grid.KMT
+    shape = dd.shape
+    i32 = jnp.int32
+
+    zeros = jnp.zeros(shape, dd.dtype)
+    izeros = jnp.zeros(shape, i32)
+
+    # ---- pass 1 (:3248-3276): minimum thickness = down to the first grid
+    # interface (zw) or center (zt) below the diabatic depth
+    def pass1(carry, xs):
+        k, ztk, zwk = xs
+        k_start, k_sub, thick, k_level, ztw, compute = carry
+        c1 = compute & (dd < zwk)
+        k_start = jnp.where(c1, k + 1, k_start)
+        k_sub = jnp.where(c1, 0, k_sub)                     # ktp
+        thick = jnp.where(c1, zwk - dd, thick)
+        k_level = jnp.where(c1, k, k_level)
+        ztw = jnp.where(c1, 2, ztw)
+        compute = compute & ~c1
+        c2 = c1 & (k != 1) & (dd < ztk)
+        k_start = jnp.where(c2, k, k_start)
+        k_sub = jnp.where(c2, 1, k_sub)                     # kbt
+        thick = jnp.where(c2, ztk - dd, thick)
+        ztw = jnp.where(c2, 1, ztw)
+        return (k_start, k_sub, thick, k_level, ztw, compute), None
+
+    ks = jnp.arange(1, km + 1, dtype=i32)
+    (k_start, k_sub, thick, k_level, ztw, _), _ = jax.lax.scan(
+        pass1,
+        (izeros, izeros, zeros, izeros, izeros, kmt != 0),
+        (ks, jnp.asarray(zt), jnp.asarray(zw)))
+
+    # ---- pass 2 (:3297-3331): extend through levels whose Rossby-scale
+    # vertical displacement R*|S| reaches above the diabatic depth
+    # (columns whose minimum layer ended at a cell center, K_SUB = kbt)
+    compute = ~((kmt == 0) | (k_start > kmt)
+                | ((k_start == kmt) & (k_sub == 1)))
+
+    sla_kbt = sla[1]                                        # (km, ny, nx)
+    sla_ktp = sla[0]
+    sla_ktp_kp1 = jnp.concatenate(
+        [sla_ktp[1:], jnp.zeros_like(sla_ktp[:1])], axis=0)
+
+    def pass2(carry, xs):
+        k, zwk, s_kbt_k, s_ktp_kp1 = xs
+        k_start, k_sub, thick, k_level, ztw, compute = carry
+        work = jnp.where(compute & (k_sub == 1) & (k_start < kmt)
+                         & (k_start == k),
+                         jnp.maximum(s_kbt_k, s_ktp_kp1) * rb, 0.0)
+        stop = (work != 0.0) & (dd < (zwk - work))
+        compute = compute & ~stop
+        grow = (work != 0.0) & (dd >= (zwk - work))
+        k_start = jnp.where(grow, k_start + 1, k_start)
+        k_sub = jnp.where(grow, 0, k_sub)
+        thick = jnp.where(grow, zwk - dd, thick)
+        k_level = jnp.where(grow, k, k_level)
+        ztw = jnp.where(grow, 2, ztw)
+        return (k_start, k_sub, thick, k_level, ztw, compute), None
+
+    (k_start, k_sub, thick, k_level, ztw, compute), _ = jax.lax.scan(
+        pass2, (k_start, k_sub, thick, k_level, ztw, compute),
+        (ks[:km - 1], jnp.asarray(zw[:km - 1]), sla_kbt[:km - 1],
+         sla_ktp_kp1[:km - 1]))
+
+    # ---- pass 3 (:3339-3388): deeper levels, checking both the top
+    # (zt) and bottom (zw) halves of each level
+    def pass3(carry, xs):
+        k, ztk, zwk, s_ktp_k, s_kbt_k, s_ktp_kp1 = xs
+        k_start, thick, k_level, ztw, compute = carry
+        for kk, refd in ((0, ztk), (1, zwk)):
+            if kk == 0:
+                work = jnp.where(compute & (k_start <= kmt)
+                                 & (k_start == k),
+                                 jnp.maximum(s_ktp_k, s_kbt_k) * rb, 0.0)
+            else:
+                work = jnp.where(compute & (k_start < kmt)
+                                 & (k_start == k) & (k < km),
+                                 jnp.maximum(s_kbt_k, s_ktp_kp1) * rb, 0.0)
+                work = jnp.where(compute & (k_start == kmt)
+                                 & (k_start == k),
+                                 s_kbt_k * rb, work)
+            stop = (work != 0.0) & (dd < (refd - work))
+            compute = compute & ~stop
+            grow = (work != 0.0) & (dd >= (refd - work))
+            thick = jnp.where(grow, refd - dd, thick)
+            k_level = jnp.where(grow, k, k_level)
+            ztw = jnp.where(grow, kk + 1, ztw)
+        k_start = jnp.where(compute & (k_start == k), k_start + 1, k_start)
+        return (k_start, thick, k_level, ztw, compute), None
+
+    (k_start, thick, k_level, ztw, _), _ = jax.lax.scan(
+        pass3, (k_start, thick, k_level, ztw, compute),
+        (ks[1:], jnp.asarray(zt[1:]), jnp.asarray(zw[1:]),
+         sla_ktp[1:], sla_kbt[1:], sla_ktp_kp1[1:]))
+
+    # ---- interior-region start depth (:3404-3413)
+    klev0 = jnp.clip(k_level - 1, 0, km - 1)
+    int_depth = jnp.where(
+        ztw == 1, jnp.asarray(zt)[klev0],
+        jnp.where(ztw == 2, jnp.asarray(zw)[klev0], 0.0))
+    int_depth = jnp.where(kmt > 0, int_depth, 0.0)
+
+    return TLT(diabatic_depth=dd, thickness=jnp.where(kmt > 0, thick, 0.0),
+               interior_depth=int_depth, k_level=k_level, ztw=ztw)
+
+
+def merged_streamfunction(cfg: ModelConfig, grid: Grid, tlt: TLT, kthic,
+                          slx, sly):
+    """Merged eddy-induced streamfunction SF = kappa_thic * S * dz with
+    linear interpolation through the diabatic region and quadratic
+    interpolation through the transition layer (merged_streamfunction,
+    source/hmix_gm.F90:3441-3738).
+
+    kthic: (half, km, ny, nx); slx/sly: (face, half, km, ny, nx).
+    Returns (sf_slx, sf_sly) of shape (face, half, km, ny, nx)."""
+    km = cfg.km
+    dz = np.asarray(grid.vgrid.dz)
+    zt = np.asarray(grid.vgrid.zt)
+    dzwr = np.asarray(grid.vgrid.dzwr)
+    kmt = grid.KMT
+
+    klev = tlt.k_level                                    # 1-based; 0 = none
+    k0 = jnp.clip(klev - 1, 0, km - 1)                    # 0-based gather
+
+    def gat_k(a, dk, axis):
+        idx = jnp.clip(k0 + dk, 0, km - 1)
+        bshape = [1] * a.ndim
+        bshape[axis] = 1
+        idx_b = jnp.broadcast_to(
+            idx, a.shape[:axis] + (1,) + a.shape[axis + 1:])
+        return jnp.take_along_axis(a, idx_b, axis=axis)
+
+    def gv(vec, dk):
+        return jnp.asarray(vec)[jnp.clip(k0 + dk, 0, km - 1)]
+
+    # gathered level constants and fields at K_LEVEL (k), k+1, k+2
+    dz_k, dz_kp1, dz_kp2 = gv(dz, 0), gv(dz, 1), gv(dz, 2)
+    dzwr_k = gv(dzwr[1:km + 1], 0)
+    dzwr_kp1 = gv(dzwr[1:km + 1], 1)
+
+    def work_pair(sl):
+        """WORK1 (streamfunction) and WORK2 (first derivative) at the
+        interior-depth level for one slope field; (face, ny, nx) each."""
+        kth_kbt_k = gat_k(kthic[1:2], 0, 1)[0]            # (1? ny nx)
+        kth_ktp_kp1 = gat_k(kthic[0:1], 1, 1)[0]
+        kth_kbt_kp1 = gat_k(kthic[1:2], 1, 1)[0]
+        kth_ktp_kp2 = gat_k(kthic[0:1], 2, 1)[0]
+
+        sl_kbt_k = gat_k(sl[:, 1], 0, 1)[:, 0]            # (face, ny, nx)
+        sl_ktp_kp1 = gat_k(sl[:, 0], 1, 1)[:, 0]
+        sl_kbt_kp1 = gat_k(sl[:, 1], 1, 1)[:, 0]
+        sl_ktp_kp2 = gat_k(sl[:, 0], 2, 1)[:, 0]
+
+        m1 = (tlt.ztw == 1) & (klev < kmt) & (klev > 0)   # base at zt(k)
+        w1_a = kth_kbt_k * sl_kbt_k * dz_k
+        w2_a = 2.0 * dzwr_k * (w1_a - kth_ktp_kp1 * sl_ktp_kp1 * dz_kp1)
+        w2n_a = 2.0 * (kth_ktp_kp1 * sl_ktp_kp1
+                       - kth_kbt_kp1 * sl_kbt_kp1)
+        w2_a = jnp.where(jnp.abs(w2n_a) < jnp.abs(w2_a), w2n_a, w2_a)
+
+        m2 = (tlt.ztw == 2) & (klev < kmt) & (klev > 0)   # base at zw(k)
+        w1_b0 = kth_ktp_kp1 * sl_ktp_kp1
+        w2_b = 2.0 * (w1_b0 - kth_kbt_kp1 * sl_kbt_kp1)
+        w1_b = w1_b0 * dz_kp1
+        deeper = m2 & (klev + 1 < kmt)                    # => k+2 in range
+        w2n_b = 2.0 * dzwr_kp1 * (kth_kbt_kp1 * sl_kbt_kp1 * dz_kp1
+                                  - kth_ktp_kp2 * sl_ktp_kp2 * dz_kp2)
+        w2_b = jnp.where(deeper & (jnp.abs(w2n_b) < jnp.abs(w2_b)),
+                         w2n_b, w2_b)
+
+        w1 = jnp.where(m1, w1_a, jnp.where(m2, w1_b, 0.0))
+        w2 = jnp.where(m1, w2_a, jnp.where(m2, w2_b, 0.0))
+        return w1, w2
+
+    wx1, wx2 = work_pair(slx)
+    wy1, wy2 = work_pair(sly)
+
+    # interpolation factors (:3613-3622)
+    w5 = jnp.where(kmt != 0,
+                   1.0 / (2.0 * tlt.diabatic_depth + tlt.thickness), 0.0)
+    w6 = jnp.where((kmt != 0) & (tlt.thickness > EPS),
+                   w5 / jnp.where(tlt.thickness > EPS, tlt.thickness, 1.0),
+                   0.0)
+
+    # per-(half, k) reference depths: mid top / bottom quarter of the cell
+    ref_d = np.stack([zt - 0.25 * dz, zt + 0.25 * dz])    # (2, km)
+    ref_d = jnp.reshape(jnp.asarray(ref_d), (1, 2, km, 1, 1))
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    in_col = (kidx <= kmt[None])[None, None]
+
+    dd = tlt.diabatic_depth[None, None, None]
+    idp = tlt.interior_depth[None, None, None]
+    z_dia = (ref_d <= dd) & in_col
+    z_tl = (ref_d > dd) & (ref_d <= idp) & in_col
+    z_int = (ref_d > idp) & in_col
+
+    def merge_sf(w1, w2, sl, kth):
+        lin = ref_d * w5 * (2.0 * w1[:, None, None]
+                            + tlt.thickness * w2[:, None, None])
+        quad = (-(dd - ref_d) ** 2 * w6
+                * (w1[:, None, None] + idp * w2[:, None, None]) + lin)
+        interior = kth[None] * sl * jnp.reshape(jnp.asarray(dz),
+                                                (1, 1, km, 1, 1))
+        return jnp.where(z_dia, lin,
+                         jnp.where(z_tl, quad,
+                                   jnp.where(z_int, interior, 0.0)))
+
+    return merge_sf(wx1, wx2, slx, kthic), merge_sf(wy1, wy2, sly, kthic)
+
+
+def apply_transition_profile(cfg: ModelConfig, grid: Grid, tlt: TLT,
+                             kisop, hor_diff):
+    """Vertical tapering of KAPPA_ISOP and HOR_DIFF across the diabatic /
+    transition / interior regions (apply_vertical_profile_to_isop_hor_diff,
+    source/hmix_gm.F90:3745-3840). Both args (half, km, ny, nx)."""
+    km = cfg.km
+    dz = np.asarray(grid.vgrid.dz)
+    zt = np.asarray(grid.vgrid.zt)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+    in_col = (kidx <= grid.KMT[None])[None]
+
+    ref_d = jnp.reshape(jnp.asarray(
+        np.stack([zt - 0.25 * dz, zt + 0.25 * dz])), (2, km, 1, 1))
+    dd = tlt.diabatic_depth[None, None]
+    idp = tlt.interior_depth[None, None]
+    thick = tlt.thickness[None, None]
+
+    z_dia = (ref_d <= dd) & in_col
+    z_tl = (ref_d > dd) & (ref_d <= idp) & in_col & (thick > EPS)
+    z_int = (ref_d > idp) & in_col
+
+    safe_thick = jnp.where(thick > EPS, thick, 1.0)
+    kisop = jnp.where(z_dia, 0.0, kisop)
+    kisop = jnp.where(z_tl, (ref_d - dd) * kisop / safe_thick, kisop)
+    hor_diff = jnp.where(z_tl, (idp - ref_d) * hor_diff / safe_thick,
+                         hor_diff)
+    hor_diff = jnp.where(z_int, 0.0, hor_diff)
+    return kisop, hor_diff
 
 
 def kappa_vmhs(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
@@ -324,10 +669,12 @@ def kappa_eg(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
 
 
 def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
-                 umix=None, vmix_m=None, hblt=None):
+                 umix=None, vmix_m=None, hblt=None, sdl=None):
     """(kappa_isop, kappa_thic) diffusivities, broadcastable to (km, ny, nx)
-    (KAPPA_ISOP/KAPPA_THIC assembly, source/hmix_gm.F90:1345-1399), plus the
-    'cancellation' flag (equal isop/thic diffusivities, :970-983)."""
+    (KAPPA_ISOP/KAPPA_THIC assembly, source/hmix_gm.F90:1345-1399), the
+    'cancellation' flag (equal isop/thic diffusivities, :970-987), and
+    KAPPA_VERTICAL (the depth/bfre vertical profile, 1.0 otherwise).
+    ``sdl`` is the surface-diabatic-layer depth for the bfre profile."""
     km = cfg.km
 
     def depth_profile():
@@ -336,11 +683,28 @@ def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
                 * jnp.exp(-zt / cfg.gm_kappa_depth_scale))
         return jnp.reshape(prof, (km, 1, 1))
 
-    def build(ktype, ah):
+    # KAPPA_VERTICAL: depth profile for 'depth' (init_gm :866-873), the
+    # normalized N^2 profile for 'bfre' (:1309-1319), 1 otherwise
+    kinds = (cfg.gm_kappa_isop_type, cfg.gm_kappa_thic_type)
+    if "bfre" in kinds:
+        if sdl is None:
+            sdl = jnp.full_like(grid.FCORT, float(grid.vgrid.zw[0]))
+        kappa_vert = kappa_vertical_bfre(cfg, grid, ts_range, tmix, sdl)
+    elif "depth" in kinds:
+        kappa_vert = jnp.broadcast_to(depth_profile(),
+                                      (km,) + grid.FCORT.shape)
+    else:
+        kappa_vert = jnp.ones((1, 1, 1), dtype=tmix.dtype)
+
+    def build(ktype, ah, deep):
         if ktype == "const":
             return jnp.asarray(ah)
         if ktype == "depth":
-            return ah * depth_profile()
+            return ah * kappa_vert
+        if ktype == "bfre":
+            # KAPPA_LATERAL stays at its init value ah for pure bfre
+            # (init_gm :859, assembly :1353-1359 / :1381-1387)
+            return ah * jnp.maximum(kappa_vert, deep)
         if ktype == "vmhs":
             if umix is None:
                 raise ValueError("vmhs kappa needs mix-time velocities")
@@ -353,18 +717,23 @@ def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
                             hblt)
         raise NotImplementedError(f"gm kappa type {ktype}")
 
-    kisop = build(cfg.gm_kappa_isop_type, cfg.gm_ah)
+    kisop = build(cfg.gm_kappa_isop_type, cfg.gm_ah, cfg.gm_kappa_isop_deep)
     if cfg.gm_kappa_thic_type == "eg" and cfg.gm_kappa_isop_type == "eg":
         kthic = kisop  # KAPPA_THIC = KAPPA_ISOP (:1389)
     else:
-        kthic = build(cfg.gm_kappa_thic_type, cfg.gm_ah_bolus)
+        kthic = build(cfg.gm_kappa_thic_type, cfg.gm_ah_bolus,
+                      cfg.gm_kappa_thic_deep)
 
     same_type = cfg.gm_kappa_isop_type == cfg.gm_kappa_thic_type
-    if same_type and cfg.gm_kappa_isop_type in ("const", "depth"):
+    if same_type and cfg.gm_kappa_isop_type in ("const", "depth", "bfre"):
+        # the reference's cancellation test ignores the kappa_*_deep floors
+        # (init_gm :970-983)
         cancellation = cfg.gm_ah == cfg.gm_ah_bolus
     else:
         cancellation = same_type  # vmhs/eg ignore ah/ah_bolus scaling
-    return kisop, kthic, cancellation
+    if cfg.gm_transition_layer:
+        cancellation = False      # always (:985-987)
+    return kisop, kthic, cancellation, kappa_vert
 
 
 def _aniso_factors(cfg: ModelConfig, grid: Grid, bc: BC, umix, vmix_m):
@@ -402,14 +771,39 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
 
     tx, ty, tz, slx, sly = _slopes(cfg, grid, bc, ts_range, tmix)
+    sla = _sla(cfg, grid, slx, sly)
+
+    # transition-layer geometry (hdifft_gm :1221-1247): the diabatic depth
+    # is the smoothed KPP boundary-layer depth (smooth_hblt SMOOTH_OUT
+    # path, :1227-1228) or the first layer
+    tlt = None
+    if cfg.gm_transition_layer:
+        if cfg.gm_aniso is not None:
+            raise NotImplementedError(
+                "gm_aniso with the transition layer is not supported "
+                "(the reference's aniso GM is a separate scheme)")
+        if hblt is not None:
+            from pop2_tpu import kpp as kpp_mod
+            dd, _ = kpp_mod.smooth_hblt(cfg, grid, bc, hblt)
+        else:
+            dd = jnp.full_like(grid.FCORT, float(grid.vgrid.zw[0]))
+        tlt = transition_layer(cfg, grid, dd, sla, _rossby_radius(grid))
 
     bl_depth = (hblt[None, None] if hblt is not None
                 else jnp.full((1, 1) + grid.TAREA.shape, grid.vgrid.zw[0]))
-    tap_isop, tap_thic, taper1, taper2 = _tapers(cfg, grid, slx, sly,
-                                                 bl_depth)
+    tap_isop, tap_thic, taper1, taper2 = _tapers(cfg, grid, sla, bl_depth,
+                                                 tlt)
 
-    kappa_isop, kappa_thic, kappa_equal = kappa_fields(
-        cfg, grid, bc, ts_range, tmix, umix, vmix_m, hblt)
+    # surface-diabatic-layer depth for the bfre N^2 normalization
+    # (:3085-3087)
+    if tlt is not None:
+        sdl = tlt.interior_depth
+    elif hblt is not None:
+        sdl = hblt
+    else:
+        sdl = None
+    kappa_isop, kappa_thic, kappa_equal, kappa_vert = kappa_fields(
+        cfg, grid, bc, ts_range, tmix, umix, vmix_m, hblt, sdl=sdl)
     kisop = tap_isop * kappa_isop         # (half, km, ny, nx)
     kthic = tap_thic * kappa_thic
     # boundary conditions: zero in the top quarter of level 1 and the bottom
@@ -430,20 +824,48 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
         kthic_x = kthic_y = kthic
 
     # surface-boundary-layer horizontal diffusion (HOR_DIFF,
-    # source/hmix_gm.F90:1613-1632, use_const_ah_bkg_srfbl path)
-    zt_above = jnp.concatenate([jnp.zeros_like(grid.vgrid.zt[:1]),
-                                grid.vgrid.zt[:-1]])
-    in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
-    hor_diff = jnp.where(in_bl,
-                         cfg.gm_ah_bkg_srfbl * (1.0 - tap_isop), 0.0)
-    hor_diff = hor_diff.at[0, 0].set(cfg.gm_ah_bkg_srfbl)
+    # source/hmix_gm.F90:1603-1632)
+    if tlt is not None:
+        # the vertical profile below replaces the (1 - taper) weighting
+        # (:1603-1612)
+        if cfg.gm_use_const_ah_bkg_srfbl:
+            hor_diff = jnp.full_like(kisop, cfg.gm_ah_bkg_srfbl)
+        else:
+            hor_diff = kappa_isop * jnp.ones_like(kisop)
+    else:
+        zt_above = jnp.concatenate([jnp.zeros_like(grid.vgrid.zt[:1]),
+                                    grid.vgrid.zt[:-1]])
+        in_bl = jnp.reshape(zt_above, (1, km, 1, 1)) <= bl_depth
+        if cfg.gm_use_const_ah_bkg_srfbl:
+            hor_diff = jnp.where(
+                in_bl, cfg.gm_ah_bkg_srfbl * (1.0 - tap_isop)
+                * kappa_vert[None], 0.0)
+        else:
+            hor_diff = jnp.where(
+                in_bl, kappa_isop * (1.0 - tap_isop), 0.0)
+        hor_diff = hor_diff.at[0, 0].set(cfg.gm_ah_bkg_srfbl)
+
+    in_mask = kidx <= grid.KMT[None]
+    if tlt is not None:
+        # merged streamfunction through the diabatic/transition regions
+        # (:3441-3738), then vertical profiling of KAPPA_ISOP/HOR_DIFF
+        # (:3745-3840)
+        sf_slx, sf_sly = merged_streamfunction(cfg, grid, tlt, kthic,
+                                               slx, sly)
+        kisop, hor_diff = apply_transition_profile(cfg, grid, tlt, kisop,
+                                                   hor_diff)
+        kisop_x = kisop_y = kisop
+    else:
+        sf_slx = jnp.where(in_mask[None, None], kthic_x[None] * slx * dz,
+                           0.0)
+        sf_sly = jnp.where(in_mask[None, None], kthic_y[None] * sly * dz,
+                           0.0)
+
+    # bottom-cell horizontal diffusion floor, applied after any transition
+    # profiling (source/hmix_gm.F90:1757-1761)
     if cfg.gm_ah_bkg_bottom != 0.0:
         hor_diff = hor_diff.at[1].set(
             jnp.where(at_bottom, cfg.gm_ah_bkg_bottom, hor_diff[1]))
-
-    in_mask = kidx <= grid.KMT[None]
-    sf_slx = jnp.where(in_mask[None, None], kthic_x[None] * slx * dz, 0.0)
-    sf_sly = jnp.where(in_mask[None, None], kthic_y[None] * sly * dz, 0.0)
 
     hyx = grid.HTE / grid.HUS
     hxy = grid.HTN / grid.HUW
@@ -572,4 +994,7 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     return GMOut(gtk=gtk, vdc_gm=vdc_gm,
                  kappa_isop=0.5 * (kisop[0] + kisop[1]),
                  kappa_thic=0.5 * (kthic[0] + kthic[1]),
-                 hor_diff=0.5 * (hor_diff[0] + hor_diff[1]))
+                 hor_diff=0.5 * (hor_diff[0] + hor_diff[1]),
+                 dia_depth=tlt.diabatic_depth if tlt is not None else None,
+                 tlt_thick=tlt.thickness if tlt is not None else None,
+                 int_depth=tlt.interior_depth if tlt is not None else None)

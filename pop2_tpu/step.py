@@ -217,6 +217,14 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
                            else None),
             "hor_diff": (bout.gm.hor_diff if bout.gm is not None
                          else None),
+            # transition-layer geometry (DIA_DEPTH/TLT/INT_DEPTH,
+            # source/hmix_gm.F90:2198-2209)
+            "dia_depth": (bout.gm.dia_depth if bout.gm is not None
+                          else None),
+            "tlt_thick": (bout.gm.tlt_thick if bout.gm is not None
+                          else None),
+            "int_depth": (bout.gm.int_depth if bout.gm is not None
+                          else None),
             # total tracer time tendency over this step, pre-filter
             # (TEND_TEMP/TEND_SALT, the reference's (TNEW-TOLD)/c2dt
             # accumulation in baroclinic.F90)

@@ -51,6 +51,9 @@ class TavgAux(NamedTuple):
     kappa_isop: Optional[jnp.ndarray] = None  # (km, ny, nx) Redi kappa
     kappa_thic: Optional[jnp.ndarray] = None  # (km, ny, nx) GM bolus kappa
     hor_diff: Optional[jnp.ndarray] = None    # (km, ny, nx) srf-bl horiz ah
+    dia_depth: Optional[jnp.ndarray] = None   # (ny, nx) GM diabatic depth
+    tlt_thick: Optional[jnp.ndarray] = None   # (ny, nx) transition thickness
+    int_depth: Optional[jnp.ndarray] = None   # (ny, nx) interior start depth
     tend_tracer: Optional[jnp.ndarray] = None  # (nt, km, ny, nx) dT/dt
 
 
@@ -503,6 +506,14 @@ _register("KAPPA_THIC", "Thickness (GM bolus) diffusivity (cell avg)",
 _register("HOR_DIFF", "Horizontal diffusivity in the surface diabatic "
           "layer (cell avg)", "cm^2/s", 3,
           lambda c, g, s, a: _need(a, "hor_diff", "HOR_DIFF"))
+_register("DIA_DEPTH", "Depth of the Diabatic Region at the Surface",
+          "centimeter", 2,
+          lambda c, g, s, a: _need(a, "dia_depth", "DIA_DEPTH"))
+_register("TLT", "Transition Layer Thickness", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "tlt_thick", "TLT"))
+_register("INT_DEPTH", "Depth at which the Interior Region Starts",
+          "centimeter", 2,
+          lambda c, g, s, a: _need(a, "int_depth", "INT_DEPTH"))
 _register("VDC_BCK", "Background vertical tracer diffusivity",
           "cm^2/s", 3, lambda c, g, s, a: _bck_vdc(c, g))
 _register("VVC_BCK", "Background vertical viscosity", "cm^2/s", 3,

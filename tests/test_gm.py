@@ -150,6 +150,97 @@ def test_gm_flow_dependent_kappa_conserves(gcfg, ggrid, ktype):
     assert np.asarray(out.vdc_gm).min() >= 0.0
 
 
+def test_kappa_vertical_bfre_profile(gcfg, ggrid):
+    """The bfre N^2 profile (source/hmix_gm.F90:3011-3176) is bounded to
+    [0.1, 1], is exactly 1 above/at the reference level, and decays with
+    depth for a surface-intensified stratification."""
+    tr = _stratified_tracers(gcfg, ggrid)
+    zw = np.asarray(ggrid.vgrid.zw)
+    sdl = jnp.full_like(ggrid.FCORT, float(zw[0]))
+    kv = np.asarray(gm.kappa_vertical_bfre(gcfg, ggrid, None, tr, sdl))
+    assert kv.shape == (gcfg.km, gcfg.ny, gcfg.nx)
+    assert kv.min() >= 0.1 - 1e-12 and kv.max() <= 1.0 + 1e-12
+    assert np.allclose(kv[0], 1.0)
+    # the linear-in-z T profile gives N^2 ~ const/dzw; with uniform dz the
+    # normalized profile cannot exceed its surface reference
+    ocean = np.asarray(ggrid.kmask_t[-1]) > 0
+    deep = kv[-1][ocean]
+    assert deep.mean() <= 1.0 + 1e-12
+
+
+def test_transition_layer_geometry(gcfg, ggrid):
+    """TLT invariants (source/hmix_gm.F90:3183-3434): over ocean columns
+    INTERIOR_DEPTH = DIABATIC_DEPTH + THICKNESS, thickness >= 0, and the
+    interior starts at a real zt/zw coordinate of level K_LEVEL."""
+    from pop2_tpu.grid import grid_bc
+    bc = grid_bc(gcfg)
+    tr = _stratified_tracers(gcfg, ggrid)
+    tx, ty, tz, slx, sly = gm._slopes(gcfg, ggrid, bc, None, tr)
+    sla = gm._sla(gcfg, ggrid, slx, sly)
+    # diabatic depth: a synthetic boundary layer ~ varying with latitude
+    zt = np.asarray(ggrid.vgrid.zt)
+    lat = np.asarray(ggrid.TLAT)
+    dd = jnp.asarray((zt[2] + (zt[6] - zt[2])
+                      * (0.5 + 0.5 * np.cos(lat))) * (np.asarray(
+                          ggrid.KMT) > 0))
+    tlt = gm.transition_layer(gcfg, ggrid, dd, sla,
+                              gm._rossby_radius(ggrid))
+    kmt = np.asarray(ggrid.KMT)
+    ocean = kmt > 0
+    thick = np.asarray(tlt.thickness)
+    idp = np.asarray(tlt.interior_depth)
+    ddn = np.asarray(dd)
+    assert (thick[ocean] >= 0.0).all()
+    # the reference aborts if INTERIOR_DEPTH == 0 over ocean (:3415-3427)
+    assert (idp[ocean] > 0.0).all()
+    assert np.allclose(idp[ocean], ddn[ocean] + thick[ocean], rtol=1e-12)
+    assert (idp[~ocean] == 0.0).all()
+    # interior depth is an actual grid coordinate of K_LEVEL
+    zwv = np.asarray(ggrid.vgrid.zw)
+    kl = np.asarray(tlt.k_level)
+    ztw = np.asarray(tlt.ztw)
+    sel = ocean & (kl > 0)
+    coord = np.where(ztw == 1, zt[np.clip(kl - 1, 0, gcfg.km - 1)],
+                     zwv[np.clip(kl - 1, 0, gcfg.km - 1)])
+    assert np.allclose(idp[sel], coord[sel])
+
+
+def test_gm_bfre_transition_conserves(gcfg, ggrid):
+    """bfre kappa + transition layer keep flux-form conservation."""
+    cfg = gcfg.with_(gm_kappa_isop_type="bfre", gm_kappa_thic_type="bfre",
+                     gm_kappa_isop_deep=0.2, gm_transition_layer=True)
+    bc = grid_bc(cfg)
+    tr = _stratified_tracers(cfg, ggrid)
+    zt = np.asarray(ggrid.vgrid.zt)
+    hblt = jnp.asarray(np.full(ggrid.FCORT.shape, zt[3]))
+    out = gm.hdifft_gm(cfg, ggrid, bc, None, tr, hblt=hblt)
+    gtk = np.asarray(out.gtk)
+    assert np.isfinite(gtk).all()
+    dz = np.asarray(ggrid.vgrid.dz)[None, :, None, None]
+    w = dz * np.asarray(ggrid.TAREA)[None, None] * np.asarray(
+        ggrid.kmask_t)[None]
+    total = (gtk * w).sum(axis=(1, 2, 3))
+    scale = (np.abs(gtk) * w).sum(axis=(1, 2, 3)) + 1e-30
+    assert np.all(np.abs(total) < 1e-9 * scale)
+    assert np.asarray(out.vdc_gm).min() >= 0.0
+    # TLT diagnostics present and sane
+    assert out.dia_depth is not None
+    ocean = np.asarray(ggrid.KMT) > 0
+    assert (np.asarray(out.int_depth)[ocean] > 0).all()
+
+
+def test_gm_bfre_transition_model_runs():
+    cfg = get_config("mini").with_(
+        hmix_tracer="gm", vmix="kpp", km=20, vert_grid="internal",
+        gm_kappa_isop_type="bfre", gm_kappa_thic_type="bfre",
+        gm_kappa_isop_deep=0.2, gm_transition_layer=True)
+    m = Model(cfg)
+    st = m.initial_state()
+    for _ in range(5):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])
+
+
 def test_gm_aniso_grid_suppresses_cross_direction(test_cfg, test_grid):
     """gm_aniso='grid' with a small ratio: y-direction GM/Redi transport is
     suppressed relative to x (hmix_gm_aniso.F90 intent). A tracer varying
