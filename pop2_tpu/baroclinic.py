@@ -70,7 +70,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            state: State, forcing: Forcing, dh, dhu,
            leapfrog: bool, kpp_statics=None,
            sw_profile=None, passive=None,
-           ovf_statics=None, ovf_trans=None) -> BaroclinicOut:
+           ovf_statics=None, ovf_trans=None, ovf_sel=None,
+           ovf_sets_tavg=None) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -208,7 +209,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     if cfg.overflows and ovf_statics is not None:
         from pop2_tpu import overflows as ovf_mod
         ft = ft + ovf_mod.tendency(cfg, grid, ovf_statics,
-                                   state.tracer_cur, trans=ovf_trans)
+                                   state.tracer_cur, trans=ovf_trans,
+                                   sel=ovf_sel, sets_tavg=ovf_sets_tavg)
     # geothermal bottom heat flux (geoheatflux.F90:69-232 +
     # vertical_mix.F90:1428-1443: VTFB = -geoflux at k == KMT where
     # zw(k) >= geoheatflux_depth; enters the tendency as +geoflux*dzr)

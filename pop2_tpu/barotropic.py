@@ -101,8 +101,21 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, state: State,
     # ---- solve (source/barotropic.F90:564-598) ----------------------------
     op = solvers.make_operator(grid, diag_corr)
     x0 = state.pguess
-    psurf_new, iters, rr = solvers.solve(cfg, op, bc, x0, rhs,
-                                         eigs=pcsi_eigs, precond=precond)
+    if (cfg.solver.solve_dtype == "float64"
+            and cfg.jnp_dtype != jnp.float64):
+        # promote the 2-D elliptic solve to fp64 (production tolerance
+        # 1e-13 is unreachable in fp32; the 2-D cost is negligible)
+        import jax
+        f64 = lambda t: jax.tree_util.tree_map(           # noqa: E731
+            lambda a: a.astype(jnp.float64), t)
+        psurf_new, iters, rr = solvers.solve(
+            cfg, f64(op), bc, f64(x0), f64(rhs), eigs=pcsi_eigs,
+            precond=f64(precond) if precond is not None else None)
+        psurf_new = psurf_new.astype(cfg.jnp_dtype)
+    else:
+        psurf_new, iters, rr = solvers.solve(cfg, op, bc, x0, rhs,
+                                             eigs=pcsi_eigs,
+                                             precond=precond)
 
     # ---- checkerboard null-space removal (source/barotropic.F90:606-634) --
     if varthick:

@@ -34,7 +34,12 @@ class RegionBox:
 @dataclass(frozen=True)
 class OverflowSpec:
     """One overflow's parameters (source/overflows.F90 ovf_params plus
-    the region definitions the reference reads from overflows_infile)."""
+    the region definitions the reference reads from overflows_infile).
+
+    The point data (kmt changes, sidewall grid boxes with orientations)
+    mirrors the overflows_infile format documented in its header
+    (input_templates/gx1v7_overflow:1-40); all indices here are 0-based.
+    Orientation: 1 = +x (east sidewall), 2 = +y, 3 = -x, 4 = -y."""
     name: str
     lat: float                 # degrees, for f
     width: float               # Ws (cm)
@@ -46,6 +51,13 @@ class OverflowSpec:
     src: RegionBox
     ent: RegionBox
     prd: RegionBox
+    # (i, j, kmt_old, kmt_new) topography pop-ups (1-based kmt counts)
+    kmt_changes: Tuple[Tuple[int, int, int, int], ...] = ()
+    # (i, j, k, orient) sidewall grid boxes (k 0-based level index)
+    src_pts: Tuple[Tuple[int, int, int, int], ...] = ()
+    ent_pts: Tuple[Tuple[int, int, int, int], ...] = ()
+    # product sets ordered by increasing depth; each a tuple of points
+    prd_sets: Tuple[Tuple[Tuple[int, int, int, int], ...], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -61,6 +73,13 @@ class SolverConfig:
     #                                    EVP subsumed by PCSI, solvers.py)
     preconditioner_file: Optional[str] = None  # .npz of Precond9 fields
     lanczos_iterations: int = 100      # PCSI eigenvalue estimation
+    # precision of the elliptic solve: 'model' follows ModelConfig.dtype;
+    # 'float64' promotes the 2-D solve to fp64 regardless of the model
+    # dtype so the production convergence_criterion=1e-13
+    # (namelist_defaults_pop.xml:258) is reachable under an fp32 model —
+    # the solve is 2-D, so the emulated-fp64 cost on TPU is negligible
+    # next to the 3-D physics
+    solve_dtype: str = "model"         # 'model' | 'float64'
 
 
 @dataclass(frozen=True)
@@ -276,8 +295,10 @@ class ModelConfig:
     visc_perp: float = 0.0             # constant perpendicular viscosity
     c_para: float = 8.0                # smag dimensionless coefficients
     c_perp: float = 8.0
-    u_para: float = 5.0                # smag background velocity scales
-    u_perp: float = 5.0
+    # (the reference's u_para/u_perp smag background velocity scales are
+    # dead there too: initialized/broadcast but never used in the
+    # viscosity — source/hmix_aniso.F90:820 mentions them only in a
+    # comment, defaults zero :209-210 — so they are not carried here)
     vconst_1: float = 1.0e7            # ccsm variable-viscosity params
     vconst_2: float = 24.5
     vconst_3: float = 0.2
@@ -336,6 +357,13 @@ class ModelConfig:
     kpp_ldbl_diff: bool = False      # double diffusion
     kpp_lshort_wave: bool = False    # radiative contribution to bldepth
     kpp_lcheckekmo: bool = False     # Ekman/Monin-Obukhov limits
+    # horizontally-varying background diffusivity (Jochum 2009; the gx
+    # production default, vmix_kpp.F90:544-632,
+    # namelist_defaults_pop.xml:445-449); replaces the atan depth profile
+    kpp_lhoriz_varying_bckgrnd: bool = False
+    bckgrnd_vdc_eq: float = 0.01     # Gregg equatorial diffusivity
+    bckgrnd_vdc_psim: float = 0.13   # MacKinnon max PSI diffusivity
+    bckgrnd_vdc_ban: float = 1.0     # Gordon Banda Sea diffusivity
 
     # -- Coriolis options (source/grid.F90:1154-1172)
     lconst_coriolis: bool = False
@@ -386,18 +414,46 @@ PRESETS = {
     # small test grid for CI: same physics, tiny dims
     "prod": ModelConfig(nx=384, ny=256, km=40),
     # production-physics benchmark: gx1v7-shaped (320x384x60,
-    # input_templates/gx1v7_domain_size.F90) with the flagship physics menu
-    # the reference runs in production — tripole, KPP, GM, anisotropic
-    # viscosity, penetrating shortwave, frazil ice, two passive tracers —
-    # on internally-generated grid/topography (the real gx1v7 input files
-    # are not redistributable; the idealized topography keeps the same
-    # cost profile: ~full-depth columns, land fraction from the recipe at
-    # source/grid.F90:1921-2025).
+    # input_templates/gx1v7_domain_size.F90) running the reference's real
+    # gx1v7 default physics menu (bld/namelist_files/
+    # namelist_defaults_pop.xml): tripole; KPP with the Jochum
+    # horizontally-varying background + double diffusion + shortwave
+    # bldepth term (:434-449); GM with bfre N^2 kappa + transition layer
+    # (:608-620,683, ah=ah_bolus=ah_bkg_srfbl=3.0e7, isop_deep=0.2
+    # :599-602); anisotropic 'east' viscosity (:543,739); Jayne tidal
+    # mixing (:313,421); submesoscale MLE (:559); chlorophyll shortwave
+    # absorption (:1039); frazil ice; Robert filter at 24 steps/day
+    # (:36,48); PCSI at tol 1e-13 / maxiter 1000 (:256-259); overflows
+    # ON (:1127) — the parsed real gx1v7 geometry is attached by
+    # bench/get_production_config (config presets stay IO-free).
+    # Topography/grid are internally generated (the real gx1v7
+    # horiz-grid/topography files are not redistributable); depth
+    # acceleration is OFF as in production (laccel :67; every shipped
+    # *_depth_accel file is 1.0) and the chlorophyll field is the
+    # constant stand-in for the non-redistributable monthly file.
     "prod_full": ModelConfig(
         nx=320, ny=384, km=60, nt=5, ns_boundary="tripole",
         flat_bottom=False, vmix="kpp", hmix_tracer="gm",
-        hmix_momentum="aniso", sw_absorption="jerlov",
+        hmix_momentum="aniso", aniso_alignment="east",
+        sw_absorption="chlorophyll", chl_option="const", chl_const=0.1,
         liceform=True, passive_tracers=("iage", "cfc"),
+        kpp_ldbl_diff=True, kpp_lshort_wave=True,
+        kpp_lhoriz_varying_bckgrnd=True, bckgrnd_vdc2=0.0,
+        gm_kappa_isop_type="bfre", gm_kappa_thic_type="bfre",
+        gm_kappa_isop_deep=0.2, gm_kappa_thic_deep=0.1,
+        gm_transition_layer=True,
+        gm_ah=3.0e7, gm_ah_bolus=3.0e7, gm_ah_bkg_srfbl=3.0e7,
+        ltidal_mixing=True, tidal_mixing_method="jayne",
+        tidal_energy_const=1.0e-3,
+        lsubmeso=True,
+        time=TimeConfig(dt_option="steps_per_day", dt_count=24.0,
+                        time_mix_opt="robert"),
+        solver=SolverConfig(choice="PCSI",
+                            convergence_criterion=1.0e-13,
+                            max_iterations=1000,
+                            convergence_check_freq=10,
+                            convergence_check_start=60,
+                            solve_dtype="float64"),
     ),
     "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",
                         time=TimeConfig(dt_option="steps_per_day",

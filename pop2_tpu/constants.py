@@ -44,3 +44,8 @@ FWMASS_TO_FWFLUX = 0.1                       # kg/m^2/s -> cm/s
 
 # sea water freezing point (linear, psu-based; source/pop_constants.F90)
 CP_OVER_LHFUSION = RHO_SW * CP_SW / (LATENT_HEAT_FUSION * RHO_FW)
+
+# transport diagnostic conversions (source/pop_constants.F90:263-265)
+MASS_TO_SV = 1.0e-12         # cm^3/s -> Sverdrups
+HEAT_TO_PW = 4.186e-15       # degC*cm^3/s -> Petawatts
+SALT_TO_SVPPT = 1.0e-9       # msu*cm^3/s -> Sv*ppt

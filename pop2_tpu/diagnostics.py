@@ -105,6 +105,56 @@ def zonal_transport(cfg: ModelConfig, grid: Grid, state: State,
     return float(tr) * 1.0e-12  # cm^3/s -> Sv
 
 
+def section_transport(cfg: ModelConfig, grid: Grid, state: State,
+                      section) -> tuple:
+    """Volume/heat/salt transport through one named section
+    (diag_transport, source/diagnostics.F90:2010-2255), driven by the
+    reference's per-grid ``*_transport_contents`` files
+    (io/input_templates.read_transport_contents).
+
+    ``section``: a TransportSection (0-based inclusive bounds + 'zonal' /
+    'merid'). Returns (mass_Sv, heat_PW, salt_Svppt) floats.
+
+    The B-grid face transports follow :2124-2155: through the east face
+    of T-cell (i,j), MASS = 0.5*(U(i,j)DYU(i,j) + U(i,j-1)DYU(i,j-1))*dzu
+    with the tracer face average 0.5*(T(i+1,j)+T(i,j)); through the north
+    face, the (i-1, j+1) analogues."""
+    from pop2_tpu.grid import thickness_u
+    k0, k1 = section.kmin, section.kmax
+    j0, j1 = section.jmin, section.jmax
+    i0, i1 = section.imin, section.imax
+    dzu = thickness_u(cfg, grid)                      # (km, ny, nx)
+    T, S = state.tracer_cur[0], state.tracer_cur[1]
+
+    if section.orient.startswith("merid"):
+        # zonal (U) transport through a meridional section (MASS_M)
+        uh = jnp.where(grid.kmask_u, state.u_cur * grid.DYU[None] * dzu,
+                       0.0)
+        mass = 0.5 * (uh[:, j0:j1 + 1, i0:i1 + 1]
+                      + uh[:, j0 - 1:j1, i0:i1 + 1])
+        tf = 0.5 * (T[:, j0:j1 + 1, i0 + 1:i1 + 2]
+                    + T[:, j0:j1 + 1, i0:i1 + 1])
+        sf = 0.5 * (S[:, j0:j1 + 1, i0 + 1:i1 + 2]
+                    + S[:, j0:j1 + 1, i0:i1 + 1])
+    else:
+        # meridional (V) transport through a zonal section (MASS_Z)
+        vh = jnp.where(grid.kmask_u, state.v_cur * grid.DXU[None] * dzu,
+                       0.0)
+        mass = 0.5 * (vh[:, j0:j1 + 1, i0:i1 + 1]
+                      + vh[:, j0:j1 + 1, i0 - 1:i1])
+        tf = 0.5 * (T[:, j0 + 1:j1 + 2, i0:i1 + 1]
+                    + T[:, j0:j1 + 1, i0:i1 + 1])
+        sf = 0.5 * (S[:, j0 + 1:j1 + 2, i0:i1 + 1]
+                    + S[:, j0:j1 + 1, i0:i1 + 1])
+    mass = mass[k0:k1 + 1]
+    heat = (mass * tf[k0:k1 + 1]).sum()
+    salt = (mass * sf[k0:k1 + 1]).sum()
+    mass = mass.sum()
+    return (float(mass) * const.MASS_TO_SV,
+            float(heat) * const.HEAT_TO_PW,
+            float(salt) * const.SALT_TO_SVPPT)
+
+
 def barotropic_streamfunction(cfg: ModelConfig, grid: Grid,
                               state: State) -> jnp.ndarray:
     """Barotropic streamfunction psi (Sv) by meridional integration of the

@@ -447,6 +447,62 @@ def build_grid(cfg: ModelConfig) -> Grid:
     else:
         raise ValueError(f"unknown topography option {cfg.topography}")
 
+    # topography smoothing (smooth_topography, source/grid.F90:2393-2530):
+    # 9-pt [1 2 1; 2 4 2; 1 2 1] average of the ocean-only depth field,
+    # then rebuild KMT from the smoothed depths
+    for _ in range(cfg.n_topo_smooth):
+        zw_pad0 = np.concatenate([[0.0], np.cumsum(dz)])
+        ht_s = zw_pad0[KMT]
+        nb = (KMT > 0).astype(np.float64)
+        htnew = np.where(KMT > 0, ht_s, 0.0)
+
+        def s9(f):
+            return (4.0 * f
+                    + 2.0 * (sh(f, 1, 0) + sh(f, -1, 0)
+                             + sh(f, 0, 1) + sh(f, 0, -1))
+                    + sh(f, 1, 1) + sh(f, 1, -1)
+                    + sh(f, -1, 1) + sh(f, -1, -1))
+        work = s9(htnew)
+        iwork = s9(nb)
+        htnew = np.where((KMT != 0) & (iwork != 0),
+                         work / np.maximum(iwork, 1e-30), 0.0)
+        zt_v = np.zeros(km)
+        zt_v[0] = 0.5 * dz[0]
+        zt_v[1:] = zt_v[0] + np.cumsum(0.5 * (dz[:-1] + dz[1:]))
+        kmt_new = np.array(KMT)
+        for k in range(km - 1):
+            kmt_new = np.where((htnew > zt_v[k]) & (htnew <= zt_v[k + 1]),
+                               k + 1, kmt_new)
+        kmt_new = np.where(htnew > zt_v[km - 1], km, kmt_new)
+        KMT = kmt_new.astype(np.int32)
+
+    # with the idealized internal topography, make the overflow regions
+    # (defined on the real grids' bathymetry) wet so the parameterization
+    # has ocean cells to act on; real topography files are wet there by
+    # construction
+    if cfg.topography == "internal" and cfg.overflows:
+        for spec in cfg.overflows:
+            boxes = [spec.inf, spec.src, spec.ent, spec.prd]
+            for box in boxes:
+                sl = KMT[box.jmin:box.jmax + 1, box.imin:box.imax + 1]
+                KMT[box.jmin:box.jmax + 1, box.imin:box.imax + 1] = \
+                    np.maximum(sl, min(box.kmax + 1, km))
+            for pts in (spec.src_pts, spec.ent_pts) + tuple(spec.prd_sets):
+                for (i, j, k0, orient) in pts:
+                    di, dj = {1: (1, 0), 2: (0, 1),
+                              3: (-1, 0), 4: (0, -1)}[orient]
+                    ja, ia = j + dj, (i + di) % nx
+                    if 0 <= ja < ny:
+                        KMT[ja, ia] = max(KMT[ja, ia], min(k0 + 1, km))
+
+    # overflow kmt "pop-up" changes (init_overflows_kmt,
+    # source/overflows.F90:1196-1275): the overflows_infile prescribes
+    # per-point KMT modifications that carve the source/product channels
+    # below the resolved topography
+    for spec in cfg.overflows:
+        for (i, j, kmt_old, kmt_new) in spec.kmt_changes:
+            KMT[j, i] = kmt_new
+
     # KMU = min of 4 surrounding KMTs (source/grid.F90:978-985)
     KMU = np.minimum(np.minimum(KMT, sh(KMT, 1, 0)),
                      np.minimum(sh(KMT, 0, 1), sh(KMT, 1, 1))).astype(np.int32)

@@ -69,8 +69,8 @@ CG = CSTAR * VONKAR * (C_S * VONKAR * EPSSFC) ** (1.0 / 3.0)  # (:459)
 
 class KPPStatics(NamedTuple):
     """Host-precomputed, grid-dependent constants for the KPP pipeline."""
-    bckgrnd_vdc: jnp.ndarray   # (km,) background diffusivity profile
-    bckgrnd_vvc: jnp.ndarray   # (km,)
+    bckgrnd_vdc: jnp.ndarray   # background diffusivity, (km,1,1) or
+    bckgrnd_vvc: jnp.ndarray   # (1,ny,nx) (kpp_lhoriz_varying_bckgrnd)
     uref_w: jnp.ndarray        # (km, km) surface-layer averaging weights
     pair_k: jnp.ndarray        # (P,) target-level index of each (k,m) pair
     pair_m: jnp.ndarray        # (P,) source-level index
@@ -91,6 +91,45 @@ class KPPOut(NamedTuple):
     hmxl: jnp.ndarray    # (ny, nx) diagnostic mixed layer depth
 
 
+def background_vdc(cfg: ModelConfig, grid: Grid) -> np.ndarray:
+    """Background internal-wave diffusivity (source/vmix_kpp.F90:544-632),
+    broadcastable to (km, ny, nx).
+
+    Default: the vertical atan profile vdc1 + vdc2*atan(linv*(zw-dpth)),
+    shape (km, 1, 1). With cfg.kpp_lhoriz_varying_bckgrnd (the gx
+    production default, namelist_defaults_pop.xml:445-449): the
+    depth-independent Jochum (2009) latitude structure — Gregg equatorial
+    floor + MacKinnon PSI gaussians at +-28.9 deg + latitude-ramped vdc1 —
+    with the Banda Sea boxes overridden to bckgrnd_vdc_ban (:551-590);
+    shape (1, ny, nx)."""
+    zw = np.asarray(grid.vgrid.zw)
+    vdc1, vdc2 = cfg.bckgrnd_vdc, cfg.bckgrnd_vdc2
+    if not cfg.kpp_lhoriz_varying_bckgrnd:
+        dpth, linv = cfg.bckgrnd_vdc_dpth, cfg.bckgrnd_vdc_linv
+        prof = vdc1 + vdc2 * np.arctan(linv * (zw - dpth))
+        return prof[:, None, None]
+    if vdc2 != 0.0:
+        raise ValueError("lhoriz_varying_bckgrnd requires bckgrnd_vdc2 "
+                         "== 0 (vmix_kpp.F90:518-521)")
+    import pop2_tpu.constants as _c
+    latd = np.asarray(grid.TLAT) * _c.RADIAN
+    lond = np.asarray(grid.TLON) * _c.RADIAN
+    lond = np.where(lond < 0.0, lond + 360.0, lond)
+    psis = cfg.bckgrnd_vdc_psim * np.exp(-(0.4 * (latd + 28.9)) ** 2)
+    psin = cfg.bckgrnd_vdc_psim * np.exp(-(0.4 * (latd - 28.9)) ** 2)
+    vdc = cfg.bckgrnd_vdc_eq + psin + psis
+    ramp = np.where(np.abs(latd) <= 10.0, (latd / 10.0) ** 2, 1.0)
+    vdc = vdc + vdc1 * ramp
+    banda = (((latd < -1.0) & (latd > -4.0)
+              & (lond > 103.0) & (lond < 134.0))
+             | ((latd <= -4.0) & (latd > -7.0)
+                & (lond > 106.0) & (lond < 140.0))
+             | ((latd <= -7.0) & (latd > -8.3)
+                & (lond > 111.0) & (lond < 142.0)))
+    vdc = np.where(banda, cfg.bckgrnd_vdc_ban, vdc)
+    return vdc[None]
+
+
 def build_statics(cfg: ModelConfig, grid: Grid) -> KPPStatics:
     """Precompute background profiles and surface-layer weight matrices
     (source/vmix_kpp.F90:530-641 and the kref logic of :2324-2349,
@@ -100,10 +139,7 @@ def build_statics(cfg: ModelConfig, grid: Grid) -> KPPStatics:
     zw = np.asarray(grid.vgrid.zw)
     dz = np.asarray(grid.vgrid.dz)
 
-    # background (internal-wave) profile: vdc1 + vdc2*atan(linv*(zw-dpth))
-    vdc1, vdc2 = cfg.bckgrnd_vdc, cfg.bckgrnd_vdc2
-    dpth, linv = cfg.bckgrnd_vdc_dpth, cfg.bckgrnd_vdc_linv
-    bck_vdc = vdc1 + vdc2 * np.arctan(linv * (zw - dpth))
+    bck_vdc = background_vdc(cfg, grid)
     bck_vvc = cfg.prandtl * bck_vdc
 
     # surface-layer averaging weights per target level
@@ -298,8 +334,8 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     fri = jnp.minimum(jnp.maximum(ri, 0.0) / RIINFTY, 1.0)
     fshear = cfg.rich_mix * (1.0 - fri * fri) ** 3
 
-    bck_vdc = jnp.reshape(st.bckgrnd_vdc, (km, 1, 1))
-    bck_vvc = jnp.reshape(st.bckgrnd_vvc, (km, 1, 1))
+    bck_vdc = st.bckgrnd_vdc        # (km,1,1) or (1,ny,nx), see
+    bck_vvc = st.bckgrnd_vvc        # background_vdc
     if cfg.ltidal_mixing and (st.tidal_coef is not None
                               or st.tidal_polzin is not None):
         # kappa_tidal capped at tidal_mix_max (vmix_kpp.F90:1773-1835,

@@ -13,21 +13,40 @@ Reference: ``source/overflows.F90`` — the Briegleb, Danabasoglu & Large
     M_e = M_s phi/(1-phi),  M_p = M_s + M_e,
     T_p = (1-phi) T_s + phi T_e  (same for every tracer)
 
-and product-water insertion at the product region.
+product-water insertion at the neutrally-buoyant product set
+(ovf_loc_prd :4189-4681), sidewall momentum (ovf_UV :4848 +
+ovf_UV_solution :5884), and the barotropic couplings
+(ovf_rhs_brtrpc_momentum :5068, ovf_rhs_brtrpc_continuity :5381).
 
-TPU-first reduction: instead of the reference's point-to-point moves,
-modified continuity/momentum RHS and solver changes (ovf_UV, ovf_solvers,
-~3000 lines of MPI plumbing), the overflow enters as a conservative
-closed-circuit tracer exchange: product cells are relaxed toward the
-product mixture at rate M_p/V_p while source/entrainment cells receive the
-implied return flow — globally tracer-conserving by construction and fully
-fused (a handful of masked reductions per overflow). Regions are static
-config boxes (the reference reads them from ``overflows_infile``).
+TPU-first reduction: instead of the reference's point-to-point moves and
+per-rank group schedules (~3000 lines of MPI plumbing), the overflow
+enters as a conservative closed-circuit tracer exchange over statically
+cropped region slices: product cells are relaxed toward the product
+mixture at rate M_p/V_p while source/entrainment cells receive the
+implied return flow — globally tracer-conserving by construction and
+fully fused (a handful of small masked reductions per overflow).
+Regions and sidewall points come from the reference's own
+``overflows_infile`` (io/input_templates.read_overflows) or from config
+boxes.  Region masks are stored cropped to their (static) bounding boxes
+so the statics stay O(region size), not O(grid size), at gx1/tx0.1
+scale.
+
+Remaining deliberate gap vs the reference: the sub-topography sidewall
+columns themselves are masked land in the dense-array formulation — their
+column-integrated continuity enters via ``qsurf``, their momentum effect
+on the resolved levels via ``momentum_adjust``, but the reference's
+modified 9-pt solver operator over extended columns (ovf_solvers_9pt
+:5515, ovf_HU :5730) is not rebuilt.
+
+The scheme is stateless across steps (transports are pure functions of
+the current tracers), so exact restart needs no extra overflow state —
+the reference's overflow restart records (ovf_write_restart :1674) exist
+only because its transports persist between calls.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -38,71 +57,251 @@ from pop2_tpu.config import ModelConfig, OverflowSpec, RegionBox
 from pop2_tpu.grid import Grid, pressure_bars, thickness_t
 
 
+class RegionData(NamedTuple):
+    """One overflow region, cropped to its static bounding box."""
+    box: Tuple[int, int, int, int, int, int]  # (k0,k1,j0,j1,i0,i1) incl.
+    mask: jnp.ndarray     # (dk, dj, di) {0,1} including the ocean mask
+    vol: jnp.ndarray      # () region volume (cm^3)
+    fmask: jnp.ndarray    # (dj, di) column footprint {0,1}
+    area: jnp.ndarray     # () footprint area (cm^2)
+
+
 class OverflowStatics(NamedTuple):
-    masks: jnp.ndarray      # (n_ovf, 4 regions, km, ny, nx) {0,1}
+    regions: tuple          # (n_ovf)(4) nested RegionData (inf,src,ent,prd)
     volumes: jnp.ndarray    # (n_ovf, 4)
     press_s: jnp.ndarray    # (n_ovf,) pressure at source depth (bars)
     press_e: jnp.ndarray    # (n_ovf,)
     fs: jnp.ndarray         # (n_ovf,) coriolis parameter
     params: jnp.ndarray     # (n_ovf, 6) Ws, hu, xse, alpha, cd, hs
-    fmask: jnp.ndarray      # (n_ovf, 4, ny, nx) column footprints {0,1}
-    areas: jnp.ndarray      # (n_ovf, 4) footprint areas (cm^2)
+    # --- point-data extensions (overflows_infile geometry; None when the
+    # specs carry only region boxes) ---
+    # product-set adjacent regions (ovf_loc_prd / adj_prd,
+    # source/overflows.F90:830-873): per set, the active cells adjacent
+    # to the product sidewall points
+    sets: Optional[tuple] = None        # (n_ovf)(S_o) RegionData
+    set_press: Optional[tuple] = None   # (n_ovf)(S_o) float bars (static)
+    # sidewall momentum point tables (ovf_UV/ovf_U_column,
+    # source/overflows.F90:4848-5061, 6072-6189), one per component
+    mom_u: Optional[dict] = None
+    mom_v: Optional[dict] = None
+    # ZX/ZY barotropic-forcing renormalization map
+    # (ovf_rhs_brtrpc_momentum, :5068-5224): HU/(HU+dz_sidewall) at
+    # sidewall U-columns, 1 elsewhere
+    zren: Optional[jnp.ndarray] = None  # (ny, nx)
 
 
 REG_INF, REG_SRC, REG_ENT, REG_PRD = 0, 1, 2, 3
 
+# orientation -> (di, dj) of the adjacent active cell (i_adv/j_adv,
+# source/overflows.F90:419-458); orientation 1=+x, 2=+y, 3=-x, 4=-y
+_ADJ = {1: (1, 0), 2: (0, 1), 3: (-1, 0), 4: (0, -1)}
+
+
+def _u_point(i, j, orient, nx):
+    """U-point (i_u, j_u) on the sidewall of T-cell (i, j) for the given
+    orientation (0-based; source/overflows.F90:419-458)."""
+    if orient == 1:
+        return i, j
+    if orient == 2:
+        return (i - 1) % nx, j
+    if orient == 3:
+        return (i - 1) % nx, j - 1
+    if orient == 4:
+        return i, j - 1
+    raise ValueError(f"bad orientation {orient}")
+
+
+def _region_data(cfg, grid, vol3, kmask, tarea, box, name) -> RegionData:
+    k0, k1, j0, j1, i0, i1 = (box.kmin, box.kmax, box.jmin, box.jmax,
+                              box.imin, box.imax)
+    m = kmask[k0:k1 + 1, j0:j1 + 1, i0:i1 + 1].astype(np.float64)
+    vol = (m * vol3[k0:k1 + 1, j0:j1 + 1, i0:i1 + 1]).sum()
+    if vol <= 0.0:
+        raise ValueError(f"overflow region {name} has no ocean cells")
+    fm = (m.max(axis=0) > 0).astype(np.float64)
+    area = (fm * tarea[j0:j1 + 1, i0:i1 + 1]).sum()
+    dt = cfg.jnp_dtype
+    return RegionData(box=(k0, k1, j0, j1, i0, i1),
+                      mask=jnp.asarray(m, dt), vol=jnp.asarray(vol, dt),
+                      fmask=jnp.asarray(fm, dt), area=jnp.asarray(area, dt))
+
+
+def region_mask3(cfg: ModelConfig, st: OverflowStatics, o: int,
+                 r: int) -> np.ndarray:
+    """Dense (km, ny, nx) {0,1} mask of region ``r`` of overflow ``o``
+    (reconstructed from the cropped statics; for tests/diagnostics)."""
+    rd = st.regions[o][r]
+    k0, k1, j0, j1, i0, i1 = rd.box
+    out = np.zeros((cfg.km, cfg.ny, cfg.nx))
+    out[k0:k1 + 1, j0:j1 + 1, i0:i1 + 1] = np.asarray(rd.mask)
+    return out
+
+
+def footprint2(cfg: ModelConfig, rd: RegionData) -> np.ndarray:
+    """Dense (ny, nx) footprint of a RegionData."""
+    k0, k1, j0, j1, i0, i1 = rd.box
+    out = np.zeros((cfg.ny, cfg.nx))
+    out[j0:j1 + 1, i0:i1 + 1] = np.asarray(rd.fmask)
+    return out
+
 
 def build_statics(cfg: ModelConfig, grid: Grid) -> OverflowStatics:
     n = len(cfg.overflows)
-    km, ny, nx = cfg.km, cfg.ny, cfg.nx
-    masks = np.zeros((n, 4, km, ny, nx))
     kmask = np.asarray(grid.kmask_t)
     vol3 = (np.asarray(thickness_t(cfg, grid))
             * np.asarray(grid.TAREA)[None]) * kmask
+    tarea = np.asarray(grid.TAREA)
     zt = np.asarray(grid.vgrid.zt)
     press_s = np.zeros(n)
     press_e = np.zeros(n)
     fs = np.zeros(n)
     params = np.zeros((n, 6))
     volumes = np.zeros((n, 4))
+
+    regions = []
     for o, spec in enumerate(cfg.overflows):
+        row = []
         for r, box in enumerate((spec.inf, spec.src, spec.ent, spec.prd)):
-            m = np.zeros((km, ny, nx))
-            m[box.kmin:box.kmax + 1, box.jmin:box.jmax + 1,
-              box.imin:box.imax + 1] = 1.0
-            m *= kmask
-            masks[o, r] = m
-            volumes[o, r] = (m * vol3).sum()
-            if volumes[o, r] <= 0.0:
-                raise ValueError(
-                    f"overflow {spec.name}: region {r} has no ocean cells")
-        press_s[o] = pressure_bars(zt[cfg.overflows[o].src.kmin]
-                                   * const.MPERCM)
-        press_e[o] = pressure_bars(zt[cfg.overflows[o].ent.kmin]
-                                   * const.MPERCM)
+            rd = _region_data(cfg, grid, vol3, kmask, tarea, box,
+                              f"{spec.name}:{r}")
+            volumes[o, r] = float(rd.vol)
+            row.append(rd)
+        regions.append(tuple(row))
+        press_s[o] = pressure_bars(zt[spec.src.kmin] * const.MPERCM)
+        press_e[o] = pressure_bars(zt[spec.ent.kmin] * const.MPERCM)
         fs[o] = 2.0 * const.OMEGA * np.sin(np.deg2rad(spec.lat))
         params[o] = (spec.width, spec.source_thick, spec.distnc_str_ssb,
                      spec.bottom_slope, spec.bottom_drag,
                      spec.source_thick * 2.0 / 3.0)
     dt = cfg.jnp_dtype
-    fmask = (masks.max(axis=2) > 0).astype(float)       # (n, 4, ny, nx)
-    areas = (fmask * np.asarray(grid.TAREA)[None, None]).sum(axis=(2, 3))
-    return OverflowStatics(
-        masks=jnp.asarray(masks, dt), volumes=jnp.asarray(volumes, dt),
+    base = OverflowStatics(
+        regions=tuple(regions), volumes=jnp.asarray(volumes, dt),
         press_s=jnp.asarray(press_s, dt), press_e=jnp.asarray(press_e, dt),
-        fs=jnp.asarray(fs, dt), params=jnp.asarray(params, dt),
-        fmask=jnp.asarray(fmask, dt), areas=jnp.asarray(areas, dt))
+        fs=jnp.asarray(fs, dt), params=jnp.asarray(params, dt))
+
+    with_pts = [bool(s.prd_sets) for s in cfg.overflows]
+    if not any(with_pts):
+        return base
+    if not all(with_pts):
+        raise ValueError("mixing point-data and box-only overflow specs "
+                         "is not supported")
+    return base._replace(**_point_statics(cfg, grid, vol3, kmask, tarea))
+
+
+def _point_statics(cfg: ModelConfig, grid: Grid, vol3, kmask, tarea):
+    """Statics derived from the overflows_infile point data: product-set
+    adjacent regions, sidewall momentum tables, and the ZX/ZY
+    renormalization map."""
+    ny, nx = cfg.ny, cfg.nx
+    zt = np.asarray(grid.vgrid.zt)
+    dz = np.asarray(grid.vgrid.dz)
+    kmu = np.asarray(grid.KMU)
+    hu_col = np.asarray(grid.HU)
+    dyu = np.asarray(grid.DYU)
+    dxu = np.asarray(grid.DXU)
+
+    mom_u = {k: [] for k in ("j", "i", "k0", "kind", "ovf", "setid",
+                             "sign", "g", "dz_k", "dz_below", "hu")}
+    mom_v = {k: [] for k in mom_u}
+    zren = np.ones((ny, nx))
+
+    def add_mom(pts, kind, o, setid, sgn_uv):
+        """Register sidewall momentum points. ``sgn_uv`` maps orientation
+        to the velocity sign (src/ent flow INTO the box: -U for orient 1;
+        prd flows OUT: +U for orient 1; source/overflows.F90:4916-5042).
+        One corner per wall is inactive (ufrc = 1/(npts-1), :4905)."""
+        npts = len(pts)
+        if npts < 2:
+            raise ValueError("overflow sidewall needs >= 2 points "
+                             "(source/overflows.F90:409)")
+        ufrc = 1.0 / (npts - 1)
+        for m, (i, j, k0, orient) in enumerate(pts):
+            # inactive corner: last point for orients 1/4, first for 2/3
+            if orient in (1, 4) and m == npts - 1:
+                continue
+            if orient in (2, 3) and m == 0:
+                continue
+            iu, ju = _u_point(i, j, orient, nx)
+            if ju < 0 or ju >= ny:
+                continue
+            tab = mom_u if orient in (1, 3) else mom_v
+            span = dyu if orient in (1, 3) else dxu
+            kmu_p = int(kmu[ju, iu])
+            if kmu_p <= 0:
+                continue
+            # ZX/ZY renormalization at this column (:5133-5140)
+            dz_sidewall = float(dz[kmu_p:k0 + 1].sum())
+            if hu_col[ju, iu] > 0:
+                zren[ju, iu] = (hu_col[ju, iu]
+                                / (hu_col[ju, iu] + dz_sidewall))
+            tab["j"].append(ju)
+            tab["i"].append(iu)
+            tab["k0"].append(k0)
+            tab["kind"].append(kind)
+            tab["ovf"].append(o)
+            tab["setid"].append(setid)
+            tab["sign"].append(sgn_uv * (1.0 if orient in (1, 2) else -1.0))
+            tab["g"].append(ufrc / (dz[k0] * span[ju, iu]))
+            tab["dz_k"].append(float(dz[k0]))
+            # below the topography but above the overflow (:6130-6134)
+            tab["dz_below"].append(float(dz[kmu_p:k0].sum()))
+            tab["hu"].append(float(hu_col[ju, iu]))
+
+    sets = []
+    set_press = []
+    for o, spec in enumerate(cfg.overflows):
+        # src/ent sidewalls: velocity points INTO the box (sign -1 for
+        # orients 1/2); product walls flow OUT (+1)
+        add_mom(spec.src_pts, 0, o, -1, -1.0)
+        add_mom(spec.ent_pts, 1, o, -1, -1.0)
+        row = []
+        prow = []
+        for m, pts in enumerate(spec.prd_sets):
+            add_mom(pts, 2, o, m, 1.0)
+            # adjacent active cells of this product set (adj_prd boxes,
+            # source/overflows.F90:830-873): bounding box of the points
+            # shifted by the orientation offset
+            ii = [(p[0] + _ADJ[p[3]][0]) % nx for p in pts]
+            jj = [p[1] + _ADJ[p[3]][1] for p in pts]
+            kk = [p[2] for p in pts]
+            box = RegionBox(kmin=min(kk), kmax=max(kk), jmin=min(jj),
+                            jmax=max(jj), imin=min(ii), imax=max(ii))
+            row.append(_region_data(cfg, grid, vol3, kmask, tarea, box,
+                                    f"{spec.name}:prd_set{m}"))
+            k_mid = (min(kk) + max(kk)) // 2
+            prow.append(float(pressure_bars(zt[k_mid] * const.MPERCM)))
+        sets.append(tuple(row))
+        set_press.append(tuple(prow))
+
+    def pack(tab):
+        return {k: jnp.asarray(np.asarray(v),
+                               jnp.int32 if k in ("j", "i", "k0", "kind",
+                                                  "ovf", "setid")
+                               else cfg.jnp_dtype)
+                for k, v in tab.items()}
+
+    return dict(sets=tuple(sets), set_press=tuple(set_press),
+                mom_u=pack(mom_u), mom_v=pack(mom_v),
+                zren=jnp.asarray(zren, cfg.jnp_dtype))
+
+
+def _region_tavg(cfg, grid, rd: RegionData, tracer):
+    """Masked volume-weighted tracer means over one cropped region:
+    (nt,) vector."""
+    k0, k1, j0, j1, i0, i1 = rd.box
+    vol3 = (thickness_t(cfg, grid) * grid.TAREA[None])[
+        k0:k1 + 1, j0:j1 + 1, i0:i1 + 1]
+    crop = tracer[:, k0:k1 + 1, j0:j1 + 1, i0:i1 + 1]
+    return jnp.einsum("kji,kji,nkji->n", rd.mask, vol3, crop) / rd.vol
 
 
 def transports(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
     """Regional averages and (Ms, Me, Mp, phi, tracer averages) for every
     overflow (ovf_reg_avgs + ovf_transports). tracer: (nt, km, ny, nx).
     Returns (ms, me, mp, phi, tavg) with tavg (n_ovf, 4, nt)."""
-    vol3 = thickness_t(cfg, grid) * grid.TAREA[None]
-    vol3 = jnp.where(grid.kmask_t, vol3, 0.0)
-    # (n, 4, nt): masked volume-weighted tracer means per region
-    wsum = jnp.einsum("orkji,kji,nkji->orn", st.masks, vol3, tracer)
-    tavg = wsum / st.volumes[:, :, None]
+    tavg = jnp.stack([
+        jnp.stack([_region_tavg(cfg, grid, rd, tracer) for rd in row])
+        for row in st.regions])                            # (n, 4, nt)
 
     t_i, s_i = tavg[:, REG_INF, 0], tavg[:, REG_INF, 1]
     t_s, s_s = tavg[:, REG_SRC, 0], tavg[:, REG_SRC, 1]
@@ -137,34 +336,108 @@ def transports(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
     return ms, me, mp, phi, tavg
 
 
+def product_set_selection(cfg: ModelConfig, grid: Grid,
+                          st: OverflowStatics, tracer, trans):
+    """Neutral-buoyancy product-set selection (ovf_loc_prd,
+    source/overflows.F90:4313-4360): scanning sets from deep to shallow,
+    the product inserts one set below the deepest set whose ambient water
+    is lighter than the product (set 0 if the product is lighter than all
+    ambients). The reference compares the product density against the
+    regional-average ambient density adjacent to each set; here the
+    ambient density is the EOS of the regional-average T,S at the set's
+    mid-level pressure.
+
+    Returns (sel, sets_tavg): sel (n,) int32; sets_tavg nested tuple
+    (n)(S_o) of (nt,) per-set adjacent-region tracer means."""
+    ms, me, mp, phi, tavg = trans
+    t_src = tavg[:, REG_SRC]
+    t_ent = tavg[:, REG_ENT]
+    t_mix = (1.0 - phi)[:, None] * t_src + phi[:, None] * t_ent
+
+    sels = []
+    sets_tavg = []
+    for o, row in enumerate(st.sets):
+        s_o = len(row)
+        avgs = tuple(_region_tavg(cfg, grid, rd, tracer) for rd in row)
+        sets_tavg.append(avgs)
+        press = jnp.asarray(st.set_press[o], cfg.jnp_dtype)   # (S_o,)
+        rho_p = eos.state_at_level(cfg, press, t_mix[o, 0], t_mix[o, 1])
+        rho_adj = eos.state_at_level(
+            cfg, press, jnp.stack([a[0] for a in avgs]),
+            jnp.stack([a[1] for a in avgs]))
+        if s_o == 1:
+            sels.append(jnp.zeros((), jnp.int32))
+            continue
+        m_idx = jnp.arange(s_o, dtype=jnp.int32)
+        denser = (rho_p > rho_adj) & (m_idx < s_o - 1)
+        cand = jnp.where(denser, m_idx, -1)
+        deepest = jnp.max(cand)
+        sels.append(jnp.where(deepest >= 0, deepest + 1, 0)
+                    .astype(jnp.int32))
+    return jnp.stack(sels), tuple(sets_tavg)
+
+
 def tendency(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer,
-             trans=None):
+             trans=None, sel=None, sets_tavg=None):
     """Conservative closed-circuit overflow tracer tendency
     (nt, km, ny, nx): product cells are relaxed toward the source/
     entrainment mixture at rate M_p/V_p; source and entrainment cells
     receive the implied return flow at M_s/V_s and M_e/V_e.
 
+    With point data, the product inserts into the neutrally-buoyant
+    product set's adjacent cells (ovf_loc_prd + ovf_advt product
+    insertion); otherwise into the prd region box.
+
     ``trans``: optionally the precomputed ``transports(...)`` tuple (shared
-    with the barotropic injection, one evaluation per step)."""
-    ms, me, mp, phi, tavg = (trans if trans is not None
-                             else transports(cfg, grid, st, tracer))
+    with the barotropic injection, one evaluation per step); ``sel``/
+    ``sets_tavg`` the precomputed ``product_set_selection(...)``."""
+    if trans is None:
+        trans = transports(cfg, grid, st, tracer)
+    ms, me, mp, phi, tavg = trans
     t_src = tavg[:, REG_SRC]       # (n, nt)
     t_ent = tavg[:, REG_ENT]
-    t_prd = tavg[:, REG_PRD]
     t_mix = (1.0 - phi)[:, None] * t_src + phi[:, None] * t_ent
 
-    r_src = (ms / st.volumes[:, REG_SRC])[:, None] * (t_prd - t_src)
-    r_ent = (me / st.volumes[:, REG_ENT])[:, None] * (t_prd - t_ent)
-    r_prd = (mp / st.volumes[:, REG_PRD])[:, None] * (t_mix - t_prd)
+    if st.sets is not None and sel is None:
+        sel, sets_tavg = product_set_selection(cfg, grid, st, tracer,
+                                               trans)
 
-    # (n, nt) per-region rates broadcast onto the masks, summed over n
-    out = (jnp.einsum("on,okji->nkji", r_src, st.masks[:, REG_SRC])
-           + jnp.einsum("on,okji->nkji", r_ent, st.masks[:, REG_ENT])
-           + jnp.einsum("on,okji->nkji", r_prd, st.masks[:, REG_PRD]))
+    out = jnp.zeros_like(tracer)
+
+    def add_region(out, rd: RegionData, rate):
+        """Scatter-add rate (nt,) onto a cropped region."""
+        k0, k1, j0, j1, i0, i1 = rd.box
+        return out.at[:, k0:k1 + 1, j0:j1 + 1, i0:i1 + 1].add(
+            rate[:, None, None, None] * rd.mask[None])
+
+    for o in range(len(st.regions)):
+        src_rd = st.regions[o][REG_SRC]
+        ent_rd = st.regions[o][REG_ENT]
+        if st.sets is not None:
+            row = st.sets[o]
+            onehot = [(sel[o] == m).astype(tracer.dtype)
+                      for m in range(len(row))]
+            t_prd = sum(g * a for g, a in zip(onehot, sets_tavg[o]))
+            v_prd = sum(g * rd.vol for g, rd in zip(onehot, row))
+        else:
+            t_prd = tavg[o, REG_PRD]
+            v_prd = st.regions[o][REG_PRD].vol
+
+        out = add_region(out, src_rd,
+                         (ms[o] / src_rd.vol) * (t_prd - t_src[o]))
+        out = add_region(out, ent_rd,
+                         (me[o] / ent_rd.vol) * (t_prd - t_ent[o]))
+        r_prd = (mp[o] / v_prd) * (t_mix[o] - t_prd)
+        if st.sets is not None:
+            for g, rd in zip(onehot, st.sets[o]):
+                out = add_region(out, rd, g * r_prd)
+        else:
+            out = add_region(out, st.regions[o][REG_PRD], r_prd)
     return out
 
 
-def qsurf(cfg: ModelConfig, grid: Grid, st: OverflowStatics, trans):
+def qsurf(cfg: ModelConfig, grid: Grid, st: OverflowStatics, trans,
+          sel=None):
     """Vertically-integrated prescribed overflow transports as an equivalent
     surface volume-flux field (cm/s, positive into the column).
 
@@ -176,15 +449,64 @@ def qsurf(cfg: ModelConfig, grid: Grid, st: OverflowStatics, trans):
     column-integrated continuity — and through it the implicit free-surface
     solve and the barotropic circulation between the basins — sees the
     overflow. Globally sum(q * TAREA) = M_p - M_s - M_e = 0, preserving the
-    solvability of the elliptic problem. Point-to-point sidewall momentum
-    sources need per-point orientation data from ``overflows_infile`` and
-    are not represented for config-box regions.
-    """
+    solvability of the elliptic problem."""
     ms, me, mp, _, _ = trans
-    q = (jnp.einsum("o,oji->ji", mp / st.areas[:, REG_PRD],
-                    st.fmask[:, REG_PRD])
-         - jnp.einsum("o,oji->ji", ms / st.areas[:, REG_SRC],
-                      st.fmask[:, REG_SRC])
-         - jnp.einsum("o,oji->ji", me / st.areas[:, REG_ENT],
-                      st.fmask[:, REG_ENT]))
+    q = jnp.zeros((cfg.ny, cfg.nx), cfg.jnp_dtype)
+
+    def add_fp(q, rd: RegionData, rate):
+        k0, k1, j0, j1, i0, i1 = rd.box
+        return q.at[j0:j1 + 1, i0:i1 + 1].add(rate * rd.fmask)
+
+    for o in range(len(st.regions)):
+        if st.sets is not None and sel is not None:
+            for m, rd in enumerate(st.sets[o]):
+                g = (sel[o] == m).astype(q.dtype)
+                q = add_fp(q, rd, g * mp[o] / rd.area)
+        else:
+            rd = st.regions[o][REG_PRD]
+            q = add_fp(q, rd, mp[o] / rd.area)
+        q = add_fp(q, st.regions[o][REG_SRC],
+                   -ms[o] / st.regions[o][REG_SRC].area)
+        q = add_fp(q, st.regions[o][REG_ENT],
+                   -me[o] / st.regions[o][REG_ENT].area)
     return q
+
+
+def momentum_adjust(cfg: ModelConfig, grid: Grid, st: OverflowStatics,
+                    trans, sel, u_new, v_new, ubtrop_new, vbtrop_new):
+    """Sidewall momentum sources: the column renormalization shift of
+    ovf_UV + ovf_UV_solution (source/overflows.F90:4848-5061, 5884-6189)
+    applied to the active part of each sidewall U-column.
+
+    The reference prescribes the sidewall velocity at the (sub-topography)
+    overflow level to Uovf = +-M/(npts-1)/(dz*DYU) and renormalizes the
+    baroclinic column including the below-topography sidewall flow; the
+    effect on the resolved levels k <= KMU is a uniform shift
+        du = -((Uovf - ubar)*dz_kovf - ubar*dz_below)/HU,
+    which is what this function applies (the sub-topography levels
+    themselves are masked land in the dense-array formulation; their
+    column-integral effect on the free surface enters via ``qsurf``)."""
+    ms, me, mp, _, _ = trans
+    m3 = jnp.stack([ms, me, mp], axis=1)                 # (n, 3)
+    km = cfg.km
+    kidx = jnp.arange(km, dtype=jnp.int32)
+
+    def apply(tab, vel, vbar):
+        if tab is None or tab["j"].shape[0] == 0:
+            return vel
+        jj, ii = tab["j"], tab["i"]
+        m_p = m3[tab["ovf"], tab["kind"]]                # (P,)
+        gate = jnp.where(tab["setid"] < 0, 1.0,
+                         (sel[tab["ovf"]] == tab["setid"]).astype(
+                             vel.dtype))
+        uovf = tab["sign"] * m_p * tab["g"]
+        ubar = vbar[jj, ii]
+        delta = gate * ((uovf - ubar) * tab["dz_k"]
+                        - ubar * tab["dz_below"]) / tab["hu"]
+        kmu_p = grid.KMU[jj, ii]                          # (P,)
+        colmask = (kidx[:, None] < kmu_p[None]).astype(vel.dtype)
+        return vel.at[:, jj, ii].add(-delta[None] * colmask)
+
+    u_new = apply(st.mom_u, u_new, ubtrop_new)
+    v_new = apply(st.mom_v, v_new, vbtrop_new)
+    return u_new, v_new

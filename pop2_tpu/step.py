@@ -132,22 +132,37 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # overflow transports: evaluated once, shared by the tracer exchange and
     # the barotropic continuity injection (ovf_driver/ovf_transports,
     # source/overflows.F90:3477,3754)
-    ovf_trans = ovf_q = None
+    ovf_trans = ovf_q = ovf_sel = ovf_sets_tavg = None
     if cfg.overflows and ovf_statics is not None:
         from pop2_tpu import overflows as ovf_mod
         ovf_trans = ovf_mod.transports(cfg, grid, ovf_statics,
                                        state.tracer_cur)
-        ovf_q = ovf_mod.qsurf(cfg, grid, ovf_statics, ovf_trans)
+        if ovf_statics.sets is not None:
+            # neutral-buoyancy product-set selection (ovf_loc_prd,
+            # source/overflows.F90:4313-4360)
+            ovf_sel, ovf_sets_tavg = ovf_mod.product_set_selection(
+                cfg, grid, ovf_statics, state.tracer_cur, ovf_trans)
+        ovf_q = ovf_mod.qsurf(cfg, grid, ovf_statics, ovf_trans,
+                              sel=ovf_sel)
 
     # 2. explicit baroclinic update (source/step_mod.F90:375)
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
                              dh, dhu, leapfrog, kpp_statics=kpp_statics,
                              sw_profile=sw_profile, passive=passive,
-                             ovf_statics=ovf_statics, ovf_trans=ovf_trans)
+                             ovf_statics=ovf_statics, ovf_trans=ovf_trans,
+                             ovf_sel=ovf_sel, ovf_sets_tavg=ovf_sets_tavg)
 
-    # 3. implicit barotropic solve (source/step_mod.F90:437)
-    tout = barotropic.driver(cfg, grid, bc, state, forcing, bout.zx,
-                             bout.zy, leapfrog, pcsi_eigs, precond,
+    # 3. implicit barotropic solve (source/step_mod.F90:437); at overflow
+    # sidewall columns the vertically-integrated forcing is renormalized
+    # for the sub-topography sidewall depth (ovf_rhs_brtrpc_momentum,
+    # source/overflows.F90:5068-5224)
+    zx, zy = bout.zx, bout.zy
+    if (cfg.overflows and ovf_statics is not None
+            and ovf_statics.zren is not None):
+        zx = zx * ovf_statics.zren
+        zy = zy * ovf_statics.zren
+    tout = barotropic.driver(cfg, grid, bc, state, forcing, zx,
+                             zy, leapfrog, pcsi_eigs, precond,
                              ovf_qsurf=ovf_q)
 
     # 4. corrector/adjustment pass (source/step_mod.F90:457)
@@ -158,6 +173,16 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
     # 5. full velocity = baroclinic' + barotropic (source/step_mod.F90:572)
     u_new = jnp.where(grid.kmask_u, bout.u_new + tout.ubtrop_new[None], 0.0)
     v_new = jnp.where(grid.kmask_u, bout.v_new + tout.vbtrop_new[None], 0.0)
+    if (cfg.overflows and ovf_statics is not None
+            and ovf_statics.mom_u is not None):
+        # sidewall momentum sources: overflow column renormalization
+        # (ovf_UV + ovf_UV_solution, source/overflows.F90:4848,5884)
+        from pop2_tpu import overflows as ovf_mod
+        u_new, v_new = ovf_mod.momentum_adjust(
+            cfg, grid, ovf_statics, ovf_trans, ovf_sel, u_new, v_new,
+            tout.ubtrop_new, tout.vbtrop_new)
+        u_new = jnp.where(grid.kmask_u, u_new, 0.0)
+        v_new = jnp.where(grid.kmask_u, v_new, 0.0)
     if cfg.ldamp_uv:
         # optional velocity damping of the new time level
         # (damping.F90 damping_uv, called from step_mod.F90:600-602)

@@ -114,7 +114,8 @@ MAXARG = 35.0  # exp-underflow guard (source/sw_absorption.F90:703)
 def chl_coeffs(chl):
     """Interpolated Ohlmann (2003) double-exponential coefficients for a
     surface chlorophyll field (sw_absorption.F90:640-718)."""
-    logc = jnp.log(jnp.clip(chl, CHLCNC[0], CHLCNC[-1]))
+    # float() so the np.float64 table bounds don't promote fp32 fields
+    logc = jnp.log(jnp.clip(chl, float(CHLCNC[0]), float(CHLCNC[-1])))
     logtab = jnp.asarray(np.log(CHLCNC), logc.dtype)
     a1 = jnp.interp(logc, logtab, jnp.asarray(A_1, logc.dtype))
     a2 = jnp.interp(logc, logtab, jnp.asarray(A_2, logc.dtype))

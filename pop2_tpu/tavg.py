@@ -489,12 +489,13 @@ _register("VVC", "Vertical viscosity", "cm^2/s", 3,
 
 
 def _bck_vdc(cfg, grid):
-    """Background internal-wave diffusivity profile
-    (vmix_kpp.F90:560-585 via kpp.build_statics)."""
-    prof = (cfg.bckgrnd_vdc + cfg.bckgrnd_vdc2
-            * jnp.arctan(cfg.bckgrnd_vdc_linv
-                         * (grid.vgrid.zw - cfg.bckgrnd_vdc_dpth)))
-    return jnp.where(grid.kmask_t, prof[:, None, None], 0.0)
+    """Background internal-wave diffusivity field
+    (vmix_kpp.F90:544-632 via kpp.background_vdc; covers both the atan
+    profile and the lhoriz_varying latitude structure)."""
+    from pop2_tpu import kpp as kpp_mod
+    prof = jnp.asarray(kpp_mod.background_vdc(cfg, grid), cfg.jnp_dtype)
+    return jnp.where(grid.kmask_t, jnp.broadcast_to(
+        prof, (cfg.km, cfg.ny, cfg.nx)), 0.0)
 
 
 _register("KAPPA_ISOP", "Isopycnal (Redi) diffusivity (cell avg of the "

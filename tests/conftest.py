@@ -18,6 +18,13 @@ if (".axon_site" in os.environ.get("PYTHONPATH", "")
         if ".axon_site" not in p)
     env["POP2_TPU_TEST_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
+    # unbuffered so the re-exec'd pytest's output reaches the caller even
+    # when stdout is a pipe (round-3 verdict: output appeared swallowed)
+    env["PYTHONUNBUFFERED"] = "1"
+    sys.stdout.write("[conftest] re-exec with axon sitecustomize scrubbed "
+                     "(JAX_PLATFORMS=cpu); pytest output follows\n")
+    sys.stdout.flush()
+    sys.stderr.flush()
     os.execve(sys.executable, [sys.executable, "-m", "pytest",
                                *sys.argv[1:]], env)
 

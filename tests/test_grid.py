@@ -104,3 +104,36 @@ def test_btrop_weights_symmetric(test_grid):
     ocean = np.asarray(test_grid.RCALCT) > 0
     sel = interior & ocean & (np.abs(recon) > 0)
     assert np.all(C[sel] < 0)
+
+
+def test_smooth_topography_smooths_rough_bathymetry(tmp_path):
+    """n_topo_smooth (smooth_topography, source/grid.F90:2393-2530):
+    9-pt averaging of a rough depth field reduces depth variance while
+    keeping land land."""
+    import numpy as np
+    from pop2_tpu.config import get_config
+    from pop2_tpu.grid import build_grid
+    from pop2_tpu.io import grid_files
+
+    cfg0 = get_config("mini")
+    rng = np.random.RandomState(3)
+    kmt = rng.randint(3, cfg0.km + 1, size=(cfg0.ny, cfg0.nx))
+    kmt[:2, :] = 0
+    kmt[-2:, :] = 0
+    path = str(tmp_path / "topo")
+    grid_files.write_topography(path, kmt.astype(np.int32))
+
+    mk = lambda n: build_grid(cfg0.with_(  # noqa: E731
+        topography="file", topography_file=path, flat_bottom=False,
+        n_topo_smooth=n))
+    g0, g2 = mk(0), mk(2)
+    k0 = np.asarray(g0.KMT)
+    k2 = np.asarray(g2.KMT)
+    # land stays land
+    assert ((k0 == 0) == (k2 == 0)).all()
+    # smoothing reduced the depth roughness (neighbor-difference variance)
+    def rough(k):
+        d = k.astype(float)
+        return np.abs(np.diff(d, axis=1))[k[:, :-1] > 0].mean()
+    assert rough(k2) < rough(k0)
+    assert k2.min() >= 0 and k2.max() <= cfg0.km

@@ -178,3 +178,61 @@ def test_kpp_lcheckekmo_limits_bldepth(kcfg, kgrid):
     # the limit can only shoal the boundary layer
     assert (h_ek <= h_off + 1e-6).all()
     assert h_ek.mean() < h_off.mean()
+
+
+def test_horiz_varying_background_structure():
+    """Jochum (2009) horizontally-varying background diffusivity
+    (vmix_kpp.F90:544-632): equatorial floor ~ bckgrnd_vdc_eq, PSI peaks
+    near +-28.9 deg, vdc1 plateau poleward, Banda Sea override."""
+    import numpy as np
+    from pop2_tpu import kpp as kpp_mod
+    from pop2_tpu.config import get_config
+    from pop2_tpu.grid import build_grid
+    from pop2_tpu import constants as c
+
+    cfg = get_config("mini").with_(kpp_lhoriz_varying_bckgrnd=True,
+                                   bckgrnd_vdc2=0.0)
+    grid = build_grid(cfg)
+    vdc = np.asarray(kpp_mod.background_vdc(cfg, grid))[0]   # (ny, nx)
+    lat = np.asarray(grid.TLAT) * c.RADIAN
+
+    lon = np.asarray(grid.TLON) * c.RADIAN
+    lon = np.where(lon < 0, lon + 360.0, lon)
+    eq_band = (np.abs(lat) < 5.0) & ((lon < 103.0) | (lon > 142.0))
+    if not eq_band.any():                   # mini grid may not span 5S-5N
+        eq_band = np.abs(lat) <= np.abs(lat).min() + 1.0
+    eq = vdc[eq_band]
+    # near the equator (outside the Banda boxes): Gregg floor + ramped vdc1
+    assert eq.max() < cfg.bckgrnd_vdc_eq + cfg.bckgrnd_vdc + 0.05
+    # Banda Sea override present somewhere in the tropics
+    banda = (lat < -1.0) & (lat > -8.3) & (lon > 103.0) & (lon < 142.0)
+    if banda.any():
+        assert np.isclose(vdc[banda].max(), cfg.bckgrnd_vdc_ban)
+    # poleward plateau ~ vdc1 + eq floor
+    pole = vdc[np.abs(lat) > 60.0]
+    if pole.size:
+        assert np.allclose(pole, cfg.bckgrnd_vdc + cfg.bckgrnd_vdc_eq,
+                           atol=1e-3)
+    # PSI bands exceed the equatorial floor
+    band = (np.abs(lat) > 26.0) & (np.abs(lat) < 32.0)
+    if band.any():
+        assert vdc[band].max() > eq.max()
+
+    # guard: vdc2 must be zero with the horizontal structure
+    import pytest
+    with pytest.raises(ValueError):
+        kpp_mod.background_vdc(
+            cfg.with_(bckgrnd_vdc2=0.05), grid)
+
+
+def test_horiz_varying_background_model_runs():
+    import numpy as np
+    from pop2_tpu.config import get_config
+    from pop2_tpu.model import Model
+    cfg = get_config("mini").with_(vmix="kpp", kpp_lhoriz_varying_bckgrnd=True,
+                                   bckgrnd_vdc2=0.0)
+    m = Model(cfg)
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])

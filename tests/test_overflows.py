@@ -29,8 +29,7 @@ def test_transport_law_activates_with_dense_source():
     m = Model(cfg)
     st = m.initial_state()
     # make the source region water dense (cold + salty)
-    masks = np.asarray(m.ovf_statics.masks)
-    src = masks[0, ovf.REG_SRC] > 0
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
     T = np.array(st.tracer_cur[0])
     S = np.array(st.tracer_cur[1])
     T[src] -= 4.0
@@ -53,8 +52,7 @@ def test_tendency_conserves_and_moves_dense_water():
     cfg = _cfg()
     m = Model(cfg)
     st = m.initial_state()
-    masks = np.asarray(m.ovf_statics.masks)
-    src = masks[0, ovf.REG_SRC] > 0
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
     T = np.array(st.tracer_cur[0])
     T[src] -= 4.0
     trcr = jnp.asarray(np.stack([T, np.asarray(st.tracer_cur[1])]))
@@ -66,7 +64,7 @@ def test_tendency_conserves_and_moves_dense_water():
     scale = (np.abs(np.asarray(g[0])) * vol).sum() + 1e-30
     assert abs(total) < 1e-10 * scale        # exact conservation
     # product region cools (receives cold source water)
-    prd = masks[0, ovf.REG_PRD] > 0
+    prd = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_PRD) > 0
     assert np.asarray(g[0])[prd].mean() < 0.0
     # source region warms (return flow brings product/ambient water)
     assert np.asarray(g[0])[src].mean() > 0.0
@@ -77,8 +75,7 @@ def test_model_runs_with_overflow():
     m = Model(cfg)
     st = m.initial_state()
     # densify the source so the overflow is active during the run
-    masks = np.asarray(m.ovf_statics.masks)
-    src = masks[0, ovf.REG_SRC] > 0
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
     T = np.array(st.tracer_cur[0])
     T[src] -= 3.0
     t = st.tracer_cur.at[0].set(jnp.asarray(T))
@@ -96,8 +93,7 @@ def test_qsurf_zero_sum_and_sign():
     cfg = _cfg()
     m = Model(cfg)
     st = m.initial_state()
-    masks = np.asarray(m.ovf_statics.masks)
-    src = masks[0, ovf.REG_SRC] > 0
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
     T = np.array(st.tracer_cur[0])
     T[src] -= 4.0
     trcr = jnp.asarray(np.stack([T, np.asarray(st.tracer_cur[1])]))
@@ -108,9 +104,10 @@ def test_qsurf_zero_sum_and_sign():
     net = (q * tarea).sum()
     scale = (np.abs(q) * tarea).sum()
     assert abs(net) < 1e-10 * scale
-    fm = np.asarray(m.ovf_statics.fmask)
-    assert q[fm[0, ovf.REG_PRD] > 0].mean() > 0.0
-    assert q[fm[0, ovf.REG_SRC] > 0].mean() < 0.0
+    fprd = ovf.footprint2(cfg, m.ovf_statics.regions[0][ovf.REG_PRD])
+    fsrc = ovf.footprint2(cfg, m.ovf_statics.regions[0][ovf.REG_SRC])
+    assert q[fprd > 0].mean() > 0.0
+    assert q[fsrc > 0].mean() < 0.0
 
 
 def test_overflow_drives_barotropic_response():
@@ -119,8 +116,7 @@ def test_overflow_drives_barotropic_response():
     cfg = _cfg()
     m = Model(cfg)
     st = m.initial_state()
-    masks = np.asarray(m.ovf_statics.masks)
-    src = masks[0, ovf.REG_SRC] > 0
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
     T = np.array(st.tracer_cur[0])
     T[src] -= 4.0
     st = st.replace(tracer_cur=jnp.asarray(
@@ -156,3 +152,155 @@ def test_overflow_drives_barotropic_response():
     m0 = (np.asarray(s2.psurf_cur) * tarea * rcalct).sum()
     assert abs(m1 - m0) < 1e-6 * (np.abs(np.asarray(s1.psurf_cur))
                                   * tarea * rcalct).sum()
+
+
+# ---------------------------------------------------------------------------
+# point-data overflows (overflows_infile geometry)
+# ---------------------------------------------------------------------------
+
+def _pt_spec():
+    """Point-data overflow on the mini grid: src wall at i=5 flowing +x,
+    ent at i=13, two product sets at k=5/6 selected by buoyancy."""
+    return OverflowSpec(
+        name="pt_ovf", lat=60.0, width=1.0e7, source_thick=3.0e4,
+        distnc_str_ssb=1.0e7, bottom_slope=0.01, bottom_drag=3.0e-3,
+        inf=RegionBox(kmin=1, kmax=2, jmin=16, jmax=18, imin=2, imax=5),
+        src=RegionBox(kmin=2, kmax=3, jmin=16, jmax=18, imin=6, imax=8),
+        ent=RegionBox(kmin=3, kmax=4, jmin=14, jmax=16, imin=14, imax=16),
+        prd=RegionBox(kmin=5, kmax=6, jmin=12, jmax=14, imin=14, imax=16),
+        src_pts=tuple((5, j, 3, 1) for j in range(16, 19)),
+        ent_pts=tuple((13, j, 3, 1) for j in range(14, 17)),
+        prd_sets=(tuple((13, j, 5, 1) for j in range(12, 15)),
+                  tuple((13, j, 6, 1) for j in range(12, 15))))
+
+
+def _dense_src_state(cfg, m, dT=-4.0):
+    import jax.numpy as jnp
+    st = m.initial_state()
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
+    T = np.array(st.tracer_cur[0])
+    T[src] += dT
+    trcr = jnp.asarray(np.stack([T, np.asarray(st.tracer_cur[1])]))
+    return st, trcr, src
+
+
+def test_point_overflow_selection_and_conservation():
+    """Neutral-buoyancy product-set selection (ovf_loc_prd) + exact
+    conservation of the point-data tendency."""
+    cfg = get_config("mini").with_(overflows=(_pt_spec(),))
+    m = Model(cfg)
+    st, trcr, src = _dense_src_state(cfg, m)
+    trans = ovf.transports(cfg, m.grid, m.ovf_statics, trcr)
+    assert float(trans[0][0]) > 0.0
+    sel, sets_tavg = ovf.product_set_selection(cfg, m.grid, m.ovf_statics,
+                                               trcr, trans)
+    assert 0 <= int(sel[0]) < 2
+    # cold dense product with a warm ambient -> deeper set
+    assert int(sel[0]) == 1
+    g = ovf.tendency(cfg, m.grid, m.ovf_statics, trcr, trans=trans,
+                     sel=sel, sets_tavg=sets_tavg)
+    from pop2_tpu.grid import thickness_t
+    vol = np.asarray(thickness_t(cfg, m.grid) * m.grid.TAREA[None]
+                     ) * np.asarray(m.grid.kmask_t)
+    for n in range(2):
+        tot = (np.asarray(g[n]) * vol).sum()
+        scale = (np.abs(np.asarray(g[n])) * vol).sum() + 1e-30
+        assert abs(tot) < 1e-10 * scale
+
+
+def test_point_overflow_momentum_and_zren():
+    """Sidewall momentum adjustment shifts the adjacent columns; the
+    ZX/ZY renormalization map is 1 away from sidewalls."""
+    import jax.numpy as jnp
+    cfg = get_config("mini").with_(overflows=(_pt_spec(),))
+    m = Model(cfg)
+    st, trcr, src = _dense_src_state(cfg, m)
+    trans = ovf.transports(cfg, m.grid, m.ovf_statics, trcr)
+    sel, _ = ovf.product_set_selection(cfg, m.grid, m.ovf_statics, trcr,
+                                       trans)
+    u = jnp.zeros((cfg.km, cfg.ny, cfg.nx), cfg.jnp_dtype)
+    v = jnp.zeros_like(u)
+    ub = jnp.zeros((cfg.ny, cfg.nx), cfg.jnp_dtype)
+    u2, v2 = ovf.momentum_adjust(cfg, m.grid, m.ovf_statics, trans, sel,
+                                 u, v, ub, ub)
+    assert float(jnp.abs(u2).max()) > 0.0        # active transport moved U
+    # the shift is uniform over each active column (pure renormalization)
+    du = np.asarray(u2)
+    jj = np.asarray(m.ovf_statics.mom_u["j"])
+    ii = np.asarray(m.ovf_statics.mom_u["i"])
+    kmu = np.asarray(m.grid.KMU)
+    for p in range(len(jj)):
+        col = du[:kmu[jj[p], ii[p]], jj[p], ii[p]]
+        assert np.allclose(col, col[0])
+    zren = np.asarray(m.ovf_statics.zren)
+    assert zren.max() <= 1.0
+    off = np.ones_like(zren, bool)
+    off[jj.min() - 2:jj.max() + 3, :] = False
+    assert (zren[off] == 1.0).all()
+
+
+def test_point_overflow_model_runs():
+    import jax.numpy as jnp
+    cfg = get_config("mini").with_(overflows=(_pt_spec(),))
+    m = Model(cfg)
+    st, trcr, src = _dense_src_state(cfg, m, dT=-3.0)
+    st = st.replace(tracer_cur=trcr, tracer_old=trcr)
+    for _ in range(5):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])
+    assert np.isfinite(np.asarray(st.tracer_cur)).all()
+
+
+def test_real_overflow_infile_parses():
+    """Parse the reference's real gx1v7 overflow file: four overflows with
+    the documented parameters (input_templates/gx1v7_overflow:41-47)."""
+    import os
+    path = "/root/reference/input_templates/gx1v7_overflow"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference input_templates not available")
+    from pop2_tpu.io import input_templates as it
+    specs = it.read_overflows(path)
+    assert [s.name for s in specs] == [
+        "Denmark Strait", "Faroe Bank Channel", "Ross Sea", "Weddell Sea"]
+    dms = specs[0]
+    assert dms.lat == 65.0 and dms.width == 5.0e6
+    assert dms.source_thick == 450.0e2 and dms.bottom_drag == 3.0e-3
+    assert len(dms.kmt_changes) == 3
+    # pop-up: 19 372 33 32 (1-based) -> 0-based (18, 371)
+    assert dms.kmt_changes[0] == (18, 371, 33, 32)
+    assert len(dms.src_pts) == 3 and len(dms.ent_pts) == 5
+    assert [len(s) for s in dms.prd_sets] == [4, 4, 7, 4, 6, 5, 6]
+    # src point 19 370 33 1 -> (18, 369, 32, 1)
+    assert dms.src_pts[0] == (18, 369, 32, 1)
+    # inflow region 10 15 360 367 33 33
+    assert (dms.inf.imin, dms.inf.imax) == (9, 14)
+    assert (dms.inf.jmin, dms.inf.jmax) == (359, 366)
+    assert (dms.inf.kmin, dms.inf.kmax) == (32, 32)
+
+
+def test_real_overflow_geometry_builds():
+    """Build the overflow statics on a gx1v7-shaped all-ocean grid from
+    the real parsed Denmark Strait/Faroe/Ross/Weddell geometry, including
+    the kmt pop-ups."""
+    import os
+    import pytest
+    path = "/root/reference/input_templates/gx1v7_overflow"
+    if not os.path.exists(path):
+        pytest.skip("reference input_templates not available")
+    from pop2_tpu.io import input_templates as it
+    from pop2_tpu.grid import build_grid
+    specs = it.read_overflows(path)
+    cfg = get_config("test").with_(
+        nx=320, ny=384, km=60, ns_boundary="tripole",
+        overflows=specs)
+    grid = build_grid(cfg)
+    kmt = np.asarray(grid.KMT)
+    # pop-ups applied
+    assert kmt[371, 18] == 32
+    st = ovf.build_statics(cfg, grid)
+    assert len(st.regions) == 4
+    assert st.sets is not None and len(st.sets[0]) == 7
+    assert st.mom_u["j"].shape[0] > 0
+    # all regions found ocean cells (build_statics would have raised)
+    assert float(np.asarray(st.volumes).min()) > 0.0
