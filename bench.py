@@ -2,13 +2,21 @@
 """Performance benchmark: steady-state step throughput on whatever
 accelerator JAX finds (the driver runs this on one real TPU chip).
 
-Flagship configuration: ``prod_full`` — the gx1v7-shaped production-physics
-menu the reference runs in production (320x384x60 tripole, KPP + GM +
-anisotropic viscosity + penetrating shortwave + frazil ice + 2 passive
-tracers; cime_config/config_pes.xml:411, input_templates/
-gx1v7_domain_size.F90). The light ``prod`` configuration (384x256x40,
-const vmix + del2 + centered advection) is reported alongside in detail —
-it isolates the dynamical-core cost the fused kernels target.
+Flagship configuration: the production gx1v7 default menu
+(production.get_production_config): 320x384x60 tripole; KPP with the
+Jochum horizontally-varying background; GM with bfre N^2 kappa +
+transition layer; anisotropic 'east' viscosity; Jayne tidal mixing;
+submesoscale MLE; chlorophyll shortwave; frazil ice; the real parsed
+gx1v7 overflow geometry (Denmark Strait / Faroe / Ross / Weddell) with
+sidewall momentum + continuity coupling; the real gx1v7 60-level
+vertical grid; Robert filter at 24 steps/day; PCSI at the production
+tolerance 1e-13 / maxiter 1000 with the 2-D solve promoted to fp64.
+This is the reference's own namelist_defaults_pop.xml menu — no solver
+or physics lightening (round-3 verdict item 1).
+
+The light ``prod`` configuration (384x256x40, const vmix + del2 +
+centered advection) is reported alongside in detail — it isolates the
+dynamical-core cost the fused kernels target.
 
 Metric: grid-points/s/chip = nx*ny*km * steps/s on the flagship config
 (BASELINE.md; the reference publishes no numbers — BASELINE.json
@@ -16,8 +24,9 @@ Metric: grid-points/s/chip = nx*ny*km * steps/s on the flagship config
 value of this same metric, 1.0 until a baseline file exists).
 
 Env knobs: BENCH_GRID overrides the flagship preset; BENCH_SECONDARY=0
-skips the light config; BENCH_FP64=1 adds float64 runs of both configs
-(slow on TPU — fp64 is emulated; results land in detail.fp64).
+skips the light config; BENCH_FP64=0 skips the float64 runs (default ON
+— the north-star parity tolerance is fp64, BASELINE.json);
+BENCH_SECTIONS=0 skips the per-section breakdown.
 
 Prints exactly one JSON line.
 """
@@ -32,24 +41,39 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def _measure(preset, dtype, nsteps_warm, nsteps):
-    import jax
-    from pop2_tpu.config import get_config, SolverConfig
+def _make_model(preset, dtype):
+    from pop2_tpu.config import get_config
     from pop2_tpu.model import Model
+    from pop2_tpu.production import get_production_config
 
-    cfg = get_config(preset).with_(
-        dtype=dtype,
-        solver=SolverConfig(choice="ChronGear",
-                            convergence_criterion=1.0e-5,
-                            max_iterations=500,
-                            convergence_check_freq=10),
-    )
-    model = Model(cfg)
+    if preset == "prod_full":
+        # the flagship runs its own production solver settings (PCSI at
+        # tol 1e-13, fp64 solve) — no lightening
+        cfg = get_production_config(dtype=dtype)
+    else:
+        # the light dynamics-only config keeps the round-1..3 fast-mode
+        # solver for comparability; its tolerance is printed in the
+        # result ("solver_tol") so the lightening is visible
+        from pop2_tpu.config import SolverConfig
+        cfg = get_config(preset).with_(
+            dtype=dtype,
+            solver=SolverConfig(choice="ChronGear",
+                                convergence_criterion=1.0e-5,
+                                max_iterations=500,
+                                convergence_check_freq=10))
+    return Model(cfg)
+
+
+def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
+    import jax
+
+    model = _make_model(preset, dtype)
+    cfg = model.cfg
     state = model.initial_state()
 
     # warmup must cover every executable the timed region will use: the
     # Euler first step, a single leapfrog step, the fused scan chunk, and
-    # an averaging step (first one at time_mix_freq=17)
+    # a time-filter step
     state, diags = model.advance(state)          # Euler first step
     state, diags = model.run_compiled(state, nsteps_warm)
     jax.block_until_ready(state)
@@ -61,13 +85,72 @@ def _measure(preset, dtype, nsteps_warm, nsteps):
 
     steps_per_sec = nsteps / dt
     points = cfg.nx * cfg.ny * cfg.km
-    return {
+    out = {
         "grid": preset, "nx": cfg.nx, "ny": cfg.ny, "km": cfg.km,
         "dtype": dtype,
         "steps_per_sec": round(steps_per_sec, 3),
         "points_per_sec": round(points * steps_per_sec, 1),
         "solver_iters_last": int(diags.solver_iters),
+        "solver": cfg.solver.choice,
+        "solver_tol": cfg.solver.convergence_criterion,
     }
+    if sections:
+        out["sections_ms"] = _sections(model, state)
+    return out
+
+
+def _sections(model, state, reps=8):
+    """Per-section wall times (ms/step-equivalent): jit each major step
+    component standalone (the reference's TIMER sections STEP/BAROCLINIC/
+    BAROTROPIC + the big physics kernels, source/step_mod.F90:69-75)."""
+    import functools
+    import jax
+
+    from pop2_tpu import baroclinic, barotropic, gm, step as step_mod, vmix
+
+    cfg, grid, bc = model.cfg, model.grid, model.bc
+    ts_range = model.ts_range
+    forcing = model.forcing
+    out = {}
+
+    def timed(name, fn, *args):
+        f = jax.jit(fn)
+        r = f(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(*args)
+        jax.block_until_ready(r)
+        out[name] = round((time.perf_counter() - t0) / reps * 1e3, 2)
+
+    dh, dhu = step_mod.dhdt(cfg, grid, bc, state)
+
+    timed("baroclinic", functools.partial(
+        baroclinic.driver, cfg, grid, bc, ts_range, leapfrog=True,
+        kpp_statics=model.kpp_statics, sw_profile=model.sw_profile,
+        passive=model.passive, ovf_statics=model.ovf_statics),
+        state, forcing, dh, dhu)
+
+    if cfg.vmix == "kpp":
+        timed("kpp", functools.partial(
+            vmix.vmix_coeffs, cfg, grid, bc,
+            kpp_statics=model.kpp_statics),
+            state.tracer_old, state.u_old, state.v_old, state.rho_old,
+            forcing)
+    if cfg.hmix_tracer == "gm":
+        timed("gm", functools.partial(
+            gm.hdifft_gm, cfg, grid, bc, ts_range), state.tracer_old)
+
+    bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
+                             dh, dhu, True, kpp_statics=model.kpp_statics,
+                             sw_profile=model.sw_profile,
+                             passive=model.passive,
+                             ovf_statics=model.ovf_statics)
+    timed("barotropic", functools.partial(
+        barotropic.driver, cfg, grid, bc, leapfrog=True,
+        pcsi_eigs=model._pcsi_eigs.get(True), precond=model.precond),
+        state, forcing, bout.zx, bout.zy)
+    return out
 
 
 def main():
@@ -76,14 +159,16 @@ def main():
     nsteps_warm = int(os.environ.get("BENCH_WARMUP", "20"))
     nsteps = int(os.environ.get("BENCH_STEPS", "32"))
     flagship = os.environ.get("BENCH_GRID", "prod_full")
+    want_sections = os.environ.get("BENCH_SECTIONS", "1") != "0"
 
     detail = {"backend": jax.default_backend()}
-    flag = _measure(flagship, "float32", nsteps_warm, nsteps)
+    flag = _measure(flagship, "float32", nsteps_warm, nsteps,
+                    sections=want_sections)
     detail.update(flag)
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         detail["light"] = _measure("prod", "float32", nsteps_warm, nsteps)
-    if os.environ.get("BENCH_FP64", "0") == "1":
+    if os.environ.get("BENCH_FP64", "1") != "0":
         detail["fp64"] = {
             "flagship": _measure(flagship, "float64", 4, 8),
             "light": _measure("prod", "float64", 4, 8),
