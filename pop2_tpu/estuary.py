@@ -140,7 +140,7 @@ def exchange_layer_weights(cfg: ModelConfig, grid: Grid,
 
 
 def exchange_circulation(cfg: ModelConfig, grid: Grid, tracer_cur, roff_f,
-                         w_up, w_lo):
+                         w_up, w_lo, want_flux: bool = False):
     """Tracer tendency of the EBM exchange circulation (nt, km, ny, nx):
     Q_lower draws lower-layer ocean water into the estuary and Q_upper
     returns it mixed with river water — a vertical redistribution with flux
@@ -184,4 +184,9 @@ def exchange_circulation(cfg: ModelConfig, grid: Grid, tracer_cur, roff_f,
     h_lo_cm = jnp.sum(w_lo_j * dz3, axis=0)
     src = flux[:, None] * (w_up_j[None] / jnp.maximum(h_up_cm, 1.0)
                            - w_lo_j[None] / jnp.maximum(h_lo_cm, 1.0))
-    return jnp.where(grid.kmask_t[None], src, 0.0)
+    src = jnp.where(grid.kmask_t[None], src, 0.0)
+    if want_flux:
+        # (src, FLUX_EXCH_INTRF) — the interface flux is the
+        # T/S_FLUX_EXCH_INTRF tavg field (estuary_vsf_mod.F90:740-751)
+        return src, flux
+    return src

@@ -688,7 +688,7 @@ def kappa_fields(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     kinds = (cfg.gm_kappa_isop_type, cfg.gm_kappa_thic_type)
     if "bfre" in kinds:
         if sdl is None:
-            sdl = jnp.full_like(grid.FCORT, float(grid.vgrid.zw[0]))
+            sdl = jnp.full_like(grid.FCORT, float(np.asarray(grid.vgrid.zw)[0]))
         kappa_vert = kappa_vertical_bfre(cfg, grid, ts_range, tmix, sdl)
     elif "depth" in kinds:
         kappa_vert = jnp.broadcast_to(depth_profile(),
@@ -786,7 +786,7 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
             from pop2_tpu import kpp as kpp_mod
             dd, _ = kpp_mod.smooth_hblt(cfg, grid, bc, hblt)
         else:
-            dd = jnp.full_like(grid.FCORT, float(grid.vgrid.zw[0]))
+            dd = jnp.full_like(grid.FCORT, float(np.asarray(grid.vgrid.zw)[0]))
         tlt = transition_layer(cfg, grid, dd, sla, _rossby_radius(grid))
 
     bl_depth = (hblt[None, None] if hblt is not None

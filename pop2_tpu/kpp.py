@@ -89,6 +89,12 @@ class KPPOut(NamedTuple):
     hblt: jnp.ndarray    # (ny, nx) boundary layer depth (cm)
     kbl: jnp.ndarray     # (ny, nx) first level below hbl
     hmxl: jnp.ndarray    # (ny, nx) diagnostic mixed layer depth
+    # interior-mixing diagnostics for the KVMIX/KVMIX_M/TPOWER tavg
+    # fields (vmix_kpp.F90:1826-1868, 1947-1950)
+    kvmix: Optional[jnp.ndarray] = None    # (km, ny, nx)
+    kvmix_m: Optional[jnp.ndarray] = None  # (km, ny, nx)
+    tpower: Optional[jnp.ndarray] = None   # (km, ny, nx) erg/s/cm^3
+    hmxl_dr: Optional[jnp.ndarray] = None  # (ny, nx) density-criterion MLD
 
 
 def background_vdc(cfg: ModelConfig, grid: Grid) -> np.ndarray:
@@ -294,11 +300,13 @@ def wscale(sigma, hbl, ustar, bfsfc, want="both"):
 
 
 def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
-             dbloc, umix, vmix_, tidal_lnc=None):
+             dbloc, umix, vmix_, tidal_lnc=None, want_kvmix=False):
     """Interior mixing: background + shear instability
     (source/vmix_kpp.F90:1428-1995, non-tidal path).
     Returns (visc, vdc_s) as (km+2, ny, nx) interface arrays (index k =
-    reference k; 0 and km+1 are zero-padding for blmix)."""
+    reference k; 0 and km+1 are zero-padding for blmix); with
+    ``want_kvmix`` also the KVMIX/KVMIX_M diagnostics (tidal+background
+    interior diffusivity/viscosity, :1826-1868) as (km, ny, nx)."""
     km = cfg.km
     dzw = grid.vgrid.dzw  # (km+1,), dzw[k] = zgrid(k)-zgrid(k+1), 1-based k
 
@@ -367,18 +375,33 @@ def ri_iwmix(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
             + (fshear if cfg.kpp_lrich else 0.0)
         vdc_k = jnp.minimum(bck_vdc + tdiff, cfg.tidal_mix_max) \
             + (fshear if cfg.kpp_lrich else 0.0)
+        # KVMIX/KVMIX_M diagnostics: interior diffusivity/viscosity
+        # before the shear-instability term (:1826-1841)
+        kvmix = jnp.minimum(bck_vdc + tdiff, cfg.tidal_mix_max) \
+            * jnp.ones_like(visc_k)
+        kvmix_m = pr * jnp.minimum(bck_vvc / pr + tdiff,
+                                   cfg.tidal_mix_max) \
+            * jnp.ones_like(visc_k)
     else:
         visc_k = bck_vvc + (fshear if cfg.kpp_lrich else 0.0)
         vdc_k = bck_vdc + (fshear if cfg.kpp_lrich else 0.0)
+        # background-only diagnostics (:1861-1868)
+        kvmix = bck_vdc * jnp.ones_like(visc_k)
+        kvmix_m = bck_vvc * jnp.ones_like(visc_k)
 
     # zero at/below sea floor (:1913-1921)
     below = kidx >= grid.KMT[None]
     visc_k = jnp.where(below, 0.0, visc_k)
     vdc_k = jnp.where(below, 0.0, vdc_k)
+    # KVMIX is set only for k < km (:1829-1842)
+    kvmix = kvmix.at[-1].set(0.0)
+    kvmix_m = kvmix_m.at[-1].set(0.0)
 
     zpad = jnp.zeros_like(visc_k[:1])
     visc = jnp.concatenate([zpad, visc_k, zpad], axis=0)
     vdc = jnp.concatenate([zpad, vdc_k, zpad], axis=0)
+    if want_kvmix:
+        return visc, vdc, kvmix, kvmix_m
     return visc, vdc
 
 
@@ -781,6 +804,37 @@ def blmix(cfg: ModelConfig, grid: Grid, st: KPPStatics, visc, vdc_t, vdc_s,
     return visc, vdc_t, vdc_s, ghat
 
 
+def hmxl_dr_diag(cfg: ModelConfig, grid: Grid, trcr):
+    """Diagnostic mixed-layer depth from the fixed density-threshold
+    criterion (offset 0.03 kg/m^3 = 3e-5 g/cm^3), linear interpolation
+    between the bracketing level centers (HMXL_DR, QL 150526,
+    source/vmix_kpp.F90:1385-1417)."""
+    km = cfg.km
+    zt = grid.vgrid.zt
+    p1 = grid.vgrid.pressz[0]
+
+    T = jnp.where(trcr[0] < -2.0, -2.0, trcr[0])
+    # potential density: every level displaced to the level-1 pressure
+    rho = eos.mwjf_rho(jnp.clip(T, -1000.0, 1000.0),
+                       jnp.clip(trcr[1], 0.0, 1000.0), p1)
+    target = rho[0] + 3.0e-5
+
+    rho_k = rho[:-1]                      # levels 1..km-1
+    rho_kp1 = rho[1:]
+    cond = (target > rho_k) & (target <= rho_kp1)     # (km-1, ny, nx)
+    found = jnp.any(cond, axis=0)
+    k0 = jnp.argmax(cond, axis=0)                     # first bracketing k
+    ztk = jnp.asarray(zt)[k0]
+    ztk1 = jnp.asarray(zt)[k0 + 1]
+    r_k = jnp.take_along_axis(rho_k, k0[None], axis=0)[0]
+    r_k1 = jnp.take_along_axis(rho_kp1, k0[None], axis=0)[0]
+    interp = ztk + (target - r_k) * (ztk1 - ztk) / (r_k1 - r_k + EPS)
+
+    out = jnp.where(found, interp, 0.0)
+    out = jnp.where(grid.KMT == 1, zt[0], out)
+    return out
+
+
 def hmxl_diag(cfg: ModelConfig, grid: Grid, dbsfc):
     """Diagnostic mixed-layer depth from the max buoyancy-gradient criterion
     (source/vmix_kpp.F90:1319-1383), vectorized with scans."""
@@ -913,13 +967,15 @@ def niw_mix(cfg: ModelConfig, grid: Grid, st: KPPStatics, dbloc, hblt, kbl,
 def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
                tmix, umix, vmix_, stf, shf_qsw, smft,
                convect_diff: float, convect_visc: float,
-               ucur=None, vcur=None, chl=None, tidal_lnc=None) -> KPPOut:
+               ucur=None, vcur=None, chl=None, tidal_lnc=None,
+               rhomix=None) -> KPPOut:
     """Full KPP pipeline (driver: source/vmix_kpp.F90:918-1422)."""
     km = cfg.km
 
     dbloc, dbsfc = buoydiff(cfg, grid, st, tmix)
-    visc, vdc_s = ri_iwmix(cfg, grid, bc, st, dbloc, umix, vmix_,
-                           tidal_lnc=tidal_lnc)
+    visc, vdc_s, kvmix, kvmix_m = ri_iwmix(cfg, grid, bc, st, dbloc, umix,
+                                           vmix_, tidal_lnc=tidal_lnc,
+                                           want_kvmix=True)
     vdc_t = vdc_s
     if cfg.kpp_ldbl_diff:
         vdc_t, vdc_s = ddmix(cfg, grid, tmix, vdc_t, vdc_s)
@@ -960,8 +1016,17 @@ def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
 
     hmxl = hmxl_diag(cfg, grid, dbsfc)
 
+    # TPOWER = KVMIX * RHO * DBLOC / dzw, energy used by vertical mixing
+    # (:1947-1950); RHOMIX optional (the in-situ density at mix time)
+    tpower = None
+    if rhomix is not None:
+        dzw_b = jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
+        tpower = kvmix * rhomix * dbloc / dzw_b
+
     return KPPOut(vdc=jnp.stack([vdct_k, vdcs_k]), vvc=vvc,
-                  ghat_src=ghat_src, hblt=hblt, kbl=kbl, hmxl=hmxl)
+                  ghat_src=ghat_src, hblt=hblt, kbl=kbl, hmxl=hmxl,
+                  kvmix=kvmix, kvmix_m=kvmix_m, tpower=tpower,
+                  hmxl_dr=hmxl_dr_diag(cfg, grid, tmix))
 
 
 def kpp_sources(cfg: ModelConfig, grid: Grid, ghat_src, stf):

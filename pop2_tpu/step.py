@@ -222,18 +222,30 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
         rf_s_prev_valid=state.rf_s_prev_valid)
 
     # 7. time filtering (source/step_mod.F90:663-832)
+    rf_tend_tracer = None
     if cfg.time.time_mix_opt == "robert":
+        prefilter = new.tracer_old
         new = _robert_filter(cfg, grid, bc, ts_range, state, new, forcing,
                              passive=passive)
+        if with_extras:
+            # Robert-filter tendency (RF_TEND_* tavg fields,
+            # source/passive_tracers.F90:723-733): the filter increment
+            # on the current time level per unit time
+            rf_tend_tracer = (new.tracer_old - prefilter) / cfg.time.dtt
     elif avg_ts:
         new = _avg_filter(cfg, grid, ts_range, state, new)
 
     diags = StepDiagnostics(solver_iters=tout.solver_iters,
                             solver_rr=tout.solver_rr)
     if with_extras:
+        kppo = bout.kpp
         extras = {
             "hblt": bout.kpp.hblt if bout.kpp is not None else None,
             "hmxl": bout.kpp.hmxl if bout.kpp is not None else None,
+            "hmxl_dr": kppo.hmxl_dr if kppo is not None else None,
+            "kvmix": kppo.kvmix if kppo is not None else None,
+            "kvmix_m": kppo.kvmix_m if kppo is not None else None,
+            "tpower": kppo.tpower if kppo is not None else None,
             "vdc": bout.vdc,
             "vvc": bout.vvc,
             "kappa_isop": (bout.gm.kappa_isop if bout.gm is not None
@@ -260,6 +272,7 @@ def step(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, state: State,
                                 baroclinic._timestep_arrays(
                                     cfg, leapfrog)[0],
                                 (1, cfg.km, 1, 1))),
+            "rf_tend_tracer": rf_tend_tracer,
         }
         return new, diags, extras
     return new, diags

@@ -55,6 +55,11 @@ class TavgAux(NamedTuple):
     tlt_thick: Optional[jnp.ndarray] = None   # (ny, nx) transition thickness
     int_depth: Optional[jnp.ndarray] = None   # (ny, nx) interior start depth
     tend_tracer: Optional[jnp.ndarray] = None  # (nt, km, ny, nx) dT/dt
+    hmxl_dr: Optional[jnp.ndarray] = None     # (ny, nx) density-crit MLD
+    kvmix: Optional[jnp.ndarray] = None       # (km, ny, nx) interior vdc
+    kvmix_m: Optional[jnp.ndarray] = None     # (km, ny, nx) interior vvc
+    tpower: Optional[jnp.ndarray] = None      # (km, ny, nx) mixing energy
+    rf_tend_tracer: Optional[jnp.ndarray] = None  # (nt, km, ny, nx)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -519,6 +524,128 @@ _register("VDC_BCK", "Background vertical tracer diffusivity",
           "cm^2/s", 3, lambda c, g, s, a: _bck_vdc(c, g))
 _register("VVC_BCK", "Background vertical viscosity", "cm^2/s", 3,
           lambda c, g, s, a: c.prandtl * _bck_vdc(c, g))
+_register("KVMIX", "Vertical diabatic diffusivity due to Tidal Mixing + "
+          "background", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "kvmix", "KVMIX"))
+_register("KVMIX_M", "Vertical viscosity due to Tidal Mixing + "
+          "background", "cm^2/s", 3,
+          lambda c, g, s, a: _need(a, "kvmix_m", "KVMIX_M"))
+_register("TPOWER", "Energy Used by Vertical Mixing", "erg/s/cm^3", 3,
+          lambda c, g, s, a: _need(a, "tpower", "TPOWER"))
+
+# density-criterion mixed-layer depths (HMXL_DR, QL 150526,
+# vmix_kpp.F90:1385-1417) + the stream-2 duplicate registrations of the
+# mixed-layer fields (gx1v7_tavg_contents '2 HMXL_DR_2' etc.)
+_register("HMXL_DR", "Mixed-Layer Depth (density)", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl_dr", "HMXL_DR"))
+_register("HMXL_DR2", "Mixed-Layer Depth squared (density)",
+          "centimeter^2", 2,
+          lambda c, g, s, a: _need(a, "hmxl_dr", "HMXL_DR2") ** 2)
+_register("XMXL_DR", "Maximum Mixed-Layer Depth (density)", "centimeter",
+          2, lambda c, g, s, a: _need(a, "hmxl_dr", "XMXL_DR"),
+          method="max")
+_register("TMXL_DR", "Minimum Mixed-Layer Depth (density)", "centimeter",
+          2, lambda c, g, s, a: _need(a, "hmxl_dr", "TMXL_DR"),
+          method="min")
+_register("HMXL_DR_2", "Mixed-Layer Depth (density, stream 2)",
+          "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl_dr", "HMXL_DR_2"))
+_register("HMXL_2", "Mixed-Layer Depth (stream 2)", "centimeter", 2,
+          lambda c, g, s, a: _need(a, "hmxl", "HMXL_2"))
+_register("XMXL_2", "Maximum Mixed-Layer Depth (stream 2)", "centimeter",
+          2, lambda c, g, s, a: _need(a, "hmxl", "XMXL_2"), method="max")
+
+
+def _qflux(c, g, s, a):
+    """Internal ocean heat flux due to ice formation (W/m^2): the heat
+    extracted by frazil formation this step, QICE/dt converted by the
+    hflux factor (ice.F90 QFLUX; the reference holds QFLUX constant
+    between ice timesteps — here the per-step equivalent)."""
+    return jnp.where(g.kmask_t[0],
+                     -s.qice / c.time.dtt / const.HFLUX_FACTOR, 0.0)
+
+
+_register("QFLUX", "Internal Ocean Heat Flux Due to Ice Formation",
+          "watt/m^2", 2, _qflux)
+
+
+def _dtemp(c, g, s, a, sign):
+    d = s.tracer_cur[0, 0] - s.tracer_old[0, 0]
+    return (jnp.maximum(d, 0.0) if sign > 0 else jnp.minimum(d, 0.0))
+
+
+_register("dTEMP_POS_2D", "max positive temperature timestep diff",
+          "degC", 2, lambda c, g, s, a: _dtemp(c, g, s, a, +1))
+_register("dTEMP_NEG_2D", "min negative temperature timestep diff",
+          "degC", 2, lambda c, g, s, a: _dtemp(c, g, s, a, -1))
+
+
+def _resid(c, g, s, a, n, factor):
+    """Free-surface residual flux (RESID_T/RESID_S,
+    source/baroclinic.F90:2416-2431): DH * tracer / conversion at the
+    surface; identically zero under the variable-thickness surface layer
+    (the reference only accumulates it for rigid/oldfree)."""
+    if c.sfc_layer == "varthick":
+        return jnp.zeros_like(s.psurf_cur)
+    from pop2_tpu import step as step_mod
+    dh, _ = step_mod.dhdt(c, g, a.bc, s)
+    return jnp.where(g.kmask_t[0], dh * s.tracer_cur[n, 0] * factor, 0.0)
+
+
+_register("RESID_T", "Free-Surface Residual Flux (T)", "watt/m^2", 2,
+          lambda c, g, s, a: _resid(c, g, s, a, 0,
+                                    1.0 / const.HFLUX_FACTOR))
+_register("RESID_S", "Free-Surface Residual Flux (S)", "kg/m^2/s", 2,
+          lambda c, g, s, a: _resid(c, g, s, a, 1,
+                                    1.0 / const.SALINITY_FACTOR))
+
+# weak-restoring virtual salt flux: nonzero only under the
+# 'partially-coupled' sfwf formulation (source/forcing.F90:560-571
+# sets WORK = c0 otherwise); the coupled path carries no weak restoring
+_register("SFWF_WRST", "Virtual Salt Flux due to weak restoring",
+          "kg/m^2/s", 2, lambda c, g, s, a: jnp.zeros_like(s.psurf_cur))
+
+_register("RF_TEND_TEMP", "Robert Filter Tendency for TEMP", "degC/s", 3,
+          lambda c, g, s, a: _need(a, "rf_tend_tracer", "RF_TEND_TEMP")[0])
+_register("RF_TEND_SALT", "Robert Filter Tendency for SALT", "msu/s", 3,
+          lambda c, g, s, a: _need(a, "rf_tend_tracer", "RF_TEND_SALT")[1])
+
+
+def _estuary_exch_flux(c, g, s, a, n):
+    """Vertical tracer flux across the EBM upper/lower layer interface
+    (FLUX_EXCH_INTRF, source/estuary_vsf_mod.F90:727-751)."""
+    if not c.lestuary_exch or a.forcing is None \
+            or a.forcing.roff_f is None:
+        return jnp.zeros_like(s.psurf_cur)
+    from pop2_tpu import estuary as est_mod
+    w_up, w_lo = est_mod.exchange_layer_weights(c, g, c.est_h_upper,
+                                                c.est_h_lower)
+    _, flux = est_mod.exchange_circulation(c, g, s.tracer_cur,
+                                           a.forcing.roff_f, w_up, w_lo,
+                                           want_flux=True)
+    return flux[n]
+
+
+_register("T_FLUX_EXCH_INTRF", "Vertical Temperature Flux Across "
+          "Upper/Lower Layer Interface (From EBM)", "degC*cm/s", 2,
+          lambda c, g, s, a: _estuary_exch_flux(c, g, s, a, 0))
+_register("S_FLUX_EXCH_INTRF", "Vertical Salt Flux Across Upper/Lower "
+          "Layer Interface (From EBM)", "msu*cm/s", 2,
+          lambda c, g, s, a: _estuary_exch_flux(c, g, s, a, 1))
+
+
+def _roff_vsf(c, g, s, a):
+    """Surface virtual salt flux from river runoff (S_FLUX_ROFF_VSF_SRF,
+    source/estuary_vsf_mod.F90:416-424)."""
+    if not c.lestuary_exch or a.forcing is None \
+            or a.forcing.roff_f is None:
+        return jnp.zeros_like(s.psurf_cur)
+    from pop2_tpu import estuary as est_mod
+    return est_mod.river_vsf(c, g, a.forcing.roff_f, s.tracer_cur[1, 0])
+
+
+_register("S_FLUX_ROFF_VSF_SRF", "Surface Salt Virtual Salt Flux "
+          "Associated with Rivers (From VSF)", "msu*cm/s", 2, _roff_vsf)
 
 
 def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,

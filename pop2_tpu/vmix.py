@@ -44,7 +44,7 @@ def vmix_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, tmix, umix, vmix_,
             cfg, grid, bc, kpp_statics, tmix, umix, vmix_,
             forcing.stf, forcing.shf_qsw, forcing.smft,
             cfg.convect_diff, cfg.convect_visc, ucur=ucur, vcur=vcur,
-            chl=chl, tidal_lnc=forcing.tidal_lnc)
+            chl=chl, tidal_lnc=forcing.tidal_lnc, rhomix=rhomix)
         return VmixCoeffs(vdc=out.vdc, vvc=out.vvc, kpp=out)
     raise NotImplementedError(f"vmix scheme {cfg.vmix}")
 

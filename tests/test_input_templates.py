@@ -123,3 +123,14 @@ def test_section_transport_uniform_flow():
     assert np.isclose(mass, expect, rtol=1e-12)
     # heat transport carries the face-mean temperature
     assert heat != 0.0
+
+
+@needs_ref
+def test_tavg_registry_covers_real_contents():
+    """Every active field in the reference's gx1v7 tavg contents files
+    (monthly + high-frequency) is registered (round-3 verdict #6)."""
+    from pop2_tpu import tavg
+    for fname in ("gx1v7_tavg_contents", "gx1v7_tavg_contents_high_freq"):
+        rows = it.read_tavg_contents(f"{REF}/{fname}")
+        missing = sorted({n for _, n in rows if n not in tavg.FIELDS})
+        assert not missing, f"{fname}: unregistered fields {missing}"

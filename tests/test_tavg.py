@@ -136,3 +136,44 @@ def test_tendency_component_fields(tmp_path):
     tot = (advt * area)[ocean].sum() / area[ocean].sum()
     assert abs(tot) < 1e-4 * np.abs(advt[ocean]).max()
     assert np.abs(tend[:, ocean]).max() > 0.0
+
+
+def test_round4_fields_accumulate(tmp_path):
+    """The round-4 registry additions (KVMIX/KVMIX_M/TPOWER, HMXL_DR
+    family, QFLUX, dTEMP, RESID, RF_TEND, DIA_DEPTH/TLT/INT_DEPTH)
+    produce finite values in a production-physics run."""
+    cfg = get_config("mini").with_(
+        vmix="kpp", hmix_tracer="gm", liceform=True,
+        ltidal_mixing=True, tidal_energy_const=1.0e-3,
+        gm_kappa_isop_type="bfre", gm_kappa_thic_type="bfre",
+        gm_transition_layer=True)
+    cfg = cfg.with_(time=cfg.time.__class__(
+        dt_option="steps_per_day", dt_count=96.0, time_mix_opt="robert"))
+    m = Model(cfg)
+    fields = ["KVMIX", "KVMIX_M", "TPOWER", "HMXL_DR", "HMXL_DR2",
+              "XMXL_DR", "TMXL_DR", "HMXL_2", "XMXL_2", "HMXL_DR_2",
+              "QFLUX", "dTEMP_POS_2D", "dTEMP_NEG_2D", "RESID_T",
+              "RESID_S", "SFWF_WRST", "RF_TEND_TEMP", "RF_TEND_SALT",
+              "DIA_DEPTH", "TLT", "INT_DEPTH",
+              "T_FLUX_EXCH_INTRF", "S_FLUX_EXCH_INTRF",
+              "S_FLUX_ROFF_VSF_SRF"]
+    m.enable_tavg(fields, freq_steps=3, outdir=str(tmp_path))
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    from scipy.io import netcdf_file
+    with netcdf_file(m.tavg_files[0], "r") as f:
+        ocean = np.asarray(m.grid.RCALCT) > 0
+        for name in fields:
+            v = f.variables[name][0].copy()
+            assert np.isfinite(v).all(), name
+        kv = f.variables["KVMIX"][0].copy()
+        hd = f.variables["HMXL_DR"][0].copy()
+        dia = f.variables["DIA_DEPTH"][0].copy()
+    # KVMIX >= background over ocean interior
+    assert kv[:-1][np.asarray(m.grid.kmask_t)[:-1]].min() >= 0.0
+    assert kv.max() > 0.0
+    # density-criterion MLD positive over deep ocean columns
+    deep = np.asarray(m.grid.KMT) > 1
+    assert (hd[deep] >= 0).all() and hd[deep].max() > 0
+    assert (dia[ocean] > 0).all()
