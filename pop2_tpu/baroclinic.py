@@ -112,7 +112,10 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     # ---- tracer tendencies (tracer_update, source/baroclinic.F90:1902) ----
     gm_diag = None
     from pop2_tpu import tracer_pallas
-    if cfg.hmix_tracer != "gm" and tracer_pallas.available(cfg, grid):
+    use_full = tracer_pallas.available(cfg, grid)
+    use_advdiff = (not use_full
+                   and tracer_pallas.available_advdiff(cfg, grid))
+    if use_full:
         # fused Pallas kernel: hdifft + comp_flux_vel/advt + vdifft in one
         # HBM pass (the reference's hot loops advection.F90:2139,
         # hmix_del2.F90:1034, vertical_mix.F90:691)
@@ -142,12 +145,20 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
                                                      tmix, hmxl=hmxl)
             ft = ft + gtk_sm
-        fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur, state.v_cur,
-                                  dh)
-        ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur,
-                              tmix=tmix, c2dtt=c2dtt)
-        ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
-                              forcing.stf)
+        if use_advdiff:
+            # advection + explicit vertical diffusion fused in one HBM
+            # pass (with_del2=False); the horizontal mixing above stays
+            # jnp — this is the production gx1v7 fused path
+            ft = ft + tracer_pallas.tracer_tendency(
+                cfg, grid, state.u_cur, state.v_cur, state.tracer_cur,
+                tmix, state.tracer_old, coeffs.vdc, forcing.stf, dh)
+        else:
+            fv = advect.comp_flux_vel(cfg, grid, bc, state.u_cur,
+                                      state.v_cur, dh)
+            ft = ft - advect.advt(cfg, grid, bc, fv, state.tracer_cur,
+                                  tmix=tmix, c2dtt=c2dtt)
+            ft = ft + vmix.vdifft(cfg, grid, coeffs.vdc, state.tracer_old,
+                                  forcing.stf)
     if varthick:
         # freshwater tracer flux into the surface layer
         # (source/baroclinic.F90:2128-2138)

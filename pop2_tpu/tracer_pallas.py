@@ -73,12 +73,17 @@ def _roll_w(x, ew):
     return g
 
 
-def _kernel(nt, km, by, nx, ew, varthick,
+def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
             dz_ref, dzr_ref, dz2r_ref, dzwr2_ref,
             # HBM refs
             u_hbm, v_hbm, trcr_hbm, tmix_hbm, told_hbm, vdc_hbm,
             stf_hbm, dh_hbm, kmt_hbm, dyu_hbm, dxu_hbm, tarea_r_hbm,
             dtn_hbm, dts_hbm, dte_hbm, dtw_hbm, ah_hbm,
+            # edge-data blocks: south (row 7 = ghost row j0-1) and north
+            # (row 0 = ghost row j0+by) provided by the tripole fold or a
+            # shard_map neighbor exchange; zero-filled when unused
+            sed_u, sed_v, sed_t, sed_tm, sed_kmt, sed_dyu, sed_dxu,
+            ned_t, ned_tm, ned_kmt,
             out_hbm,
             # VMEM scratch: center tiles + separate one-row halo buffers
             # (Mosaic cannot slice VMEM at sublane offset 1, so neighbor
@@ -108,7 +113,8 @@ def _kernel(nt, km, by, nx, ew, varthick,
     dma(u_hbm.at[:, pl.ds(j0, by), :], ub, 0)
     dma(v_hbm.at[:, pl.ds(j0, by), :], vb, 1)
     dma(trcr_hbm.at[:, :, pl.ds(j0, by), :], tb, 2)
-    dma(tmix_hbm.at[:, :, pl.ds(j0, by), :], tmb, 3)
+    if with_del2:  # tmix feeds only the del2 term
+        dma(tmix_hbm.at[:, :, pl.ds(j0, by), :], tmb, 3)
     dma(told_hbm.at[:, :, pl.ds(j0, by), :], tob, 4)
     dma(vdc_hbm.at[:, :, pl.ds(j0, by), :], vdcb, 5)
     dma(stf_hbm.at[:, pl.ds(j0, by), :], stfb, 6)
@@ -151,14 +157,28 @@ def _kernel(nt, km, by, nx, ew, varthick,
             c.wait()
 
     @pl.when(t == 0)
-    def _():  # closed southern edge: halo rows are zero / land
-        ubs[...] = jnp.zeros_like(ubs[...])
-        vbs[...] = jnp.zeros_like(vbs[...])
-        tbs[...] = jnp.zeros_like(tbs[...])
-        tms[...] = jnp.zeros_like(tms[...])
-        kmts[...] = jnp.zeros_like(kmts[...])
-        dyus[...] = jnp.zeros_like(dyus[...])
-        dxus[...] = jnp.zeros_like(dxus[...])
+    def _():
+        if s_edge == "data":
+            # provided south-edge blocks (shard_map neighbor rows)
+            halos = []
+            for src, dst, slot in ((sed_u, ubs, 17), (sed_v, vbs, 18),
+                                   (sed_t, tbs, 19), (sed_tm, tms, 20),
+                                   (sed_kmt, kmts, 21), (sed_dyu, dyus, 22),
+                                   (sed_dxu, dxus, 23)):
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            for c in halos:
+                c.wait()
+        else:
+            # closed southern edge: halo rows are zero / land
+            ubs[...] = jnp.zeros_like(ubs[...])
+            vbs[...] = jnp.zeros_like(vbs[...])
+            tbs[...] = jnp.zeros_like(tbs[...])
+            tms[...] = jnp.zeros_like(tms[...])
+            kmts[...] = jnp.zeros_like(kmts[...])
+            dyus[...] = jnp.zeros_like(dyus[...])
+            dxus[...] = jnp.zeros_like(dxus[...])
 
     @pl.when(t < ntiles - 1)
     def _():
@@ -177,10 +197,23 @@ def _kernel(nt, km, by, nx, ew, varthick,
             c.wait()
 
     @pl.when(t == ntiles - 1)
-    def _():  # closed northern edge
-        tbn[...] = jnp.zeros_like(tbn[...])
-        tmn[...] = jnp.zeros_like(tmn[...])
-        kmtn[...] = jnp.zeros_like(kmtn[...])
+    def _():
+        if n_edge == "data":
+            # provided north-edge blocks (tripole fold of the top row, or
+            # shard_map neighbor rows); row 0 is the ghost row
+            halos = []
+            for src, dst, slot in ((ned_t, tbn, 24), (ned_tm, tmn, 25),
+                                   (ned_kmt, kmtn, 26)):
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            for c in halos:
+                c.wait()
+        else:
+            # closed northern edge
+            tbn[...] = jnp.zeros_like(tbn[...])
+            tmn[...] = jnp.zeros_like(tmn[...])
+            kmtn[...] = jnp.zeros_like(kmtn[...])
 
     for c in copies:
         c.wait()
@@ -253,11 +286,12 @@ def _kernel(nt, km, by, nx, ew, varthick,
 
         # masked del2 coefficients (hmix_del2.F90:611-634 via hmix.py)
         mask = kmt_c >= kk
-        cn = jnp.where((kmt_n >= kk) & mask, dtb[_I0], 0.0)
-        cs = jnp.where((kmt_s >= kk) & mask, dtb[_I1], 0.0)
-        ce = jnp.where((kmt_e >= kk) & mask, dtb[_I2], 0.0)
-        cw = jnp.where((kmt_w >= kk) & mask, dtb[_I3], 0.0)
-        ccd = -(cn + cs + ce + cw)
+        if with_del2:
+            cn = jnp.where((kmt_n >= kk) & mask, dtb[_I0], 0.0)
+            cs = jnp.where((kmt_s >= kk) & mask, dtb[_I1], 0.0)
+            ce = jnp.where((kmt_e >= kk) & mask, dtb[_I2], 0.0)
+            cw = jnp.where((kmt_w >= kk) & mask, dtb[_I3], 0.0)
+            ccd = -(cn + cs + ce + cw)
 
         top_k = k == 0
         bot_k = k == km - 1
@@ -280,12 +314,17 @@ def _kernel(nt, km, by, nx, ew, varthick,
             bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
             ltk = ltk + dz2r * (top - bot)
 
-            # del2 diffusion on tmix
-            tmc = tmb[ni, k]
-            tm_n = sh_n(tmc, row0(tmn[ni, k]))
-            tm_s = sh_s(tmc, row7(tms[ni, k]))
-            hdtk = ah * (ccd * tmc + cn * tm_n + cs * tm_s
-                         + ce * _roll_e(tmc, ew) + cw * _roll_w(tmc, ew))
+            # del2 diffusion on tmix (skipped when the horizontal mixing
+            # is computed outside the kernel — GM/del4/aniso paths)
+            if with_del2:
+                tmc = tmb[ni, k]
+                tm_n = sh_n(tmc, row0(tmn[ni, k]))
+                tm_s = sh_s(tmc, row7(tms[ni, k]))
+                hdtk = ah * (ccd * tmc + cn * tm_n + cs * tm_s
+                             + ce * _roll_e(tmc, ew)
+                             + cw * _roll_w(tmc, ew))
+            else:
+                hdtk = 0.0
 
             # explicit vertical diffusion on told (vertical_mix.F90:691)
             nc = np.int32(min(n, 1))
@@ -345,16 +384,27 @@ def _pick_by(nt, km, ny, nx):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ew", "varthick", "interpret"))
+    jax.jit, static_argnames=("ew", "varthick", "with_del2", "s_edge",
+                              "n_edge", "interpret"))
 def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
                           dyu, dxu, tarea_r, dtn, dts, dte, dtw,
                           dz, dzr, dz2r, dzwr2, ah,
-                          ew="cyclic", varthick=True, interpret=False):
-    """ft = ah*Del2(tmix) - L_adv(trcr) + D_v(told) in one HBM pass.
+                          edges=None,
+                          ew="cyclic", varthick=True, with_del2=True,
+                          s_edge="zero", n_edge="zero", interpret=False):
+    """ft = ah*Del2(tmix) - L_adv(trcr) + D_v(told) in one HBM pass
+    (with_del2=False drops the Del2 term — the advection+vertical-
+    diffusion fusion used when the horizontal mixing is GM/del4/aniso).
 
     Shapes: u/v (km,ny,nx); trcr/tmix/told (nt,km,ny,nx); vdc (2,km,ny,nx);
     stf (nt,ny,nx); dh (ny,nx); kmt int32 (ny,nx); 2-D metric fields
     (ny,nx); dz/dzr/dz2r/dzwr2 (km,) profiles; ah scalar.
+
+    ``edges``: optional dict of boundary-data blocks consumed when
+    s_edge/n_edge == "data" — keys sed_u/sed_v/sed_t/sed_tm/sed_kmt/
+    sed_dyu/sed_dxu (south, ghost row in row 7) and ned_t/ned_tm/ned_kmt
+    (north, ghost row in row 0); the tripole fold and the shard_map halo
+    exchange both feed this seam.
     """
     nt, km, ny, nx = trcr.shape
     by = _pick_by(nt, km, ny, nx)
@@ -365,6 +415,23 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     f32 = jnp.float32
     kmt = kmt.astype(jnp.int32)
     ah_arr = jnp.full((1, 1), ah, f32)
+
+    e = dict(edges or {})
+    def edge(name, shape, dtype=f32):
+        arr = e.get(name)
+        if arr is None:
+            arr = jnp.zeros(shape, dtype)
+        return arr.astype(dtype)
+    sed_u = edge("sed_u", (km, 8, nx))
+    sed_v = edge("sed_v", (km, 8, nx))
+    sed_t = edge("sed_t", (nt, km, 8, nx))
+    sed_tm = edge("sed_tm", (nt, km, 8, nx))
+    sed_kmt = edge("sed_kmt", (8, nx), jnp.int32)
+    sed_dyu = edge("sed_dyu", (8, nx))
+    sed_dxu = edge("sed_dxu", (8, nx))
+    ned_t = edge("ned_t", (nt, km, 8, nx))
+    ned_tm = edge("ned_tm", (nt, km, 8, nx))
+    ned_kmt = edge("ned_kmt", (8, nx), jnp.int32)
 
     scratch = [
         pltpu.VMEM((km, by, nx), f32),            # ub
@@ -401,12 +468,13 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
         # small operands into VMEM, where the tile/halo DMA slices at
         # dynamic (and for halos, odd) sublane offsets fail its (8,128)
         # tiling-divisibility prover; HBM slices have no such constraint
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 17,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 27,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, nt, km, by, nx, ew, varthick),
+        functools.partial(_kernel, nt, km, by, nx, ew, varthick,
+                          with_del2, s_edge, n_edge),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, km, ny, nx), f32),
         interpret=interpret,
@@ -414,28 +482,36 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
             vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024),
     )(dz, dzr, dz2r, dzwr2,
       u, v, trcr, tmix, told, vdc, stf, dh, kmt,
-      dyu, dxu, tarea_r, dtn, dts, dte, dtw, ah_arr)
+      dyu, dxu, tarea_r, dtn, dts, dte, dtw, ah_arr,
+      sed_u, sed_v, sed_t, sed_tm, sed_kmt, sed_dyu, sed_dxu,
+      ned_t, ned_tm, ned_kmt)
 
 
-def available(cfg, grid) -> bool:
-    """The fused path applies: centered advection, del2 tracer mixing,
-    full cells, closed/cyclic-EW boundaries with closed NS, float32, TPU
-    (tripole and partial bottom cells fall back to the jnp chain).
-
-    Under an active multi-chip ``dispatch_mesh`` the kernel's y-tile halo
-    DMAs would cross shard boundaries; the jnp chain (whose shifts XLA
-    lowers to collective-permute halo exchanges) is used instead until the
-    kernel grows a shard_map halo-exchange front-end.
-    """
+def _mesh_y_only():
+    """The active dispatch mesh when it shards only the y axis (the
+    kernel's lane dimension is whole per shard), else None; no mesh in
+    scope returns the sentinel 'none'."""
     from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
-    if _DISPATCH_MESH.get() is not None:
-        return False
-    ok = (cfg.tadvect == "centered" and cfg.hmix_tracer == "del2"
-          and grid.DZT is None and cfg.ns_boundary == "closed"
-          and not cfg.lsubmeso
+    mesh = _DISPATCH_MESH.get()
+    if mesh is None:
+        return "none"
+    if mesh.shape.get("x", 1) == 1:
+        return mesh
+    return None
+
+
+def _base_ok(cfg, grid) -> bool:
+    mesh = _mesh_y_only()
+    if mesh is None:
+        return False               # x-sharded mesh: jnp fallback
+    ny_loc = cfg.ny if mesh == "none" else cfg.ny // mesh.shape["y"]
+    ok = (cfg.tadvect == "centered"
+          and grid.DZT is None
+          and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
           # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
-          and _pick_by(cfg.nt, cfg.km, cfg.ny, cfg.nx) is not None)
+          and ny_loc % 8 == 0
+          and _pick_by(cfg.nt, cfg.km, ny_loc, cfg.nx) is not None)
     if not ok:
         return False
     if USE_PALLAS is not None:
@@ -444,24 +520,145 @@ def available(cfg, grid) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def available(cfg, grid) -> bool:
+    """The fully-fused path (del2 included) applies: centered advection,
+    del2 tracer mixing, full cells, closed/cyclic-EW with closed/tripole
+    NS, float32, TPU; under a y-sharded dispatch mesh the shard_map halo
+    front-end feeds the kernel, x-sharded meshes fall back."""
+    return (cfg.hmix_tracer == "del2" and not cfg.lsubmeso
+            and _base_ok(cfg, grid))
+
+
+def available_advdiff(cfg, grid) -> bool:
+    """The advection+vertical-diffusion fusion (no del2 term) applies for
+    any horizontal-mixing choice — GM/del4/aniso compute their tendency
+    outside the kernel (the production gx1v7 path)."""
+    return _base_ok(cfg, grid)
+
+
+def _tripole_edges(cfg, trcr, tmix, kmt, with_del2):
+    """North-edge ghost blocks for the tripole fold: the ghost row north
+    of the top T row is the 180-degree-rotated top row itself
+    (mpi/POP_HaloMod.F90 tripole fold for centered scalars; row 0 of each
+    block is the ghost row)."""
+    def fold_row(f):                       # (..., ny, nx) -> (..., 1, nx)
+        return f[..., -1:, ::-1]
+
+    def block(row):
+        pad = [(0, 0)] * (row.ndim - 2) + [(0, 7), (0, 0)]
+        return jnp.pad(row, pad)
+
+    edges = {"ned_t": block(fold_row(trcr)),
+             "ned_kmt": block(fold_row(kmt))}
+    if with_del2:
+        edges["ned_tm"] = block(fold_row(tmix))
+    return edges
+
+
+def _tiles_args(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
+    f32 = jnp.float32
+    dz = grid.vgrid.dz.astype(f32)
+    dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
+    with_del2 = cfg.hmix_tracer == "del2"
+    args = (u.astype(f32), v.astype(f32), trcr.astype(f32),
+            tmix.astype(f32), told.astype(f32), vdc.astype(f32),
+            stf.astype(f32), dh.astype(f32),
+            grid.KMT, grid.DYU.astype(f32), grid.DXU.astype(f32),
+            grid.TAREA_R.astype(f32),
+            grid.DTN.astype(f32), grid.DTS.astype(f32),
+            grid.DTE.astype(f32), grid.DTW.astype(f32),
+            dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
+            (1.0 / (0.5 * (dz + dz_kp1))).astype(f32))
+    kw = dict(ah=float(cfg.auto_ah) if with_del2 else 0.0,
+              ew=cfg.ew_boundary,
+              varthick=(cfg.sfc_layer == "varthick"),
+              with_del2=with_del2,
+              interpret=force_interpret)
+    return args, kw, with_del2
+
+
 def tracer_tendency(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
     """Model-facing wrapper: assemble the static per-grid operands and call
     the fused kernel. Replaces the jnp chain in baroclinic.driver
-    (hdifft + comp_flux_vel/advt + vdifft; source/baroclinic.F90:1902)."""
-    f32 = jnp.float32
-    vg = grid.vgrid
-    dz = vg.dz.astype(f32)
-    dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
-    return tracer_tendency_tiles(
-        u.astype(f32), v.astype(f32), trcr.astype(f32), tmix.astype(f32),
-        told.astype(f32), vdc.astype(f32), stf.astype(f32), dh.astype(f32),
-        grid.KMT, grid.DYU.astype(f32), grid.DXU.astype(f32),
-        grid.TAREA_R.astype(f32),
-        grid.DTN.astype(f32), grid.DTS.astype(f32),
-        grid.DTE.astype(f32), grid.DTW.astype(f32),
-        dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
-        (1.0 / (0.5 * (dz + dz_kp1))).astype(f32),
-        float(cfg.auto_ah),
-        ew=cfg.ew_boundary,
-        varthick=(cfg.sfc_layer == "varthick"),
-        interpret=force_interpret)
+    (hdifft + comp_flux_vel/advt + vdifft; source/baroclinic.F90:1902) —
+    or just the advection+vertical-diffusion part when the horizontal
+    mixing is GM/del4/aniso (with_del2=False).
+
+    Under an active y-sharded dispatch mesh the call runs per shard via
+    jax.shard_map with the one-row halos exchanged by jax.lax.ppermute
+    over the ICI ring (SURVEY.md section 5.8: the POP_HaloMod analogue)."""
+    mesh = _mesh_y_only()
+    if mesh == "none":
+        args, kw, with_del2 = _tiles_args(cfg, grid, u, v, trcr, tmix,
+                                          told, vdc, stf, dh)
+        edges = None
+        if cfg.ns_boundary == "tripole":
+            kw["n_edge"] = "data"
+            edges = _tripole_edges(cfg, args[2], args[3], args[8],
+                                   with_del2)
+        return tracer_tendency_tiles(*args, edges=edges, **kw)
+    return _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix,
+                                    told, vdc, stf, dh)
+
+
+def _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix, told,
+                             vdc, stf, dh):
+    """shard_map front-end: each y shard exchanges its 8-row edge blocks
+    with its neighbors via ppermute (the collective rides the ICI ring),
+    then runs the fused kernel on its local block with the received rows
+    as edge data. The tripole fold on the top shard folds the (whole,
+    x-unsharded) top row locally."""
+    from jax.sharding import PartitionSpec as P
+    py = mesh.shape["y"]
+
+    def body(u, v, trcr, tmix, told, vdc, stf, dh,
+             kmt, dyu, dxu, tarea_r, dtn, dts, dte, dtw):
+        up = [(i, i + 1) for i in range(py - 1)]      # send north
+        dn = [(i + 1, i) for i in range(py - 1)]      # send south
+
+        def from_south(x):                            # my ghost rows j0-8..
+            return jax.lax.ppermute(x[..., -8:, :], "y", up)
+
+        def from_north(x):                            # my ghost rows j1..
+            return jax.lax.ppermute(x[..., :8, :], "y", dn)
+
+        lgrid = grid.replace(
+            KMT=kmt, DYU=dyu, DXU=dxu, TAREA_R=tarea_r,
+            DTN=dtn, DTS=dts, DTE=dte, DTW=dtw)
+        args, kw, with_del2 = _tiles_args(cfg, lgrid, u, v, trcr, tmix,
+                                          told, vdc, stf, dh)
+        (uf, vf, tf, tmf, tof, vdcf, stff, dhf, kmtf, dyuf, dxuf,
+         *_rest) = args
+        edges = {
+            "sed_u": from_south(uf), "sed_v": from_south(vf),
+            "sed_t": from_south(tf), "sed_kmt": from_south(kmtf),
+            "sed_dyu": from_south(dyuf), "sed_dxu": from_south(dxuf),
+            "ned_t": from_north(tf), "ned_kmt": from_north(kmtf),
+        }
+        if with_del2:
+            edges["sed_tm"] = from_south(tmf)
+            edges["ned_tm"] = from_north(tmf)
+        if cfg.ns_boundary == "tripole":
+            # top shard: ghost rows come from the fold, not a neighbor
+            top = jax.lax.axis_index("y") == py - 1
+            fold = _tripole_edges(cfg, tf, tmf, kmtf, with_del2)
+            for k2 in ("ned_t", "ned_kmt") + (
+                    ("ned_tm",) if with_del2 else ()):
+                edges[k2] = jnp.where(top, fold[k2], edges[k2])
+        kw["s_edge"] = "data"
+        kw["n_edge"] = "data"
+        return tracer_tendency_tiles(*args, edges=edges, **kw)
+
+    yx = ("y", "x")
+    p2 = P(*yx)
+    p3 = P(None, *yx)
+    p4 = P(None, None, *yx)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(p3, p3, p4, p4, p4, p4, p3, p2,
+                  p2, p2, p2, p2, p2, p2, p2, p2),
+        out_specs=p4,
+        check_vma=False,
+    )(u, v, trcr, tmix, told, vdc, stf, dh,
+      grid.KMT, grid.DYU, grid.DXU, grid.TAREA_R,
+      grid.DTN, grid.DTS, grid.DTE, grid.DTW)
