@@ -300,41 +300,10 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             cfg, grid, state, umix, vmix_m, rho_new, coeffs.vvc,
             forcing.smf, dhu, leapfrog)
     else:
-        luk, lvk = advect.advu(cfg, grid, bc, state.u_cur, state.v_cur,
-                               dhu)
-        fx = -luk
-        fy = -lvk
-
-        if cfg.time.impcor and leapfrog:
-            fx = fx + grid.FCOR * (gamma * state.v_cur
-                                   + (1.0 - gamma) * state.v_old)
-            fy = fy - grid.FCOR * (gamma * state.u_cur
-                                   + (1.0 - gamma) * state.u_old)
-        elif not cfg.time.impcor and leapfrog:
-            fx = fx + grid.FCOR * state.v_cur
-            fy = fy - grid.FCOR * state.u_cur
-        else:
-            fx = fx + grid.FCOR * state.v_old
-            fy = fy - grid.FCOR * state.u_old
-
-        bouss = pgrad.bouss_factor(cfg, grid.vgrid.pressz)
-        pkx, pky = pgrad.gradp(cfg, grid, bc, bouss, state.rho_old,
-                               state.rho_cur, rho_new, leapfrog)
-        fx = fx - pkx
-        fy = fy - pky
-
-        hduk, hdvk = hmix.hdiffu(cfg, grid, bc, umix, vmix_m)
-        fx = fx + hduk
-        fy = fy + hdvk
-
-        du, dv = vmix.vdiffu(cfg, grid, coeffs.vvc, state.u_old,
-                             state.v_old, forcing.smf)
-        fx = fx + du
-        fy = fy + dv
-
-        zero3 = jnp.zeros_like(fx)
-        fx = jnp.where(grid.kmask_u, fx, zero3)
-        fy = jnp.where(grid.kmask_u, fy, zero3)
+        fx, fy = clinic_forcing_jnp(
+            cfg, grid, bc, state.u_cur, state.v_cur, state.u_old,
+            state.v_old, umix, vmix_m, state.rho_old, state.rho_cur,
+            rho_new, coeffs.vvc, forcing.smf, dhu, leapfrog)
 
         # vertical average of forcing, thickness-weighted under partial
         # bottom cells (source/baroclinic.F90:1035-1057); fx/fy are
@@ -371,6 +340,47 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
     return BaroclinicOut(tracer_new=tracer_new, u_new=u_new, v_new=v_new,
                          rho_new=rho_new, zx=zx, zy=zy, vdc=coeffs.vdc,
                          vvc=coeffs.vvc, kpp=coeffs.kpp, gm=gm_diag)
+
+
+def clinic_forcing_jnp(cfg, grid, bc, ucur, vcur, uold, vold, umix,
+                       vmix_m, rho_old, rho_cur, rho_new, vvc, smf, dhu,
+                       leapfrog: bool):
+    """The explicit momentum forcing Fx, Fy = -L(u) + coriolis - grad(p)
+    + D_H + D_V (clinic, source/baroclinic.F90:1635-1895) as plain jnp —
+    the fallback for the fused clinic kernel and the boundary-slab patch
+    it uses on the tripole top rows. Returns (fx, fy) masked to ocean."""
+    gamma = cfg.time.gamma
+    luk, lvk = advect.advu(cfg, grid, bc, ucur, vcur, dhu)
+    fx = -luk
+    fy = -lvk
+
+    if cfg.time.impcor and leapfrog:
+        fx = fx + grid.FCOR * (gamma * vcur + (1.0 - gamma) * vold)
+        fy = fy - grid.FCOR * (gamma * ucur + (1.0 - gamma) * uold)
+    elif not cfg.time.impcor and leapfrog:
+        fx = fx + grid.FCOR * vcur
+        fy = fy - grid.FCOR * ucur
+    else:
+        fx = fx + grid.FCOR * vold
+        fy = fy - grid.FCOR * uold
+
+    bouss = pgrad.bouss_factor(cfg, grid.vgrid.pressz)
+    pkx, pky = pgrad.gradp(cfg, grid, bc, bouss, rho_old, rho_cur,
+                           rho_new, leapfrog)
+    fx = fx - pkx
+    fy = fy - pky
+
+    hduk, hdvk = hmix.hdiffu(cfg, grid, bc, umix, vmix_m)
+    fx = fx + hduk
+    fy = fy + hdvk
+
+    du, dv = vmix.vdiffu(cfg, grid, vvc, uold, vold, smf)
+    fx = fx + du
+    fy = fy + dv
+
+    zero3 = jnp.zeros_like(fx)
+    return (jnp.where(grid.kmask_u, fx, zero3),
+            jnp.where(grid.kmask_u, fy, zero3))
 
 
 def correct_adjust(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,

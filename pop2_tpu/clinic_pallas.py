@@ -57,7 +57,7 @@ _G2D = ("DYU", "DXU", "UAREA_R", "FCOR", "KXU", "KYU", "DXUR", "DYUR",
 _NG = len(_G2D)
 
 
-def _kernel(km, by, nx, ew,
+def _kernel(km, by, nx, ew, with_hdiffu,
             dz_ref, dzr_ref, dz2r_ref, dzwr2_ref, facs_ref, par_ref,
             # HBM refs
             uc_hbm, vc_hbm, uo_hbm, vo_hbm, um_hbm, vm_hbm, ra_hbm,
@@ -85,8 +85,9 @@ def _kernel(km, by, nx, ew,
     dma(vc_hbm.at[:, pl.ds(j0, by), :], vcb, 1)
     dma(uo_hbm.at[:, pl.ds(j0, by), :], uob, 2)
     dma(vo_hbm.at[:, pl.ds(j0, by), :], vob, 3)
-    dma(um_hbm.at[:, pl.ds(j0, by), :], umb, 4)
-    dma(vm_hbm.at[:, pl.ds(j0, by), :], vmb, 5)
+    if with_hdiffu:  # umix/vmix feed only the del2 friction
+        dma(um_hbm.at[:, pl.ds(j0, by), :], umb, 4)
+        dma(vm_hbm.at[:, pl.ds(j0, by), :], vmb, 5)
     dma(ra_hbm.at[:, pl.ds(j0, by), :], rab, 6)
     dma(vvc_hbm.at[:, pl.ds(j0, by), :], vvcb, 7)
     dma(g2d_hbm.at[:, pl.ds(j0, by), :], g2db, 8)
@@ -101,8 +102,10 @@ def _kernel(km, by, nx, ew,
     def _():
         js = pl.multiple_of(j0 - 8, 8)
         halos = []
-        for src, dst, slot in ((uc_hbm, ucs, 12), (vc_hbm, vcs, 13),
-                               (um_hbm, ums, 14), (vm_hbm, vms, 15)):
+        pairs = [(uc_hbm, ucs, 12), (vc_hbm, vcs, 13)]
+        if with_hdiffu:
+            pairs += [(um_hbm, ums, 14), (vm_hbm, vms, 15)]
+        for src, dst, slot in pairs:
             c = pltpu.make_async_copy(src.at[:, pl.ds(js, 8), :], dst,
                                       sems.at[np.int32(slot)])
             c.start()
@@ -129,9 +132,10 @@ def _kernel(km, by, nx, ew,
     def _():
         jn = pl.multiple_of(j0 + by, 8)
         halos = []
-        for src, dst, slot in ((uc_hbm, ucn, 17), (vc_hbm, vcn, 18),
-                               (um_hbm, umn, 19), (vm_hbm, vmn, 20),
-                               (ra_hbm, ran, 21)):
+        pairs = [(uc_hbm, ucn, 17), (vc_hbm, vcn, 18), (ra_hbm, ran, 21)]
+        if with_hdiffu:
+            pairs += [(um_hbm, umn, 19), (vm_hbm, vmn, 20)]
+        for src, dst, slot in pairs:
             c = pltpu.make_async_copy(src.at[:, pl.ds(jn, 8), :], dst,
                                       sems.at[np.int32(slot)])
             c.start()
@@ -308,21 +312,26 @@ def _kernel(km, by, nx, ew,
         pky = pky + fac * (rky + rky_p)
 
         # del2 momentum diffusion with U/V metric mixing
-        # (hmix_del2.F90:892-936)
-        um = umb[k]
-        vm = vmb[k]
-        nu = sh_n(um, row0(umn[k]))
-        nv = sh_n(vm, row0(vmn[k]))
-        su = sh_s(um, row7(ums[k]))
-        sv = sh_s(vm, row7(vms[k]))
-        eu, wu = _roll_e(um, ew), _roll_w(um, ew)
-        ev, wv = _roll_e(vm, ew), _roll_w(vm, ew)
-        lap_u = ducm * um + dun * nu + dus * su + due * eu + duw * wu
-        lap_v = ducm * vm + dun * nv + dus * sv + due * ev + duw * wv
-        mix_u = dmc * um + dmn * nu + dms * su + dme * eu + dmw * wu
-        mix_v = dmc * vm + dmn * nv + dms * sv + dme * ev + dmw * wv
-        hduk = am * (lap_u + mix_v)
-        hdvk = am * (lap_v - mix_u)
+        # (hmix_del2.F90:892-936); with_hdiffu=False leaves the
+        # horizontal friction (e.g. anisotropic) to the jnp path outside
+        if with_hdiffu:
+            um = umb[k]
+            vm = vmb[k]
+            nu = sh_n(um, row0(umn[k]))
+            nv = sh_n(vm, row0(vmn[k]))
+            su = sh_s(um, row7(ums[k]))
+            sv = sh_s(vm, row7(vms[k]))
+            eu, wu = _roll_e(um, ew), _roll_w(um, ew)
+            ev, wv = _roll_e(vm, ew), _roll_w(vm, ew)
+            lap_u = ducm * um + dun * nu + dus * su + due * eu + duw * wu
+            lap_v = ducm * vm + dun * nv + dus * sv + due * ev + duw * wv
+            mix_u = dmc * um + dmn * nu + dms * su + dme * eu + dmw * wu
+            mix_v = dmc * vm + dmn * nv + dms * sv + dme * ev + dmw * wv
+            hduk = am * (lap_u + mix_v)
+            hdvk = am * (lap_v - mix_u)
+        else:
+            hduk = jnp.float32(0.0)
+            hdvk = jnp.float32(0.0)
 
         # explicit vertical friction: wind stress top BC, quadratic bottom
         # drag (vertical_mix.F90:853-1026)
@@ -388,11 +397,12 @@ def _pick_by(km, ny, nx):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("ew", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("ew", "with_hdiffu", "interpret"))
 def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
                      g2d, kmu, dhu, smf,
                      dz, dzr, dz2r, dzwr2, facs, params,
-                     ew="cyclic", interpret=False):
+                     ew="cyclic", with_hdiffu=True, interpret=False):
     """(fx, fy, zx, zy) in one HBM pass.
 
     Shapes: velocity/rhoavg/vvc (km,ny,nx); g2d (len(_G2D),ny,nx) stacked
@@ -434,7 +444,7 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, km, by, nx, ew),
+        functools.partial(_kernel, km, by, nx, ew, with_hdiffu),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((km, ny, nx), f32),
                    jax.ShapeDtypeStruct((km, ny, nx), f32),
@@ -451,16 +461,19 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
 
 
 def available(cfg, grid) -> bool:
-    """The fused path applies: del2 momentum mixing, no topostress, full
-    cells, closed/cyclic-EW with closed NS, float32, TPU. Under an active
-    multi-chip dispatch mesh the y-tile halo DMAs would cross shard
-    boundaries; the jnp chain is used instead (same policy as
-    tracer_pallas.available)."""
+    """The fused path applies: del2 or anisotropic momentum mixing (the
+    aniso friction is computed outside and added, with_hdiffu=False), no
+    topostress, full cells, closed/cyclic-EW with closed or tripole NS
+    (the tripole top row is re-patched from an 8-row jnp slab), float32,
+    TPU. Under an active multi-chip dispatch mesh the y-tile halo DMAs
+    would cross shard boundaries; the jnp chain is used instead (the
+    tracer kernel and the tridiagonal solves carry the mesh fast path)."""
     from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
     if _DISPATCH_MESH.get() is not None:
         return False
-    ok = (cfg.hmix_momentum == "del2" and not cfg.ltopostress
-          and grid.DZU is None and cfg.ns_boundary == "closed"
+    ok = (cfg.hmix_momentum in ("del2", "aniso") and not cfg.ltopostress
+          and grid.DZU is None
+          and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
           # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
           and _pick_by(cfg.km, cfg.ny, cfg.nx) is not None)
@@ -513,10 +526,84 @@ def clinic_rhs(cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
     dz_kp1 = jnp.concatenate([dz[1:], dz[-1:]])
     facs = (vg.dzw[0:km] * (const.GRAV * 0.5)).astype(f32)
     params = jnp.array([cfg.auto_am, cfg.bottom_drag, wc, wo], f32)
+    with_hdiffu = cfg.hmix_momentum == "del2"
 
-    return clinic_rhs_tiles(
+    fx, fy, zx, zy = clinic_rhs_tiles(
         state.u_cur, state.v_cur, state.u_old, state.v_old, umix, vmixm,
         rhoavg, vvc, pack_g2d(cfg, grid), grid.KMU, dhu, smf,
         dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
         (1.0 / (0.5 * (dz + dz_kp1))).astype(f32), facs, params,
-        ew=cfg.ew_boundary, interpret=force_interpret)
+        ew=cfg.ew_boundary, with_hdiffu=with_hdiffu,
+        interpret=force_interpret)
+
+    from pop2_tpu.grid import grid_bc, thickness_u
+    bc = grid_bc(cfg)
+    dzc = thickness_u(cfg, grid)
+
+    if not with_hdiffu:
+        # anisotropic (or other non-del2) friction computed in jnp and
+        # folded into the forcing + its vertical average
+        from pop2_tpu import hmix
+        hdu, hdv = hmix.hdiffu(cfg, grid, bc, umix, vmixm)
+        hdu = jnp.where(grid.kmask_u, hdu, 0.0).astype(fx.dtype)
+        hdv = jnp.where(grid.kmask_u, hdv, 0.0).astype(fx.dtype)
+        fx = fx + hdu
+        fy = fy + hdv
+        zx = zx + (grid.HUR * jnp.sum(hdu * dzc, axis=0)).astype(zx.dtype)
+        zy = zy + (grid.HUR * jnp.sum(hdv * dzc, axis=0)).astype(zy.dtype)
+
+    if cfg.ns_boundary == "tripole":
+        # the kernel treats the northern edge as closed; only the global
+        # top row reads the fold, so recompute it from an 8-row jnp slab
+        # (full x width — the fold stays inside the slab; the slab's own
+        # southern edge error cannot reach the last row's 2-row stencil)
+        fx, fy, zx, zy = _patch_top_rows(
+            cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
+            leapfrog, fx, fy, zx, zy, dzc)
+    return fx, fy, zx, zy
+
+
+_SLAB = 8
+
+
+def _slice_grid(cfg, grid):
+    """The top _SLAB rows of every (ny, nx)-trailing grid leaf."""
+    import jax
+    ny, nx = cfg.ny, cfg.nx
+
+    def cut(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 \
+                and leaf.shape[-2:] == (ny, nx):
+            return leaf[..., ny - _SLAB:, :]
+        return leaf
+    return jax.tree_util.tree_map(cut, grid)
+
+
+def _patch_top_rows(cfg, grid, state, umix, vmixm, rho_new, vvc, smf,
+                    dhu, leapfrog, fx, fy, zx, zy, dzc, rows=1):
+    """Recompute the top ``rows`` rows of (fx, fy, zx, zy) with the jnp
+    chain on a top slab whose bc carries the tripole fold."""
+    from pop2_tpu import baroclinic
+    from pop2_tpu.grid import grid_bc
+    ny = cfg.ny
+    sl = np.s_[..., ny - _SLAB:, :]
+    sgrid = _slice_grid(cfg, grid)
+    sbc = grid_bc(cfg)
+    fx_s, fy_s = baroclinic.clinic_forcing_jnp(
+        cfg, sgrid, sbc, state.u_cur[sl], state.v_cur[sl],
+        state.u_old[sl], state.v_old[sl], umix[sl], vmixm[sl],
+        state.rho_old[sl], state.rho_cur[sl], rho_new[sl], vvc[sl],
+        smf[sl], dhu[ny - _SLAB:, :], leapfrog)
+    fx = fx.at[:, ny - rows:, :].set(
+        fx_s[:, _SLAB - rows:, :].astype(fx.dtype))
+    fy = fy.at[:, ny - rows:, :].set(
+        fy_s[:, _SLAB - rows:, :].astype(fy.dtype))
+    # thickness_u is (km, 1, 1) for full cells, (km, ny, nx) under PBC
+    dzc_r = dzc[:, ny - rows:, :] if dzc.shape[1] == ny else dzc
+    zx = zx.at[ny - rows:, :].set(
+        (grid.HUR[ny - rows:, :]
+         * jnp.sum(fx[:, ny - rows:, :] * dzc_r, axis=0)).astype(zx.dtype))
+    zy = zy.at[ny - rows:, :].set(
+        (grid.HUR[ny - rows:, :]
+         * jnp.sum(fy[:, ny - rows:, :] * dzc_r, axis=0)).astype(zy.dtype))
+    return fx, fy, zx, zy

@@ -147,3 +147,60 @@ def test_dispatch_wired_into_baroclinic():
         scale = np.abs(ref).max() or 1.0
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4 * scale,
                                    err_msg=field)
+
+
+def _wrapper_case(ns_boundary, hmix_momentum, seed=11):
+    """Drive the full clinic_rhs wrapper (kernel + aniso add-in + tripole
+    top-row patch) against the jnp chain."""
+    from types import SimpleNamespace
+    cfg = get_config("mini").with_(dtype="float32", nx=64, ny=64,
+                                   ns_boundary=ns_boundary,
+                                   hmix_momentum=hmix_momentum)
+    grid = build_grid(cfg)
+    bc = grid_bc(cfg)
+    ucur, vcur, uold, vold, rho, vvc, smf, dhu = _random_inputs(cfg, grid,
+                                                               seed=seed)
+    rho_old, rho_cur, rho_new = rho
+    umix, vmixm = uold, vold
+    want = _jnp_chain(cfg, grid, bc, ucur, vcur, uold, vold, umix, vmixm,
+                      rho_old, rho_cur, rho_new, vvc, smf, dhu, True)
+
+    state = SimpleNamespace(u_cur=jnp.asarray(ucur), v_cur=jnp.asarray(vcur),
+                            u_old=jnp.asarray(uold), v_old=jnp.asarray(vold),
+                            rho_old=jnp.asarray(rho_old),
+                            rho_cur=jnp.asarray(rho_cur))
+    old = clinic_pallas.force_interpret
+    old_use = clinic_pallas.USE_PALLAS
+    try:
+        clinic_pallas.force_interpret = True
+        clinic_pallas.USE_PALLAS = True
+        assert clinic_pallas.available(cfg, grid)
+        got = clinic_pallas.clinic_rhs(cfg, grid, state, jnp.asarray(umix),
+                                       jnp.asarray(vmixm),
+                                       jnp.asarray(rho_new),
+                                       jnp.asarray(vvc), jnp.asarray(smf),
+                                       jnp.asarray(dhu), True)
+    finally:
+        clinic_pallas.force_interpret = old
+        clinic_pallas.USE_PALLAS = old_use
+    for g, w, name in zip(got, want, ("fx", "fy", "zx", "zy")):
+        g, w = np.asarray(g), np.asarray(w)
+        scale = np.abs(w).max() or 1.0
+        np.testing.assert_allclose(g, w, rtol=0, atol=4e-5 * scale,
+                                   err_msg=name)
+
+
+def test_clinic_wrapper_tripole():
+    """Tripole NS: the kernel + top-row slab patch matches the jnp chain
+    (the production gx1v7 boundary)."""
+    _wrapper_case("tripole", "del2")
+
+
+def test_clinic_wrapper_aniso():
+    """Anisotropic viscosity via with_hdiffu=False + jnp add-in."""
+    _wrapper_case("closed", "aniso")
+
+
+def test_clinic_wrapper_tripole_aniso():
+    """The full production momentum menu: tripole + anisotropic."""
+    _wrapper_case("tripole", "aniso")
