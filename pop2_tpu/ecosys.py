@@ -29,10 +29,19 @@ stoichiometry with explicit phytoplankton P pools (spP/diatP/diazP, the
 PquotaSlope model), water-column denitrification in low-O2 waters, an
 explicit Fe-binding ligand (Lig) controlling scavenging, refractory DOM
 (DOCr/DONr/DOPr), and the alternative-CO2 carbonate pair
-(DIC_ALT_CO2/ALK_ALT_CO2). Remaining simplifications vs MARBL (documented,
-not hidden): fixed Fe:C and Si:C quotas, no sediment burial model (the
-bottom cell remineralizes the arriving flux; MARBL sends part to
-sediments), single adaptive zooplankton class.
+(DIC_ALT_CO2/ALK_ALT_CO2). Remaining simplifications vs MARBL (documented, not hidden): fixed Si:C
+quota, and a single adaptive zooplankton class — which IS marbl0.43.0's
+default configuration (zooplankton_cnt = 1; the 9-autotroph/6-zooplankton
+'spectra' menu is an explicit non-default testmod,
+cime_config/testdefs/testmods_dirs/pop/ecosys_spectra_pfts/user_nl_marbl).
+Sediment burial (lburial) partitions the bottom-arriving particle fluxes:
+POC/POP by the Dunne et al. (2007) burial efficiency
+BE = 0.013 + 0.53 F^2/(7+F)^2 (F in mmol C m^-2 d^-1), CaCO3 by the
+fixed-depth lysocline threshold (buried above 3000 m, dissolved below —
+MARBL caco3_bury_thres), opal by a constant 3% deep burial; buried mass
+leaves the ocean as in MARBL. Fe:C quotas are variable: each class's
+uptake quota declines from gQfe_0 toward gQfe_min under iron limitation
+(MARBL's variable gQfe).
 """
 
 from __future__ import annotations
@@ -56,6 +65,15 @@ Q_P_C = 1.0 / 117.0
 Q_FE_C_SP = 6.0e-3            # nmol Fe per mmol C (=6 umol/mol)
 Q_FE_C_DIAT = 6.0e-3
 Q_FE_C_DIAZ = 42.0e-3         # diazotrophs are Fe-hungry
+# variable Fe:C (MARBL gQfe): the uptake quota declines from gQfe_0
+# toward gQfe_min under iron limitation
+GQFE_0 = {"sp": Q_FE_C_SP, "diat": Q_FE_C_DIAT, "diaz": Q_FE_C_DIAZ}
+GQFE_MIN = {"sp": 2.5e-3, "diat": 2.5e-3, "diaz": 14.0e-3}
+# sediment burial (Dunne et al. 2007 burial efficiency for POC/POP;
+# MARBL caco3_bury_thres fixed-depth lysocline; constant deep opal burial)
+CACO3_BURY_THRES = 3000.0e2   # cm: CaCO3 hitting shallower floors buried
+SI_BURY_FRAC = 0.03
+FLUX_TO_MMOL_M2_DAY = 864.0   # (mmol/m^3/s * cm) -> mmol/m^2/day
 Q_SI_C = 0.137                # diatom Si:C
 O2_PER_C = 170.0 / 117.0      # photosynthetic quotient
 CACO3_FRAC = 0.07             # fraction of sp production calcified
@@ -158,34 +176,50 @@ def schmidt_o2(sst):
     return a + t * (b + t * (c + t * (d + t * e)))
 
 
-def _sink_remin(prod, dz3, kmt_mask, at_bottom, length):
+def _sink_remin(prod, dz3, kmt_mask, at_bottom, length, bury=None):
     """Depth-resolved remineralization of instantaneously-sinking particles.
 
     MARBL integrates a sinking-particle flux column by column; here it is a
     single downward ``lax.scan`` over km for all columns at once:
       F_bot(k) = [F_top(k) + prod_k dz_k] * exp(-dz_k/length)
       remin_k  = (all flux lost in cell k) / dz_k
-    with the entire flux reaching the ocean floor remineralized in the bottom
-    cell, so the water column conserves mass (the reference sends it to the
-    sediment model).
+    The flux reaching the ocean floor is remineralized in the bottom cell
+    minus the buried share ``bury``:
+      None        — no burial (mass-conserving water column)
+      "dunne"     — Dunne et al. (2007) burial efficiency
+                    BE = 0.013 + 0.53 F^2/(7+F)^2, F in mmol m^-2 d^-1
+                    (MARBL's POC burial coefficient)
+      (ny, nx)/scalar — a fixed burial fraction field
+    Buried mass leaves the ocean, as MARBL's sediment interface does.
 
-    prod: (km, ny, nx) production rate (mmol/m^3/s); returns remin (same).
+    prod: (km, ny, nx) production rate (mmol/m^3/s);
+    returns (remin (km,ny,nx), burial_flux (ny,nx) in mmol/m^3/s*cm).
     """
     decay = jnp.exp(-dz3 / length)
 
-    def body(f_top, xs):
+    def body(carry, xs):
+        f_top, buried = carry
         prod_k, dz_k, decay_k, mask_k, bot_k = xs
         f_avail = f_top + prod_k * dz_k
+        if bury is None:
+            bfrac = 0.0
+        elif isinstance(bury, str) and bury == "dunne":
+            fday = f_avail * FLUX_TO_MMOL_M2_DAY
+            bfrac = 0.013 + 0.53 * fday ** 2 / (7.0 + fday) ** 2
+        else:
+            bfrac = bury
+        bflux = jnp.where(bot_k, f_avail * bfrac, 0.0) * mask_k
         f_bot = f_avail * decay_k
-        # bottom cell absorbs everything; land passes nothing
+        # bottom cell absorbs the non-buried remainder; land passes nothing
         f_bot = jnp.where(bot_k, 0.0, f_bot) * mask_k
-        remin = jnp.where(mask_k, (f_avail - f_bot) / dz_k, 0.0)
-        return f_bot, remin
+        remin = jnp.where(mask_k, (f_avail - f_bot - bflux) / dz_k, 0.0)
+        return (f_bot, buried + bflux), remin
 
     xs = (prod, jnp.broadcast_to(dz3, prod.shape),
           jnp.broadcast_to(decay, prod.shape), kmt_mask, at_bottom)
-    _, remin = jax.lax.scan(body, jnp.zeros_like(prod[0]), xs)
-    return remin
+    (_, burial), remin = jax.lax.scan(
+        body, (jnp.zeros_like(prod[0]), jnp.zeros_like(prod[0])), xs)
+    return remin, burial
 
 
 class PhytoRates(NamedTuple):
@@ -196,6 +230,7 @@ class PhytoRates(NamedTuple):
     loss: jnp.ndarray        # linear mortality loss of C
     agg: jnp.ndarray         # aggregation loss of C -> POC
     photo_chl: jnp.ndarray   # Chl synthesis (mgChl/m^3/s)
+    qfe: jnp.ndarray         # variable Fe:C uptake quota (nmol/mmolC)
 
 
 class Ecosystem(TracerPackage):
@@ -205,13 +240,17 @@ class Ecosystem(TracerPackage):
 
     def __init__(self, fe_dust_flux: float = 1.0e-8,
                  pco2_atm: float = 284.7,
-                 pco2_atm_alt: float = 284.7):
+                 pco2_atm_alt: float = 284.7,
+                 lburial: bool = True):
         #: surface iron deposition (nmol/m^3 * cm/s STF units)
         self.fe_dust_flux = fe_dust_flux
         self.pco2_atm = pco2_atm
         #: atmospheric pCO2 seen by the ALT_CO2 pair (e.g. held
         #: preindustrial to diagnose anthropogenic carbon, MARBL lecovars)
         self.pco2_atm_alt = pco2_atm_alt
+        #: sediment burial at the sea floor (MARBL parity); False keeps a
+        #: strictly mass-conserving water column
+        self.lburial = lburial
         self.slot0 = 2
 
     # -- initial condition ---------------------------------------------------
@@ -282,7 +321,7 @@ class Ecosystem(TracerPackage):
         src = {n: jnp.zeros_like(temp) for n in IDX}
 
         # ---- per-class growth/loss ----------------------------------------
-        def phyto(p, fe_q):
+        def phyto(p):
             c = t[p + "C"]
             chl = t[p + "Chl"]
             theta = chl / jnp.maximum(c * Q_N_C, 1.0e-10)  # mgChl/mmolN
@@ -327,13 +366,15 @@ class Ecosystem(TracerPackage):
                      * c ** 2 / (c ** 2 + K_GRAZE ** 2))
             loss = MORT / SPD * tfunc * c
             agg = AGG_RATE / SPD * c ** 2
+            # variable Fe:C uptake quota (MARBL gQfe): declines from
+            # gQfe_0 toward gQfe_min under iron limitation
+            qfe = GQFE_MIN[p] + (GQFE_0[p] - GQFE_MIN[p]) * fe_lim
             return PhytoRates(photo_c, no3_up, nh4_up, graze, loss, agg,
-                              photo_chl)
+                              photo_chl, qfe)
 
-        rates = {"sp": phyto("sp", Q_FE_C_SP),
-                 "diat": phyto("diat", Q_FE_C_DIAT),
-                 "diaz": phyto("diaz", Q_FE_C_DIAZ)}
-        fe_q = {"sp": Q_FE_C_SP, "diat": Q_FE_C_DIAT, "diaz": Q_FE_C_DIAZ}
+        rates = {"sp": phyto("sp"), "diat": phyto("diat"),
+                 "diaz": phyto("diaz")}
+        fe_q = {p: rates[p].qfe for p in rates}
 
         tot_photo = sum(r.photo_c for r in rates.values())
         tot_graze = sum(r.graze for r in rates.values())
@@ -379,17 +420,27 @@ class Ecosystem(TracerPackage):
         resp = (1.0 - GRAZE_EFF - GRAZE_POC - GRAZE_DOC) * tot_graze
 
         o2_lim = t["O2"] / (t["O2"] + O2_MIN)
-        poc_remin = _sink_remin(poc_prod, dz3, mask, at_bottom, POC_LENGTH)
-        caco3_remin = _sink_remin(sp_caco3_loss, dz3, mask, at_bottom,
-                                  CACO3_LENGTH)
+        # burial modes (MARBL sediment interface): Dunne BE for POC/POP,
+        # fixed-depth lysocline threshold for CaCO3, constant opal burial
+        if self.lburial:
+            b_poc = "dunne"
+            b_caco3 = jnp.where(grid.HT < CACO3_BURY_THRES, 1.0, 0.0)
+            b_si = SI_BURY_FRAC
+        else:
+            b_poc = b_caco3 = b_si = None
+        poc_remin, _ = _sink_remin(poc_prod, dz3, mask, at_bottom,
+                                   POC_LENGTH, bury=b_poc)
+        caco3_remin, _ = _sink_remin(sp_caco3_loss, dz3, mask, at_bottom,
+                                     CACO3_LENGTH, bury=b_caco3)
         si_sink = ((rates["diat"].graze + rates["diat"].loss
                     + rates["diat"].agg)
                    * t["diatSi"] / jnp.maximum(t["diatC"], 1.0e-10))
-        si_remin = _sink_remin(si_sink, dz3, mask, at_bottom, SI_LENGTH)
+        si_remin, _ = _sink_remin(si_sink, dz3, mask, at_bottom, SI_LENGTH,
+                                  bury=b_si)
         fe_sink = sum((rates[p].graze + rates[p].loss + rates[p].agg)
                       * t[p + "Fe"] / jnp.maximum(t[p + "C"], 1.0e-10)
                       for p in rates)
-        fe_remin = _sink_remin(fe_sink, dz3, mask, at_bottom, POC_LENGTH)
+        fe_remin, _ = _sink_remin(fe_sink, dz3, mask, at_bottom, POC_LENGTH)
 
         dom_remin = DOM_REMIN / SPD * tfunc * o2_lim
         doc_remin = dom_remin * t["DOC"]
@@ -428,7 +479,9 @@ class Ecosystem(TracerPackage):
         dopr_remin = DOCR_REMIN / SPD * t["DOPr"]
         src["DOP"] += dop_prod - dopr_prod - dop_remin
         src["DOPr"] += dopr_prod - dopr_remin
-        p_remin = _sink_remin(sinkp_prod, dz3, mask, at_bottom, POC_LENGTH)
+        p_remin, _ = _sink_remin(sinkp_prod, dz3, mask, at_bottom,
+                                 POC_LENGTH,
+                                 bury="dunne" if self.lburial else None)
 
         # ---- nutrients ------------------------------------------------------
         nitrif = jnp.where(par < PAR_NITRIF,

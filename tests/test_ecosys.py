@@ -30,8 +30,10 @@ def egrid(ecfg):
     return build_grid(ecfg)
 
 
-def _setup(ecfg, egrid):
-    pkg = Ecosystem()
+def _setup(ecfg, egrid, lburial=False):
+    # lburial=False keeps the strict conservation assertions; the burial
+    # partition has its own test below
+    pkg = Ecosystem(lburial=lburial)
     pkg.slot0 = 2
     vals = pkg.init_values(ecfg, egrid)
     km, ny, nx = ecfg.km, ecfg.ny, ecfg.nx
@@ -183,12 +185,50 @@ def test_sink_remin_closure(ecfg, egrid):
     dz3 = jnp.reshape(egrid.vgrid.dz, (km, 1, 1))
     kidx = np.arange(1, km + 1)[:, None, None]
     at_bottom = jnp.asarray(kidx == np.asarray(egrid.KMT)[None])
-    remin = ecosys._sink_remin(prod, dz3, jnp.asarray(kmask), at_bottom,
-                               ecosys.POC_LENGTH)
+    remin, burial = ecosys._sink_remin(prod, dz3, jnp.asarray(kmask),
+                                       at_bottom, ecosys.POC_LENGTH)
     dz = np.asarray(egrid.vgrid.dz)[:, None, None]
     colp = (np.asarray(prod) * dz * kmask).sum(axis=0)
     colr = (np.asarray(remin) * dz * kmask).sum(axis=0)
+    assert np.asarray(burial).max() == 0.0
     np.testing.assert_allclose(colr, colp, rtol=1e-12, atol=1e-25)
+
+    # Dunne burial: column remin + burial flux still closes the budget,
+    # burial is positive over ocean floors and bounded by the Dunne
+    # efficiency ceiling
+    remin_b, burial_b = ecosys._sink_remin(
+        prod, dz3, jnp.asarray(kmask), at_bottom, ecosys.POC_LENGTH,
+        bury="dunne")
+    colr_b = (np.asarray(remin_b) * dz * kmask).sum(axis=0)
+    np.testing.assert_allclose(colr_b + np.asarray(burial_b), colp,
+                               rtol=1e-10, atol=1e-22)
+    ocean = np.asarray(egrid.KMT) > 0
+    assert (np.asarray(burial_b)[ocean] >= 0.0).all()
+    assert np.asarray(burial_b)[ocean].max() > 0.0
+
+
+def test_burial_reduces_column_carbon(ecfg, egrid):
+    """With lburial=True (the MARBL-parity default) the interior carbon
+    budget loses exactly the buried share: the total-C tendency integral
+    is negative, small relative to gross rates, and turning burial off
+    restores closure."""
+    pkg, ts, forcing = _setup(ecfg, egrid, lburial=True)
+    src = np.asarray(pkg.set_interior(ecfg, egrid, ts, ts,
+                                      forcing=forcing))
+
+    def tot(*terms):
+        return sum(_col_integral(egrid, t) for t in terms)
+
+    c_total = tot(src[IDX["DIC"]] + src[IDX["DOC"]] + src[IDX["DOCr"]]
+                  + src[IDX["spC"]] + src[IDX["diatC"]]
+                  + src[IDX["diazC"]] + src[IDX["zooC"]]
+                  + src[IDX["spCaCO3"]])
+    c_scale = tot(np.abs(src[IDX["DIC"]]))
+    assert c_total < 0.0                       # burial removes carbon
+    assert abs(c_total) < 0.5 * c_scale        # a minor share of turnover
+    # silicon burial likewise
+    si_total = tot(src[IDX["SiO3"]] + src[IDX["diatSi"]])
+    assert si_total < 0.0
 
 
 def test_surface_fluxes(ecfg, egrid):
