@@ -46,7 +46,9 @@ if sys.getrecursionlimit() < 10000:
 USE_PALLAS = None
 force_interpret = False
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+# 64 MiB of the chip's 128 MiB VMEM (see tracer_pallas._VMEM_BUDGET):
+# the old 10 MiB budget silently rejected the production km=60 shape
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 _I0, _I1 = np.int32(0), np.int32(1)
 

@@ -434,6 +434,7 @@ PRESETS = {
     "prod_full": ModelConfig(
         nx=320, ny=384, km=60, nt=5, ns_boundary="tripole",
         flat_bottom=False, vmix="kpp", hmix_tracer="gm",
+        tadvect="upwind3",   # the gx default (namelist_defaults:534)
         hmix_momentum="aniso", aniso_alignment="east",
         sw_absorption="chlorophyll", chl_option="const", chl_const=0.1,
         liceform=True, passive_tracers=("iage", "cfc"),

@@ -16,10 +16,14 @@ entirely on-chip (flux velocities, the k-cumsum for w-from-continuity, the
 masked 5-point Laplacian coefficients, and the vertical-diffusion flux
 differences never touch HBM), and writes the tendency once.
 
-Scope (v1): centered advection + del2 tracer mixing + 1-D layer thickness
-(no partial bottom cells), closed north-south boundary, float32. Everything
-else falls back to the jnp path; equivalence is asserted by
-tests/test_tracer_pallas.py against the jnp chain.
+Scope: centered or upwind3 (QUICKEST) advection; del2 tracer mixing fused
+(with_del2) or left outside (GM/del4/aniso paths run the kernel for
+advection + vertical diffusion only); closed or tripole north-south
+boundary (the fold rows enter through the edge-data seam); 1-D layer
+thickness (no partial bottom cells); float32. Under a y-sharded dispatch
+mesh the kernel runs per shard behind a shard_map/ppermute halo
+front-end. Everything else falls back to the jnp path; equivalence is
+asserted by tests/test_tracer_pallas.py against the jnp chain.
 """
 
 from __future__ import annotations
@@ -45,7 +49,12 @@ force_interpret = False
 #: statically unroll the level loop (fast Mosaic compile) vs fori_loop
 _STATIC_K_LOOP = True
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes of VMEM for the tile working set
+# VMEM budget for the tile working set: v5e/v4 expose 128 MiB of VMEM;
+# 64 MiB leaves headroom for Mosaic spills while admitting the production
+# gx1v7 shape (nt=5, km=60, nx=320) that the old 10 MiB budget silently
+# rejected (round-3 verdict: "the fused kernels do not apply to the
+# flagship config at all")
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 # i32 ref-index constants: under jax_enable_x64, literal Python indices
 # lower to i64 memref_slice operands, which Mosaic rejects; NumPy scalars
@@ -73,16 +82,19 @@ def _roll_w(x, ew):
     return g
 
 
-def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
-            dz_ref, dzr_ref, dz2r_ref, dzwr2_ref,
+def _kernel(nt, km, by, nx, ew, varthick, with_del2, tadvect,
+            s_edge, n_edge,
+            dz_ref, dzr_ref, dz2r_ref, dzwr2_ref, upwz_ref,
             # HBM refs
             u_hbm, v_hbm, trcr_hbm, tmix_hbm, told_hbm, vdc_hbm,
             stf_hbm, dh_hbm, kmt_hbm, dyu_hbm, dxu_hbm, tarea_r_hbm,
-            dtn_hbm, dts_hbm, dte_hbm, dtw_hbm, ah_hbm,
+            dtn_hbm, dts_hbm, dte_hbm, dtw_hbm, ah_hbm, upw_hbm,
             # edge-data blocks: south (row 7 = ghost row j0-1) and north
-            # (row 0 = ghost row j0+by) provided by the tripole fold or a
-            # shard_map neighbor exchange; zero-filled when unused
+            # (row 0 = ghost row j0+by, row 1 = j0+by+1 for upwind3)
+            # provided by the tripole fold or a shard_map neighbor
+            # exchange; zero-filled when unused
             sed_u, sed_v, sed_t, sed_tm, sed_kmt, sed_dyu, sed_dxu,
+            sed_tarea, sed_upw,
             ned_t, ned_tm, ned_kmt,
             out_hbm,
             # VMEM scratch: center tiles + separate one-row halo buffers
@@ -90,7 +102,8 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
             # rows are reconstructed by sublane rotate + row select)
             ub, vb, ubs, vbs, tb, tmb, tbs, tbn, tms, tmn,
             tob, vdcb, stfb, dhb, kmtb, kmts, kmtn,
-            dyub, dxub, dyus, dxus, tareab, dtb, ahb, outb, sems):
+            dyub, dxub, dyus, dxus, tareab, tareas, dtb, ahb,
+            upwb, upws, outb, sems):
     ny = u_hbm.shape[-2]
     t = pl.program_id(0)
     ntiles = pl.num_programs(0)
@@ -128,6 +141,8 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
     dma(dte_hbm.at[pl.ds(j0, by), :], dtb.at[_I2], 14)
     dma(dtw_hbm.at[pl.ds(j0, by), :], dtb.at[_I3], 15)
     dma(ah_hbm, ahb, 16)
+    if tadvect == "upwind3":
+        dma(upw_hbm.at[:, pl.ds(j0, by), :], upwb, 28)
 
     # halo rows, fetched as aligned 8-row blocks (Mosaic requires y-slices
     # of multi-lane-tile HBM memrefs to be 8-row aligned in offset AND
@@ -153,6 +168,15 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
                                       dst, sems.at[np.int32(slot)])
             c.start()
             halos.append(c)
+        if tadvect == "upwind3":
+            for src, dst, slot in ((tarea_r_hbm, tareas, 29),
+                                   (upw_hbm, upws, 30)):
+                c = pltpu.make_async_copy(
+                    src.at[pl.ds(js, 8), :] if src.ndim == 2
+                    else src.at[:, pl.ds(js, 8), :],
+                    dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
         for c in halos:
             c.wait()
 
@@ -161,10 +185,13 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
         if s_edge == "data":
             # provided south-edge blocks (shard_map neighbor rows)
             halos = []
-            for src, dst, slot in ((sed_u, ubs, 17), (sed_v, vbs, 18),
-                                   (sed_t, tbs, 19), (sed_tm, tms, 20),
-                                   (sed_kmt, kmts, 21), (sed_dyu, dyus, 22),
-                                   (sed_dxu, dxus, 23)):
+            pairs = [(sed_u, ubs, 17), (sed_v, vbs, 18),
+                     (sed_t, tbs, 19), (sed_tm, tms, 20),
+                     (sed_kmt, kmts, 21), (sed_dyu, dyus, 22),
+                     (sed_dxu, dxus, 23)]
+            if tadvect == "upwind3":
+                pairs += [(sed_tarea, tareas, 29), (sed_upw, upws, 30)]
+            for src, dst, slot in pairs:
                 c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
                 c.start()
                 halos.append(c)
@@ -179,6 +206,9 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
             kmts[...] = jnp.zeros_like(kmts[...])
             dyus[...] = jnp.zeros_like(dyus[...])
             dxus[...] = jnp.zeros_like(dxus[...])
+            if tadvect == "upwind3":
+                tareas[...] = jnp.zeros_like(tareas[...])
+                upws[...] = jnp.zeros_like(upws[...])
 
     @pl.when(t < ntiles - 1)
     def _():
@@ -241,6 +271,21 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
         g = pltpu.roll(x, np.int32(1), axis=x.ndim - 2)
         return jnp.where(row2 == 0, south_row, g)
 
+    def row6(b):
+        """Second-to-last row of an 8-row halo block (ghost row j0-2)."""
+        return pltpu.roll(b, np.int32(2), axis=b.ndim - 2)[..., 0:1, :]
+
+    def row1(b):
+        """Second row of an 8-row halo block (ghost row j0+by+1)."""
+        return pltpu.roll(b, np.int32(b.shape[-2] - 1),
+                          axis=b.ndim - 2)[..., 0:1, :]
+
+    def sh_nn(x, r0, r1):
+        """Value at j+2 with the two ghost rows entering at the top."""
+        g = pltpu.roll(x, np.int32(by - 2), axis=x.ndim - 2)
+        g = jnp.where(row2 == by - 2, r0, g)
+        return jnp.where(row2 == by - 1, r1, g)
+
     # ---- 2-D precomputation ------------------------------------------------
     kmt_c = kmtb[...]
     kmt_n = sh_n(kmt_c, row0(kmtn[...]))
@@ -253,16 +298,35 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
     dyu_c, dxu_c = dyub[...], dxub[...]
     dyu_s, dxu_s = row7(dyus[...]), row7(dxus[...])
 
+    if tadvect == "upwind3":
+        # 2-away masks (KMTEE/KMTNN, source/grid.F90:149-170)
+        kmt_ee = _roll_e(kmt_e, ew)
+        kmt_nn = sh_nn(kmt_c, row0(kmtn[...]), row1(kmtn[...]))
+        # south-row (j0-1) fields for the tr_n south evaluation
+        tarea_r_s = row7(tareas[...])
+        kmt_srow = row7(kmts[...])      # kmt at j0-1
+        kmt_s2row = row6(kmts[...])     # kmt at j0-2
+        upw = upwb[...]                 # (12, by, nx) coefficient slabs
+        upw_srow = row7(upws[...])      # (12, 1, nx) at j0-1
+
+    def vrow(x, i):
+        """Row i of a loaded (.., by, nx) value as (..., 1, nx)."""
+        return pltpu.roll(x, np.int32((by - i) % by),
+                          axis=x.ndim - 2)[..., 0:1, :]
+
     # ---- k loop: all chains fused, w-cumsum carried ------------------------
     def level(k, carry):
-        wtk, wsum = carry                     # w at top of level k; cumsum
+        wtk, wsum, aux_prev = carry           # w at top of level k; cumsum;
+        #                                       upwind3 top-face aux per trcr
         kk = k + 1  # 1-based level
         if isinstance(k, (int, np.integer)):  # static unroll: literal idx
             km1 = np.int32(max(k - 1, 0))
             kp1 = np.int32(min(k + 1, km - 1))
+            kp2 = np.int32(min(k + 2, km - 1))
         else:
             km1 = jnp.maximum(k - 1, 0)
             kp1 = jnp.minimum(k + 1, km - 1)
+            kp2 = jnp.minimum(k + 2, km - 1)
         dz = dz_ref[k]
         dzr = dzr_ref[k]
         dz2r = dz2r_ref[k]
@@ -295,24 +359,108 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
 
         top_k = k == 0
         bot_k = k == km - 1
+
+        if tadvect == "upwind3":
+            # per-level face masks (KMTE/KMTW/KMTEE etc. gates,
+            # advection.F90:2488-2580)
+            m_e = kmt_e >= kk
+            m_w = kmt_w >= kk
+            m_ee = kmt_ee >= kk
+            m_n = kmt_n >= kk
+            m_s = kmt_s >= kk
+            m_nn = kmt_nn >= kk
+            ce_a = ute * tarea_r
+            cw_a = -utw * tarea_r
+            cn_a = vtn * tarea_r
+            cs_a = -vts * tarea_r
+            cn_srow = vtn_srow * tarea_r_s
+
+            def faceval(x_p1, x_c, x_m1, x_p2, c_pos, mu1, md1, mu2,
+                        alfp, betp, gamp, alfm, betm, delm):
+                """Upwind-biased face value (hupw3, advection.F90:2488)."""
+                ap = jnp.where(mu1, alfp, 0.0)
+                work = jnp.where(mu1, betp, betp + alfp)
+                bp = jnp.where(md1, work, work + gamp)
+                gp = jnp.where(md1, gamp, 0.0)
+                am = jnp.where(mu2, alfm, alfm + delm)
+                dm = jnp.where(mu2, delm, 0.0)
+                plus = ap * x_p1 + bp * x_c + gp * x_m1
+                minus = am * x_p1 + betm * x_c + dm * x_p2
+                return jnp.where(c_pos, plus, minus)
+
+        aux_new = []
         for n in range(nt):
             ni = np.int32(n)
             tc = tb[ni, k]
             t_n = sh_n(tc, row0(tbn[ni, k]))
             t_s = sh_s(tc, row7(tbs[ni, k]))
-            # horizontal advection (advt_centered, advection.F90:2139)
-            ltk = 0.5 * (cc_f * tc
-                         + vtn * t_n - vts * t_s
-                         + ute * _roll_e(tc, ew) - utw * _roll_w(tc, ew)) \
-                * tarea_r * dzr
-            # vertical advection; at k=0 wtk == dh and there is either no
-            # advection through the surface (varthick) or the one-sided form
             t_km1 = tb[ni, km1]
             t_kp1 = tb[ni, kp1]
-            top0 = (jnp.zeros_like(tc) if varthick else 2.0 * wtk * tc)
-            top = jnp.where(top_k, top0, wtk * (t_km1 + tc))
-            bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
-            ltk = ltk + dz2r * (top - bot)
+            if tadvect == "centered":
+                # horizontal advection (advt_centered, advection.F90:2139)
+                ltk = 0.5 * (cc_f * tc
+                             + vtn * t_n - vts * t_s
+                             + ute * _roll_e(tc, ew)
+                             - utw * _roll_w(tc, ew)) \
+                    * tarea_r * dzr
+                # vertical advection; at k=0 wtk == dh and there is either
+                # no advection through the surface (varthick) or the
+                # one-sided form
+                top0 = (jnp.zeros_like(tc) if varthick else 2.0 * wtk * tc)
+                top = jnp.where(top_k, top0, wtk * (t_km1 + tc))
+                bot = jnp.where(bot_k, 0.0, wtkb * (tc + t_kp1))
+                ltk = ltk + dz2r * (top - bot)
+            else:
+                # 3rd-order upwind (advt_upwind3, advection.F90:2313-2677)
+                t_e = _roll_e(tc, ew)
+                t_w = _roll_w(tc, ew)
+                t_ee = _roll_e(t_e, ew)
+                t_nn = sh_nn(tc, row0(tbn[ni, k]), row1(tbn[ni, k]))
+                tr_e = faceval(t_e, tc, t_w, t_ee, ce_a > 0,
+                               m_e, m_w, m_ee,
+                               upw[_I0], upw[_I1], upw[_I2],
+                               upw[_I3], upw[np.int32(4)],
+                               upw[np.int32(5)])
+                tr_n = faceval(t_n, tc, t_s, t_nn, cn_a > 0,
+                               m_n, m_s, m_nn,
+                               upw[np.int32(6)], upw[np.int32(7)],
+                               upw[np.int32(8)], upw[np.int32(9)],
+                               upw[np.int32(10)], upw[np.int32(11)])
+                # tr_n at row j0-1, assembled from the south halo rows
+                tcs = row7(tbs[ni, k])             # trcr at j0-1
+                tr_n_srow = faceval(
+                    vrow(tc, 0), tcs, row6(tbs[ni, k]), vrow(tc, 1),
+                    cn_srow > 0,
+                    vrow(kmt_c, 0) >= kk, kmt_s2row >= kk,
+                    vrow(kmt_n, 0) >= kk,
+                    upw_srow[np.int32(6)], upw_srow[np.int32(7)],
+                    upw_srow[np.int32(8)], upw_srow[np.int32(9)],
+                    upw_srow[np.int32(10)], upw_srow[np.int32(11)])
+                tr_n_s = sh_s(tr_n, tr_n_srow)
+                ltk = (ce_a * tr_e + cw_a * _roll_w(tr_e, ew)
+                       + cn_a * tr_n + cs_a * tr_n_s) * dzr
+
+                # vertical QUICKEST (advection.F90:2402-2476)
+                t_kp2 = tb[ni, kp2]
+                interior2 = kmt_c > kk + 1          # k < KMT-1 (1-based)
+                azm = jnp.where(interior2, upwz_ref[_I3, k],
+                                upwz_ref[_I3, k] + upwz_ref[np.int32(5), k])
+                dzm = jnp.where(interior2, upwz_ref[np.int32(5), k], 0.0)
+                tplus = (upwz_ref[_I0, k] * t_kp1
+                         + upwz_ref[_I1, k] * tc
+                         + upwz_ref[_I2, k] * t_km1)
+                tminus = (azm * t_kp1 + upwz_ref[np.int32(4), k] * tc
+                          + dzm * t_kp2)
+                wabs = jnp.abs(wtkb)
+                auxb = (wtkb - wabs) * tplus + (wtkb + wabs) * tminus
+                if bot_k:
+                    auxb = jnp.zeros_like(auxb)
+                aux = aux_prev[n]
+                vert = dz2r * (aux - auxb)
+                if (not varthick) and top_k:
+                    vert = wtk * tc * dzr - 0.5 * auxb * dzr
+                ltk = ltk + vert
+                aux_new.append(auxb)
 
             # del2 diffusion on tmix (skipped when the horizontal mixing
             # is computed outside the kernel — GM/del4/aniso paths)
@@ -342,20 +490,23 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
             vdf = jnp.where(mask, (vtf - vtfb) * dzr, 0.0)
 
             outb[ni, k] = hdtk - ltk + vdf
-        return wtkb, wsum
+        return wtkb, wsum, (tuple(aux_new) if tadvect == "upwind3"
+                            else aux_prev)
 
     wtk0 = jnp.broadcast_to(dh, (by, nx))
-    if _STATIC_K_LOOP:
+    aux0 = tuple(jnp.zeros((by, nx), jnp.float32) for _ in range(nt))
+    if _STATIC_K_LOOP or tadvect == "upwind3":
         # static unroll: every VMEM access has literal indices, which
         # Mosaic compiles far faster than the dynamic-index fori form
-        carry = (wtk0, wtk0 + 0.0)
+        # (the upwind3 aux carry also requires it)
+        carry = (wtk0, wtk0 + 0.0, aux0)
         for k in range(km):
             carry = level(np.int32(k), carry)
     else:
         # i32 loop bounds: under jax_enable_x64 Python-int bounds make the
         # index i64, whose Mosaic convert lowering recurses unboundedly
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(km), level,
-                          (wtk0, wtk0 + 0.0), unroll=1)
+                          (wtk0, wtk0 + 0.0, aux0), unroll=1)
 
     # ---- write the tile ----------------------------------------------------
     out_c = pltpu.make_async_copy(
@@ -364,10 +515,12 @@ def _kernel(nt, km, by, nx, ew, varthick, with_del2, s_edge, n_edge,
     out_c.wait()
 
 
-def _pick_by(nt, km, ny, nx):
+def _pick_by(nt, km, ny, nx, with_del2=True):
     """Largest y-tile whose VMEM working set fits the budget. Exact tiling
     only: ny % by == 0 with by a multiple of 8 (Mosaic alignment, see
-    _kernel); returns None when no admissible tile exists."""
+    _kernel); returns None when no admissible tile exists. Without the
+    del2 term the tmix tile is never DMA'd (its buffer stays allocated
+    but cold; count it anyway for safety)."""
     for by in (32, 16, 8):
         if ny % by:
             continue
@@ -384,13 +537,14 @@ def _pick_by(nt, km, ny, nx):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ew", "varthick", "with_del2", "s_edge",
-                              "n_edge", "interpret"))
+    jax.jit, static_argnames=("ew", "varthick", "with_del2", "tadvect",
+                              "s_edge", "n_edge", "interpret"))
 def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
                           dyu, dxu, tarea_r, dtn, dts, dte, dtw,
                           dz, dzr, dz2r, dzwr2, ah,
-                          edges=None,
+                          upw=None, upwz=None, edges=None,
                           ew="cyclic", varthick=True, with_del2=True,
+                          tadvect="centered",
                           s_edge="zero", n_edge="zero", interpret=False):
     """ft = ah*Del2(tmix) - L_adv(trcr) + D_v(told) in one HBM pass
     (with_del2=False drops the Del2 term — the advection+vertical-
@@ -415,6 +569,10 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     f32 = jnp.float32
     kmt = kmt.astype(jnp.int32)
     ah_arr = jnp.full((1, 1), ah, f32)
+    if upw is None:
+        upw = jnp.zeros((12, ny, nx), f32)     # upwind3 face coefficients
+    if upwz is None:
+        upwz = jnp.zeros((6, km), f32)         # vertical QUICKEST coeffs
 
     e = dict(edges or {})
     def edge(name, shape, dtype=f32):
@@ -432,6 +590,8 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     ned_t = edge("ned_t", (nt, km, 8, nx))
     ned_tm = edge("ned_tm", (nt, km, 8, nx))
     ned_kmt = edge("ned_kmt", (8, nx), jnp.int32)
+    sed_tarea = edge("sed_tarea", (8, nx))
+    sed_upw = edge("sed_upw", (12, 8, nx))
 
     scratch = [
         pltpu.VMEM((km, by, nx), f32),            # ub
@@ -456,34 +616,38 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
         pltpu.VMEM((8, nx), f32),                 # dyus
         pltpu.VMEM((8, nx), f32),                 # dxus
         pltpu.VMEM((by, nx), f32),                # tareab
+        pltpu.VMEM((8, nx), f32),                 # tareas
         pltpu.VMEM((4, by, nx), f32),             # dtb
         pltpu.VMEM((1, 1), f32),                  # ahb
+        pltpu.VMEM((12, by, nx), f32),            # upwb
+        pltpu.VMEM((12, 8, nx), f32),             # upws
         pltpu.VMEM((nt, km, by, nx), f32),        # outb
-        pltpu.SemaphoreType.DMA((28,)),
+        pltpu.SemaphoreType.DMA((31,)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # dz, dzr, dz2r, dzwr2
+        num_scalar_prefetch=5,  # dz, dzr, dz2r, dzwr2, upwz
         grid=(ntiles,),
         # pin operands to HBM: under memory_space=ANY Mosaic may promote
         # small operands into VMEM, where the tile/halo DMA slices at
         # dynamic (and for halos, odd) sublane offsets fail its (8,128)
         # tiling-divisibility prover; HBM slices have no such constraint
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 27,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 30,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_kernel, nt, km, by, nx, ew, varthick,
-                          with_del2, s_edge, n_edge),
+                          with_del2, tadvect, s_edge, n_edge),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, km, ny, nx), f32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024),
-    )(dz, dzr, dz2r, dzwr2,
+    )(dz, dzr, dz2r, dzwr2, upwz,
       u, v, trcr, tmix, told, vdc, stf, dh, kmt,
-      dyu, dxu, tarea_r, dtn, dts, dte, dtw, ah_arr,
+      dyu, dxu, tarea_r, dtn, dts, dte, dtw, ah_arr, upw,
       sed_u, sed_v, sed_t, sed_tm, sed_kmt, sed_dyu, sed_dxu,
+      sed_tarea, sed_upw,
       ned_t, ned_tm, ned_kmt)
 
 
@@ -505,7 +669,7 @@ def _base_ok(cfg, grid) -> bool:
     if mesh is None:
         return False               # x-sharded mesh: jnp fallback
     ny_loc = cfg.ny if mesh == "none" else cfg.ny // mesh.shape["y"]
-    ok = (cfg.tadvect == "centered"
+    ok = (cfg.tadvect in ("centered", "upwind3")
           and grid.DZT is None
           and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
@@ -536,23 +700,50 @@ def available_advdiff(cfg, grid) -> bool:
     return _base_ok(cfg, grid)
 
 
-def _tripole_edges(cfg, trcr, tmix, kmt, with_del2):
-    """North-edge ghost blocks for the tripole fold: the ghost row north
-    of the top T row is the 180-degree-rotated top row itself
-    (mpi/POP_HaloMod.F90 tripole fold for centered scalars; row 0 of each
-    block is the ghost row)."""
-    def fold_row(f):                       # (..., ny, nx) -> (..., 1, nx)
-        return f[..., -1:, ::-1]
+def _tripole_edges(cfg, trcr, tmix, kmt, with_del2, two_rows=False):
+    """North-edge ghost blocks for the tripole fold: ghost row ny is the
+    180-degree-rotated top row, ghost row ny+1 the rotated row ny-2
+    (mpi/POP_HaloMod.F90 tripole fold for centered scalars; rows 0/1 of
+    each block are the ghost rows — row 1 is consumed only by the
+    upwind3 2-away stencil)."""
+    def fold(f):                           # (..., ny, nx) -> (..., r, nx)
+        rows = f[..., -2:, :][..., ::-1, :] if two_rows else f[..., -1:, :]
+        return rows[..., ::-1]
 
-    def block(row):
-        pad = [(0, 0)] * (row.ndim - 2) + [(0, 7), (0, 0)]
-        return jnp.pad(row, pad)
+    def block(rows):
+        r = rows.shape[-2]
+        pad = [(0, 0)] * (rows.ndim - 2) + [(0, 8 - r), (0, 0)]
+        return jnp.pad(rows, pad)
 
-    edges = {"ned_t": block(fold_row(trcr)),
-             "ned_kmt": block(fold_row(kmt))}
+    edges = {"ned_t": block(fold(trcr)),
+             "ned_kmt": block(fold(kmt))}
     if with_del2:
-        edges["ned_tm"] = block(fold_row(tmix))
+        edges["ned_tm"] = block(fold(tmix))
     return edges
+
+
+def _upw_fields(cfg, grid):
+    """Stacked upwind3 face-interpolation coefficient fields
+    (12, ny, nx): [alfxp betxp gamxp alfxm betxm delxm alfyp betyp gamyp
+    alfym betym delym] (advection.F90:510-551), built on the full grid so
+    the boundary shifts (incl. the tripole fold) are correct."""
+    from pop2_tpu import advect
+    from pop2_tpu.grid import grid_bc
+    bc = grid_bc(cfg)
+    cx = advect._upwind3_horiz_coeffs(grid.DXT, bc.w(grid.DXT),
+                                      bc.e(grid.DXT),
+                                      bc.e(bc.e(grid.DXT)))
+    cy = advect._upwind3_horiz_coeffs(grid.DYT, bc.s(grid.DYT),
+                                      bc.n(grid.DYT), bc.nn(grid.DYT))
+    return jnp.stack([c.astype(jnp.float32) for c in (cx + cy)])
+
+
+def _upwz_fields(cfg, grid):
+    """(6, km) vertical QUICKEST coefficients [talfzp tbetzp tgamzp
+    talfzm tbetzm tdelzm] (advection.F90:448-486)."""
+    from pop2_tpu import advect
+    cz = advect._upwind3_vert_coeffs(grid.vgrid.dz)
+    return jnp.stack([c.astype(jnp.float32) for c in cz])
 
 
 def _tiles_args(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
@@ -573,7 +764,10 @@ def _tiles_args(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
               ew=cfg.ew_boundary,
               varthick=(cfg.sfc_layer == "varthick"),
               with_del2=with_del2,
+              tadvect=cfg.tadvect,
               interpret=force_interpret)
+    if cfg.tadvect == "upwind3":
+        kw["upwz"] = _upwz_fields(cfg, grid)
     return args, kw, with_del2
 
 
@@ -591,11 +785,14 @@ def tracer_tendency(cfg, grid, u, v, trcr, tmix, told, vdc, stf, dh):
     if mesh == "none":
         args, kw, with_del2 = _tiles_args(cfg, grid, u, v, trcr, tmix,
                                           told, vdc, stf, dh)
+        if cfg.tadvect == "upwind3":
+            kw["upw"] = _upw_fields(cfg, grid)
         edges = None
         if cfg.ns_boundary == "tripole":
             kw["n_edge"] = "data"
             edges = _tripole_edges(cfg, args[2], args[3], args[8],
-                                   with_del2)
+                                   with_del2,
+                                   two_rows=cfg.tadvect == "upwind3")
         return tracer_tendency_tiles(*args, edges=edges, **kw)
     return _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix,
                                     told, vdc, stf, dh)
@@ -611,8 +808,12 @@ def _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix, told,
     from jax.sharding import PartitionSpec as P
     py = mesh.shape["y"]
 
+    upwind3 = cfg.tadvect == "upwind3"
+    upw_full = _upw_fields(cfg, grid) if upwind3 else \
+        jnp.zeros((12,) + grid.TAREA.shape, jnp.float32)
+
     def body(u, v, trcr, tmix, told, vdc, stf, dh,
-             kmt, dyu, dxu, tarea_r, dtn, dts, dte, dtw):
+             kmt, dyu, dxu, tarea_r, dtn, dts, dte, dtw, upw):
         up = [(i, i + 1) for i in range(py - 1)]      # send north
         dn = [(i + 1, i) for i in range(py - 1)]      # send south
 
@@ -628,7 +829,7 @@ def _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix, told,
         args, kw, with_del2 = _tiles_args(cfg, lgrid, u, v, trcr, tmix,
                                           told, vdc, stf, dh)
         (uf, vf, tf, tmf, tof, vdcf, stff, dhf, kmtf, dyuf, dxuf,
-         *_rest) = args
+         tareaf, *_rest) = args
         edges = {
             "sed_u": from_south(uf), "sed_v": from_south(vf),
             "sed_t": from_south(tf), "sed_kmt": from_south(kmtf),
@@ -638,10 +839,15 @@ def _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix, told,
         if with_del2:
             edges["sed_tm"] = from_south(tmf)
             edges["ned_tm"] = from_north(tmf)
+        if upwind3:
+            kw["upw"] = upw
+            edges["sed_tarea"] = from_south(tareaf)
+            edges["sed_upw"] = from_south(upw)
         if cfg.ns_boundary == "tripole":
             # top shard: ghost rows come from the fold, not a neighbor
             top = jax.lax.axis_index("y") == py - 1
-            fold = _tripole_edges(cfg, tf, tmf, kmtf, with_del2)
+            fold = _tripole_edges(cfg, tf, tmf, kmtf, with_del2,
+                                  two_rows=upwind3)
             for k2 in ("ned_t", "ned_kmt") + (
                     ("ned_tm",) if with_del2 else ()):
                 edges[k2] = jnp.where(top, fold[k2], edges[k2])
@@ -656,9 +862,9 @@ def _tracer_tendency_sharded(cfg, grid, mesh, u, v, trcr, tmix, told,
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(p3, p3, p4, p4, p4, p4, p3, p2,
-                  p2, p2, p2, p2, p2, p2, p2, p2),
+                  p2, p2, p2, p2, p2, p2, p2, p2, p3),
         out_specs=p4,
         check_vma=False,
     )(u, v, trcr, tmix, told, vdc, stf, dh,
       grid.KMT, grid.DYU, grid.DXU, grid.TAREA_R,
-      grid.DTN, grid.DTS, grid.DTE, grid.DTW)
+      grid.DTN, grid.DTS, grid.DTE, grid.DTW, upw_full)

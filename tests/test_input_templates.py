@@ -134,3 +134,29 @@ def test_tavg_registry_covers_real_contents():
         rows = it.read_tavg_contents(f"{REF}/{fname}")
         missing = sorted({n for _, n in rows if n not in tavg.FIELDS})
         assert not missing, f"{fname}: unregistered fields {missing}"
+
+
+@needs_ref
+@pytest.mark.slow
+def test_production_config_assembles():
+    """get_production_config attaches the real gx1v7 data and the full
+    model statics build at production dims (grid, overflow statics with
+    sidewall momentum tables, KPP statics)."""
+    from pop2_tpu import overflows as ovf
+    from pop2_tpu.grid import build_grid
+    from pop2_tpu.production import get_production_config
+
+    cfg = get_production_config()
+    assert [s.name for s in cfg.overflows] == [
+        "Denmark Strait", "Faroe Bank Channel", "Ross Sea", "Weddell Sea"]
+    assert cfg.vert_grid == "file"
+    assert cfg.gm_kappa_isop_type == "bfre" and cfg.gm_transition_layer
+    assert cfg.solver.convergence_criterion == 1.0e-13
+    assert cfg.solver.solve_dtype == "float64"
+
+    grid = build_grid(cfg)
+    assert float(np.asarray(grid.vgrid.zw)[-1]) == pytest.approx(
+        5.49999e5, rel=1e-3)
+    st = ovf.build_statics(cfg, grid)
+    assert st.mom_u["j"].shape[0] > 0 and st.mom_v["j"].shape[0] > 0
+    assert st.zren is not None and float(st.zren.min()) <= 1.0

@@ -262,3 +262,112 @@ def test_sharded_tripole_production_menu():
     want, got = np.asarray(want), np.asarray(got)
     scale = np.abs(want).max() or 1.0
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("nsb", ["closed", "tripole"])
+def test_upwind3_matches_jnp(nsb):
+    """The upwind3 (QUICKEST) advection branch — the gx production
+    default (namelist_defaults_pop.xml:534) — matches the jnp chain on
+    closed and tripole boundaries."""
+    cfg = get_config("mini").with_(dtype="float32", nx=64, ny=64, km=10,
+                                   tadvect="upwind3", ns_boundary=nsb)
+    grid = build_grid(cfg)
+    bc = grid_bc(cfg)
+    inputs = _random_inputs(cfg, grid, seed=9)
+    u, v, trcr, tmix, told, vdc, stf, dh = inputs
+    c2dtt = jnp.full((cfg.km,), 2.0 * cfg.time.dtt, jnp.float32)
+
+    want = _jnp_chain(cfg, grid, bc, jnp.asarray(u), jnp.asarray(v),
+                      jnp.asarray(trcr), jnp.asarray(tmix),
+                      jnp.asarray(told), jnp.asarray(vdc),
+                      jnp.asarray(stf), jnp.asarray(dh), c2dtt)
+
+    kw = dict(varthick=True, tadvect="upwind3",
+              upw=tracer_pallas._upw_fields(cfg, grid),
+              upwz=tracer_pallas._upwz_fields(cfg, grid))
+    if nsb == "tripole":
+        kw["n_edge"] = "data"
+        kw["edges"] = tracer_pallas._tripole_edges(
+            cfg, jnp.asarray(trcr, jnp.float32),
+            jnp.asarray(tmix, jnp.float32), grid.KMT, True,
+            two_rows=True)
+    got = _call_tiles(cfg, grid, inputs, **kw)
+    want, got = np.asarray(want), np.asarray(got)
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * scale)
+
+
+def test_sharded_upwind3_matches_jnp():
+    """Sharded front-end with upwind3 + tripole (the full production
+    tracer-advection path under a mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pop2_tpu.parallel import mesh as pmesh
+    from pop2_tpu.tridiag_pallas import dispatch_mesh
+
+    cfg = get_config("mini").with_(dtype="float32", mesh_shape=(8, 1),
+                                   nx=64, ny=64, km=10,
+                                   tadvect="upwind3",
+                                   ns_boundary="tripole")
+    grid = build_grid(cfg)
+    bc = grid_bc(cfg)
+    inputs = _random_inputs(cfg, grid, seed=13)
+    u, v, trcr, tmix, told, vdc, stf, dh = inputs
+    c2dtt = jnp.full((cfg.km,), 2.0 * cfg.time.dtt, jnp.float32)
+
+    want = _jnp_chain(cfg, grid, bc, jnp.asarray(u), jnp.asarray(v),
+                      jnp.asarray(trcr), jnp.asarray(tmix),
+                      jnp.asarray(told), jnp.asarray(vdc),
+                      jnp.asarray(stf), jnp.asarray(dh), c2dtt)
+
+    mesh = pmesh.make_mesh((8, 1))
+    old_use, old_interp = tracer_pallas.USE_PALLAS, \
+        tracer_pallas.force_interpret
+    try:
+        tracer_pallas.USE_PALLAS = True
+        tracer_pallas.force_interpret = True
+        with dispatch_mesh(mesh):
+            assert tracer_pallas.available(cfg, grid)
+            got = tracer_pallas.tracer_tendency(
+                cfg, grid, jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(trcr), jnp.asarray(tmix), jnp.asarray(told),
+                jnp.asarray(vdc), jnp.asarray(stf), jnp.asarray(dh))
+    finally:
+        tracer_pallas.USE_PALLAS = old_use
+        tracer_pallas.force_interpret = old_interp
+    want, got = np.asarray(want), np.asarray(got)
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * scale)
+
+
+def test_dispatch_upwind3_model_consistent():
+    """Forcing the kernel on (interpret) must not change Model.advance
+    results under the upwind3 production advection."""
+    from pop2_tpu.model import Model
+
+    cfg = get_config("mini").with_(dtype="float32", nx=64, ny=64, km=10,
+                                   tadvect="upwind3",
+                                   ns_boundary="tripole")
+    old_use, old_interp = tracer_pallas.USE_PALLAS, \
+        tracer_pallas.force_interpret
+    try:
+        tracer_pallas.USE_PALLAS = False
+        m = Model(cfg)
+        s_ref = m.initial_state()
+        for _ in range(3):
+            s_ref, _ = m.advance(s_ref)
+
+        tracer_pallas.USE_PALLAS = True
+        tracer_pallas.force_interpret = True
+        m2 = Model(cfg)
+        s_k = m2.initial_state()
+        for _ in range(3):
+            s_k, _ = m2.advance(s_k)
+    finally:
+        tracer_pallas.USE_PALLAS = old_use
+        tracer_pallas.force_interpret = old_interp
+
+    t_ref = np.asarray(s_ref.tracer_cur)
+    t_k = np.asarray(s_k.tracer_cur)
+    scale = np.abs(t_ref).max() or 1.0
+    np.testing.assert_allclose(t_k, t_ref, rtol=0, atol=1e-4 * scale)
