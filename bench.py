@@ -73,9 +73,12 @@ def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
 
     # warmup must cover every executable the timed region will use: the
     # Euler first step, a single leapfrog step, the fused scan chunk, and
-    # a time-filter step
+    # a time-filter step. The warmup chunk reuses the timed step count so
+    # the scan executable compiles exactly once (a second count would
+    # force a second multi-minute compile of the production graph).
+    del nsteps_warm
     state, diags = model.advance(state)          # Euler first step
-    state, diags = model.run_compiled(state, nsteps_warm)
+    state, diags = model.run_compiled(state, nsteps)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
