@@ -311,23 +311,38 @@ def lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
     apply_j = jax.jit(lambda v: -dmh * apply_op(op, dmh * v, bc))
 
     rng = np.random.RandomState(seed)
-    v = rng.rand(*mask.shape) * mask
-    v /= np.sqrt((v * v).sum())
-    alphas, betas = [], []
-    v_prev = np.zeros_like(v)
-    beta = 0.0
-    for _ in range(n_iter):
-        w = np.asarray(apply_j(jnp.asarray(v))) * mask
-        alpha = float((w * v).sum())
-        w = w - alpha * v - beta * v_prev
-        beta_new = float(np.sqrt((w * w).sum()))
-        alphas.append(alpha)
-        betas.append(beta_new)
-        if beta_new < 1e-30:
-            break
-        v_prev = v
-        v = w / beta_new
-        beta = beta_new
+    v0 = rng.rand(*mask.shape) * mask
+    v0 /= np.sqrt((v0 * v0).sum())
+    mask_j = jnp.asarray(mask, v0.dtype)
+
+    # the whole recurrence runs on-device as ONE lax.scan (one compile,
+    # one transfer) — the per-iteration host round trips of the naive
+    # loop cost minutes through a remote-TPU tunnel
+    @jax.jit
+    def lanczos(v):
+        def body(carry, _):
+            v, v_prev, beta = carry
+            w = apply_j(v) * mask_j
+            alpha = jnp.sum(w * v)
+            w = w - alpha * v - beta * v_prev
+            beta_new = jnp.sqrt(jnp.sum(w * w))
+            safe = jnp.where(beta_new < 1e-30, 1.0, beta_new)
+            v_next = jnp.where(beta_new < 1e-30, v, w / safe)
+            return (v_next, v, beta_new), (alpha, beta_new)
+
+        _, (al, be) = jax.lax.scan(
+            body, (v, jnp.zeros_like(v), jnp.asarray(0.0, v.dtype)),
+            None, length=n_iter)
+        return al, be
+
+    al, be = lanczos(jnp.asarray(v0))
+    alphas = np.asarray(al)
+    betas = np.asarray(be)
+    # truncate at breakdown (beta ~ 0), as the host loop did
+    stop = np.nonzero(betas < 1e-30)[0]
+    if stop.size:
+        ncut = int(stop[0]) + 1
+        alphas, betas = alphas[:ncut], betas[:ncut]
     T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
     eigs = np.linalg.eigvalsh(T)
     # preconditioned operator is negative definite (center<0 diag precond
