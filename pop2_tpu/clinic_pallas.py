@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pop2_tpu import constants as const
-from pop2_tpu.tracer_pallas import _roll_e, _roll_w
+from pop2_tpu.tracer_pallas import _lane_pad, _roll_e, _roll_w
 
 if sys.getrecursionlimit() < 10000:
     sys.setrecursionlimit(10000)
@@ -411,7 +411,17 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
     metric fields; kmu int32 (ny,nx); dhu (ny,nx); smf (2,ny,nx); profiles
     (km,); params (4,) = [am, bottom_drag, wcor_cur, wcor_old].
     """
-    km, ny, nx = ucur.shape
+    km, ny, nx_log = ucur.shape
+    nx = -(-nx_log // 128) * 128
+    if nx != nx_log:
+        # lane-pad to the 128 multiple Mosaic's HBM slicing requires
+        # (gx1v7 nx=320 -> 384; see tracer_pallas._lane_pad); outputs are
+        # sliced back below
+        pad = functools.partial(_lane_pad, ew=ew)
+        (ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc, g2d, kmu,
+         dhu, smf) = (
+            pad(a) for a in (ucur, vcur, uold, vold, umix, vmixm,
+                             rhoavg, vvc, g2d, kmu, dhu, smf))
     by = _pick_by(km, ny, nx)
     if by is None:
         raise ValueError(f"no admissible y-tile for ny={ny} (need a "
@@ -445,7 +455,7 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
         scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, km, by, nx, ew, with_hdiffu),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((km, ny, nx), f32),
@@ -460,6 +470,9 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
       vold.astype(f32), umix.astype(f32), vmixm.astype(f32),
       rhoavg.astype(f32), vvc.astype(f32), g2d, kmu,
       dhu.astype(f32), smf.astype(f32))
+    if nx != nx_log:
+        outs = [o[..., :nx_log] for o in outs]
+    return outs
 
 
 def available(cfg, grid) -> bool:
@@ -477,8 +490,10 @@ def available(cfg, grid) -> bool:
           and grid.DZU is None
           and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
-          # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
-          and _pick_by(cfg.km, cfg.ny, cfg.nx) is not None)
+          # exact 8-aligned y-tiling must exist (Mosaic DMA alignment);
+          # VMEM sizing sees the lane-padded width (_lane_pad)
+          and _pick_by(cfg.km, cfg.ny,
+                       -(-cfg.nx // 128) * 128) is not None)
     if not ok:
         return False
     if USE_PALLAS is not None:

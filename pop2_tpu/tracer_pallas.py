@@ -62,6 +62,27 @@ _VMEM_BUDGET = 64 * 1024 * 1024
 _I0, _I1, _I2, _I3 = (np.int32(0), np.int32(1), np.int32(2), np.int32(3))
 
 
+def _lane_pad(x, ew):
+    """Pad the lane (last) axis up to a multiple of 128: Mosaic requires
+    HBM memref slices to keep lane extents 128-aligned, so a logical
+    nx = 320 (gx1v7) must present as 384 lanes. For cyclic E-W the pad
+    carries the wrap values the <=2-lane stencil reach reads (east
+    neighbors at the start of the pad, west neighbors at its end); for
+    closed E-W the zero pad reproduces the shift-in-zeros boundary, so
+    the kernel needs no logical-edge masking at all. Outputs are sliced
+    back to the logical width by the caller."""
+    nx = x.shape[-1]
+    nxp = -(-nx // 128) * 128
+    if nxp == nx:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nxp - nx)]
+    xp = jnp.pad(x, pad)
+    if ew == "cyclic":
+        xp = xp.at[..., nx:nx + 2].set(x[..., 0:2])
+        xp = xp.at[..., -2:].set(x[..., nx - 2:nx])
+    return xp
+
+
 def _roll_e(x, ew):
     """Value at i+1 (east neighbor) along the last axis. pltpu.roll requires
     a non-negative shift, so the leftward roll is nx-1 (mod nx)."""
@@ -560,7 +581,21 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
     (north, ghost row in row 0); the tripole fold and the shard_map halo
     exchange both feed this seam.
     """
-    nt, km, ny, nx = trcr.shape
+    nt, km, ny, nx_log = trcr.shape
+    nx = -(-nx_log // 128) * 128
+    if nx != nx_log:
+        # lane-pad every (..., nx) operand to the 128 multiple Mosaic's
+        # HBM slicing requires (gx1v7 nx=320 -> 384); outputs are sliced
+        # back to nx_log below
+        pad = functools.partial(_lane_pad, ew=ew)
+        (u, v, trcr, tmix, told, vdc, stf, dh, kmt, dyu, dxu, tarea_r,
+         dtn, dts, dte, dtw) = (
+            pad(a) for a in (u, v, trcr, tmix, told, vdc, stf, dh, kmt,
+                             dyu, dxu, tarea_r, dtn, dts, dte, dtw))
+        if upw is not None:
+            upw = pad(upw)
+        if edges:
+            edges = {k: pad(a) for k, a in edges.items()}
     by = _pick_by(nt, km, ny, nx)
     if by is None:
         raise ValueError(f"no admissible y-tile for ny={ny} (need a "
@@ -635,7 +670,7 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, nt, km, by, nx, ew, varthick,
                           with_del2, tadvect, s_edge, n_edge),
         grid_spec=grid_spec,
@@ -649,6 +684,7 @@ def tracer_tendency_tiles(u, v, trcr, tmix, told, vdc, stf, dh, kmt,
       sed_u, sed_v, sed_t, sed_tm, sed_kmt, sed_dyu, sed_dxu,
       sed_tarea, sed_upw,
       ned_t, ned_tm, ned_kmt)
+    return out[..., :nx_log] if nx != nx_log else out
 
 
 def _mesh_y_only():
@@ -675,7 +711,9 @@ def _base_ok(cfg, grid) -> bool:
           and cfg.ew_boundary in ("cyclic", "closed")
           # exact 8-aligned y-tiling must exist (Mosaic DMA alignment)
           and ny_loc % 8 == 0
-          and _pick_by(cfg.nt, cfg.km, ny_loc, cfg.nx) is not None)
+          # VMEM sizing sees the lane-padded width (_lane_pad)
+          and _pick_by(cfg.nt, cfg.km, ny_loc,
+                       -(-cfg.nx // 128) * 128) is not None)
     if not ok:
         return False
     if USE_PALLAS is not None:
