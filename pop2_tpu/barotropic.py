@@ -103,15 +103,13 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, state: State,
     x0 = state.pguess
     if (cfg.solver.solve_dtype == "float64"
             and cfg.jnp_dtype != jnp.float64):
-        # promote the 2-D elliptic solve to fp64 (production tolerance
-        # 1e-13 is unreachable in fp32; the 2-D cost is negligible)
-        import jax
-        f64 = lambda t: jax.tree_util.tree_map(           # noqa: E731
-            lambda a: a.astype(jnp.float64), t)
-        psurf_new, iters, rr = solvers.solve(
-            cfg, f64(op), bc, f64(x0), f64(rhs), eigs=pcsi_eigs,
-            precond=f64(precond) if precond is not None else None)
-        psurf_new = psurf_new.astype(cfg.jnp_dtype)
+        # f64-grade solve on an fp32 model: mixed-precision iterative
+        # refinement with a compensated residual (solvers.solve_refined)
+        # — the production tolerance 1e-13 is below the plain-fp32
+        # residual floor, and TPUs have no native f64 datapath (straight
+        # dtype promotion is either demoted or runs at emulation speed)
+        psurf_new, iters, rr = solvers.solve_refined(
+            cfg, op, bc, x0, rhs, eigs=pcsi_eigs, precond=precond)
     else:
         psurf_new, iters, rr = solvers.solve(cfg, op, bc, x0, rhs,
                                              eigs=pcsi_eigs,

@@ -26,10 +26,28 @@ from pop2_tpu.grid import Grid, build_grid, grid_bc
 from pop2_tpu.state import State, initial_state
 
 
+def _host_device():
+    """Context that pins init-time eager ops to the host CPU backend when
+    one coexists with the accelerator. Over the axon TPU tunnel every
+    eager op is a remote round trip (often a remote compile), which turns
+    grid/statics/Lanczos construction into many minutes; built on the
+    host, the finished arrays are uncommitted, so the jitted step still
+    compiles for the accelerator and transfers them once at first call."""
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        import contextlib
+        return contextlib.nullcontext()
+
+
 class Model:
     """Standalone ocean model instance."""
 
     def __init__(self, cfg: ModelConfig, grid: Optional[Grid] = None):
+        with _host_device():
+            self._init(cfg, grid)
+
+    def _init(self, cfg: ModelConfig, grid: Optional[Grid] = None):
         self.cfg = cfg
         self.grid = grid if grid is not None else build_grid(cfg)
         self.bc = grid_bc(cfg)
@@ -153,7 +171,8 @@ class Model:
     def initial_state(self) -> State:
         self.nsteps_total = 0
         self.time_manager.reset()
-        return initial_state(self.cfg, self.grid, passive=self.passive)
+        with _host_device():
+            return initial_state(self.cfg, self.grid, passive=self.passive)
 
     def _register_stream_flag(self, stream, kind: str, prefix: str,
                               freq_opt, freq: int):

@@ -58,6 +58,42 @@ def test_pcsi_with_lanczos(test_cfg, test_grid):
     _check(cfg, test_grid, x, x_true, rr, iters)
 
 
+def test_solve_refined_reaches_f64_criterion(test_cfg, test_grid):
+    """Mixed-precision iterative refinement (fp32 inner + compensated
+    residual) meets the production 1e-13 rms criterion on an fp32 system,
+    verified by an independent float64 true-residual evaluation."""
+    import jax
+
+    from pop2_tpu.config import SolverConfig
+
+    cfg = test_cfg.with_(solver=SolverConfig(
+        choice="PCSI", convergence_criterion=1e-13, max_iterations=1000,
+        convergence_check_freq=10, convergence_check_start=60,
+        solve_dtype="float64"))
+    grid = test_grid
+    op, bc, x_true, b = _make_problem(cfg, grid)
+    op = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), op)
+    b = b.astype(jnp.float32)
+    eigs = solvers.lanczos_eigs(cfg, op, bc, n_iter=60)
+    x0 = jnp.zeros_like(b)
+    x, iters, rr = jax.jit(lambda x0, b: solvers.solve_refined(
+        cfg, op, bc, x0, b, eigs=eigs))(x0, b)
+    rn = float(np.asarray(grid.residual_norm))
+    rms = float(np.sqrt(max(float(rr), 0.0) * rn))
+    assert rms < 1e-13, (rms, int(iters))
+
+    # genuine float64 residual of the returned solution: the (hi, lo)
+    # pair collapses to one f32 on return, so the true residual sits at
+    # the f32 storage floor — which must still be under the criterion —
+    # while the compensated rr (the pair's residual) is below it
+    f64 = lambda t: jax.tree_util.tree_map(                 # noqa: E731
+        lambda a: jnp.asarray(np.asarray(a), jnp.float64), t)
+    r64 = f64(b) - solvers.apply_op(f64(op), f64(x), bc)
+    rms64 = float(np.sqrt(float(jnp.sum((r64 * f64(op.mask)) ** 2)) * rn))
+    assert rms64 < 1e-13, rms64
+    assert rms <= rms64 * 1.2, (rms, rms64)
+
+
 def test_solvers_agree(test_cfg, test_grid):
     cfg = test_cfg
     op, bc, x_true, b = _make_problem(cfg, test_grid)
