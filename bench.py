@@ -79,11 +79,13 @@ def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
     del nsteps_warm
     state, diags = model.advance(state)          # Euler first step
     state, diags = model.run_compiled(state, nsteps)
-    jax.block_until_ready(state)
+    # block_until_ready is a no-op on some remote backends (axon tunnel):
+    # force completion by fetching a scalar that depends on the whole step
+    int(diags.solver_iters)
 
     t0 = time.perf_counter()
     state, diags = model.run_compiled(state, nsteps)
-    jax.block_until_ready(state)
+    int(diags.solver_iters)
     dt = time.perf_counter() - t0
 
     steps_per_sec = nsteps / dt
@@ -116,14 +118,21 @@ def _sections(model, state, reps=8):
     forcing = model.forcing
     out = {}
 
+    import jax.numpy as jnp
+
+    def fetch(r):
+        # scalar fetch forces completion (block_until_ready is a no-op on
+        # some remote backends); one host round trip per timed region
+        float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+
     def timed(name, fn, *args):
         f = jax.jit(fn)
         r = f(*args)
-        jax.block_until_ready(r)
+        fetch(r)
         t0 = time.perf_counter()
         for _ in range(reps):
             r = f(*args)
-        jax.block_until_ready(r)
+        fetch(r)
         out[name] = round((time.perf_counter() - t0) / reps * 1e3, 2)
 
     dh, dhu = step_mod.dhdt(cfg, grid, bc, state)

@@ -363,7 +363,7 @@ def _dd_residual(op: BtropOperator, bc: BC, b, xh, xl):
 def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
                   eigs: Tuple[float, float] = None,
                   precond: Optional[Precond9] = None,
-                  n_outer: int = 4):
+                  n_outer: int = 6):
     """Mixed-precision iterative refinement: fp32 inner solves (the
     configured solver choice) + double-single residual/accumulator. Meets
     the reference's f64-grade convergence criterion
@@ -387,8 +387,11 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         return pcg(cfg, op, bc, z, rhs, precond, tol=tol_i, max_iter=max_i)
 
     # each inner solve reduces the (squared) residual of its own RHS by
-    # ~the fp32 floor; 1e-11 in rr terms ~ 3e-6 in residual
-    inner_reduce = jnp.asarray(1e-11, f)
+    # 1e-9 in rr terms (~3e-5 in residual) — comfortably above the fp32
+    # stagnation floor on every backend (a tighter 1e-11 target sits at
+    # the floor and burns maxIterations on TPU); extra outer sweeps make
+    # up the digits
+    inner_reduce = jnp.asarray(1e-9, f)
 
     def cond(carry):
         xh, xl, m_tot, rr, k, done = carry
