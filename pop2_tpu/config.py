@@ -219,6 +219,16 @@ class ModelConfig:
     jerlov_water_type: int = 3
     chl_option: str = "const"          # 'const' | 'file' | 'model'
     chl_const: float = 0.1             # mg/m^3 when chl_option='const'
+    # standalone surface freshwater forcing (forcing_sfwf.F90:252-270
+    # namelist defaults; the coupled path is coupled.py)
+    sfwf_formulation: str = "restoring"  # 'restoring' | 'bulk-NCEP'
+    sfwf_restore_tau: float = 1.0e20     # days (:258)
+    sfwf_weak_restore: float = 0.092     # kg/s/m^2/msu (:265)
+    sfwf_strong_restore: float = 0.6648  # (:267)
+    sfwf_strong_restore_ms: float = 0.6648  # marginal seas (:266)
+    ladjust_precip: bool = False         # annual precip balancing (:263)
+    precip_fact_const: float = 1.0       # used unless ladjust_precip
+    lfw_as_salt_flx: bool = True         # fw flux as virtual salt flux
     # interior T/S restoring (forcing_pt_interior.F90 / forcing_s_interior)
     pt_interior_restore_tau_days: float = 365.0
     pt_interior_restore_max_level: int = 0
@@ -277,7 +287,8 @@ class ModelConfig:
     # submesoscale mixed-layer eddies (mix_submeso.F90:183-188)
     lsubmeso: bool = False
     submeso_efficiency: float = 0.07
-    submeso_timescale: float = 3.456e5       # seconds (4 days)
+    submeso_timescale: float = 8.64e4        # seconds (1 day;
+    # namelist_defaults_pop.xml time_scale_constant)
     submeso_const_hls: bool = False
     submeso_hor_length_scale: float = 5.0e5  # cm (5 km)
     submeso_max_grid_scale: float = 111.0e5  # cm (~1 degree)

@@ -17,6 +17,8 @@ RHO_FW = 1.0                 # density of fresh water (g/cm^3)
 CP_SW = 3.996e7              # specific heat of salt water (erg/g/K)
 
 LATENT_HEAT_FUSION = 3.34e9  # latent heat of fusion (erg/g)
+LATENT_HEAT_VAPOR_MKS = 2.5e6  # latent heat of vaporization (J/kg;
+# pop_constants.F90:247)
 SEA_ICE_SALINITY = 4.0       # salinity of sea ice formed (psu)
 OCN_REF_SALINITY = 34.7      # ocean reference salinity (psu)
 

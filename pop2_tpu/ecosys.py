@@ -424,7 +424,7 @@ class Ecosystem(TracerPackage):
         # fixed-depth lysocline threshold for CaCO3, constant opal burial
         if self.lburial:
             b_poc = "dunne"
-            b_caco3 = jnp.where(grid.HT < CACO3_BURY_THRES, 1.0, 0.0)
+            b_caco3 = (grid.HT < CACO3_BURY_THRES).astype(grid.HT.dtype)
             b_si = SI_BURY_FRAC
         else:
             b_poc = b_caco3 = b_si = None

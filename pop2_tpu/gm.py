@@ -609,7 +609,7 @@ def _sigma_topo_mask(grid: Grid, bc: BC, km: int):
     for nb in neigh:
         at_edge = at_edge | (kidx == nb[None])
     interior = kidx < kmt[None]
-    return jnp.where(interior & ~at_edge, 1.0, 0.0)
+    return (interior & ~at_edge).astype(jnp.float32)
 
 
 def kappa_eg(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,

@@ -509,7 +509,7 @@ def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
         bfsfc_all = _radiative_bfsfc(cfg, bo[None], bosol[None], ztc, chl_co)
     else:
         bfsfc_all = jnp.broadcast_to(bo[None], (km,) + bo.shape)
-    stable_all = jnp.where(bfsfc_all >= 0.0, 1.0, 0.0)
+    stable_all = (bfsfc_all >= 0.0).astype(bfsfc_all.dtype)
     bfsfc_all = bfsfc_all + stable_all * EPS
     bfsfc = bfsfc_all[0]
     stable = stable_all[0]
@@ -629,7 +629,7 @@ def bldepth(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     # the final boundary-layer depth (:2706-2751)
     if cfg.kpp_lshort_wave:
         bfsfc = _radiative_bfsfc(cfg, bo, bosol, hblt, chl_co)
-        stable = jnp.where(bfsfc >= 0.0, 1.0, 0.0)
+        stable = (bfsfc >= 0.0).astype(bfsfc.dtype)
         bfsfc = bfsfc + stable * EPS
 
     return hblt, ustar, bfsfc, stable, kbl
@@ -641,10 +641,11 @@ def smooth_hblt(cfg: ModelConfig, grid: Grid, bc: BC, hblt):
     km = cfg.km
     zt = grid.vgrid.zt
     ocean = grid.RCALCT > 0.0
-    nmask = jnp.where(bc.n(grid.RCALCT) > 0, 1.0, 0.0)
-    smask = jnp.where(bc.s(grid.RCALCT) > 0, 1.0, 0.0)
-    emask = jnp.where(bc.e(grid.RCALCT) > 0, 1.0, 0.0)
-    wmask = jnp.where(bc.w(grid.RCALCT) > 0, 1.0, 0.0)
+    rdt = grid.RCALCT.dtype
+    nmask = (bc.n(grid.RCALCT) > 0).astype(rdt)
+    smask = (bc.s(grid.RCALCT) > 0).astype(rdt)
+    emask = (bc.e(grid.RCALCT) > 0).astype(rdt)
+    wmask = (bc.w(grid.RCALCT) > 0).astype(rdt)
     cw = 0.125 * wmask
     ce = 0.125 * emask
     cn = 0.125 * nmask
@@ -688,7 +689,7 @@ def blmix(cfg: ModelConfig, grid: Grid, st: KPPStatics, visc, vdc_t, vdc_s,
     # of cell kbl
     zt_kbl = zt[kbl - 1]
     dz_kbl = dz[kbl - 1]
-    casea = jnp.where(zt_kbl - 0.5 * dz_kbl - hblt >= 0.0, 1.0, 0.0)
+    casea = (zt_kbl - 0.5 * dz_kbl - hblt >= 0.0).astype(hblt.dtype)
     kn = jnp.where(casea > 0.5, kbl - 1, kbl).astype(jnp.int32)
 
     # gather interface values around KN; interface arrays are indexed so
@@ -993,7 +994,7 @@ def kpp_coeffs(cfg: ModelConfig, grid: Grid, bc: BC, st: KPPStatics,
     # source/vmix_kpp.F90:1218-1242)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
     n2 = dbloc / jnp.reshape(grid.vgrid.dzw[1:km + 1], (km, 1, 1))
-    fcon = jnp.where(n2 > 0.0, 0.0, 1.0)
+    fcon = (n2 <= 0.0).astype(n2.dtype)
     conv_on = (kidx >= kbl[None]) & (kidx <= km - 1)
     conv_vvc = jnp.where(conv_on, convect_visc * fcon, 0.0)
     conv_vdc = jnp.where(conv_on, convect_diff * fcon, 0.0)

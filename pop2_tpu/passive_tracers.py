@@ -67,8 +67,8 @@ class IdealAge(TracerPackage):
 
     def set_interior(self, cfg, grid, tracers_old, tracers_cur,
                      forcing=None):
-        src = jnp.where(grid.kmask_t, 1.0 / SECONDS_IN_YEAR, 0.0)
-        return src[None].astype(cfg.jnp_dtype)
+        src = grid.kmask_t.astype(cfg.jnp_dtype) / SECONDS_IN_YEAR
+        return src[None]
 
     def reset(self, cfg, grid, tracer_block):
         return tracer_block.at[:, 0].set(0.0)

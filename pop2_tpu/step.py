@@ -334,7 +334,7 @@ def _robert_filter(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
 
     # accumulate masked volume*S for conservation (:1051-1097)
     from pop2_tpu.reductions import global_sum
-    mask3 = jnp.where(grid.kmask_t, 1.0, 0.0)
+    mask3 = grid.kmask_t.astype(grid.TAREA.dtype)
     dzc = jnp.reshape(grid.vgrid.dz, (cfg.km, 1, 1))
     svol = global_sum(grid.TAREA[None, None] * mask3[None] * dzc[None]
                       * store_rf.at[:, 0].set(0.0), b4b=cfg.b4b,

@@ -124,7 +124,7 @@ def gtk(cfg: ModelConfig, grid: Grid, bc: BC, sfx, sfy, tmix, tx, ty, tz):
                    0.25 * hyx, 0.0)
     cy = jnp.where((kidx <= grid.KMT[None]) & (kidx <= grid.KMTN[None]),
                    0.25 * hxy, 0.0)
-    km_mask = jnp.where(kidx < grid.KMT[None], 1.0, 0.0)
+    km_mask = (kidx < grid.KMT[None]).astype(cx.dtype)
 
     tz_kp1 = jnp.concatenate([tz[:, 1:], tz[:, -1:]], axis=1)
     tx_kp1 = jnp.concatenate([tx[:, 1:], tx[:, -1:]], axis=1)

@@ -366,7 +366,7 @@ def _qsw_htp(cfg, grid, state, aux):
     trans = _sw_trans_interfaces(cfg, grid)
     below = trans[1] if cfg.km > 1 else 0.0
     return (f.shf_qsw * (trans[0] - below) / const.HFLUX_FACTOR
-            * jnp.where(grid.KMT > 0, 1.0, 0.0))
+            * (grid.KMT > 0))
 
 
 def _qsw_3d(cfg, grid, state, aux):
@@ -386,7 +386,7 @@ def _qsw_hbl(cfg, grid, state, aux):
         qsw = f.shf_qsw * (1.0 - absorb)
     else:
         qsw = f.shf_qsw
-    return qsw / const.HFLUX_FACTOR * jnp.where(grid.KMT > 0, 1.0, 0.0)
+    return qsw / const.HFLUX_FACTOR * (grid.KMT > 0)
 
 
 # -- tracer tendency components (baroclinic.F90 / advection.F90 /

@@ -29,10 +29,13 @@ jnorth, jsouth = 0, 1
 ktp, kbt = 0, 1
 
 
-def tracer_slopes(g, TMIX):
+def tracer_slopes(g, TMIX, full=False):
     """tracer_diffs_and_isopyc_slopes: returns (TX, TY, TZ, SLX, SLY)
     with TX/TY/TZ (nt, km, nyg, nxg) and SLX/SLY
-    (2 faces, 2 halves, km, nyg, nxg); k index 0-based = level-1."""
+    (2 faces, 2 halves, km, nyg, nxg); k index 0-based = level-1.
+    full=True appends (RX, RY, RZ_SAVE) for the submesoscale oracle
+    (RZ_SAVE = min(RZ, 0) at the ktp pass,
+    hmix_gm_submeso_share.F90:398)."""
     nt, km = TMIX.shape[0], TMIX.shape[1]
     nyg, nxg = TMIX.shape[2], TMIX.shape[3]
     KMT = g.KMT
@@ -45,6 +48,7 @@ def tracer_slopes(g, TMIX):
     SLX = np.zeros((2, 2, km, nyg, nxg))
     SLY = np.zeros((2, 2, km, nyg, nxg))
 
+    RZ_SAVE = np.zeros((km, nyg, nxg))
     TEMP = np.zeros((2, nyg, nxg))      # ring buffer (kn, ks)
     TXP = np.zeros((2, nyg, nxg))
     TYP = np.zeros((2, nyg, nxg))
@@ -113,6 +117,7 @@ def tracer_slopes(g, TMIX):
                               + DRDS * eoshift(TY[1, kk], 2, -1))
 
             RZ = DRDT * TZP_ks + DRDS * TZ[1, kk]
+            RZ_SAVE[kk] = np.minimum(RZ, c0)
             RZ = np.minimum(RZ, -eps2)
             w = kk + 1 <= KMT
             SLX[ieast, ktp, kk] = np.where(w, RX[ieast, kk] / RZ,
@@ -126,6 +131,8 @@ def tracer_slopes(g, TMIX):
 
         kn, ks = ks, kn
 
+    if full:
+        return TX, TY, TZ, SLX, SLY, RX, RY, RZ_SAVE
     return TX, TY, TZ, SLX, SLY
 
 
