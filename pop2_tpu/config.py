@@ -393,6 +393,10 @@ class ModelConfig:
     # mpi/global_reductions.F90:134,599) rebuilt as order-independent
     # fixed-point accumulation (reductions.py)
     b4b: bool = False
+    # stream output format (tavg_nml tavg_fmt_out, io_pio pio_typename):
+    # 'nc' = NetCDF3-classic (scipy), 'nc4' = netCDF-4/HDF5 (chunked +
+    # compressed, io/netcdf4.py)
+    tavg_fmt_out: str = "nc"
 
     @property
     def jnp_dtype(self):

@@ -650,9 +650,14 @@ _register("S_FLUX_ROFF_VSF_SRF", "Surface Salt Virtual Salt Flux "
 
 def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,
                         step_number: int = 0) -> str:
-    """Shared NetCDF3-classic writer with z_t/TLAT/TLONG coordinates
-    (the reference's io_netcdf.F90 field-writing path). ``arrays`` maps
-    field name -> numpy array shaped per FIELDS[name].ndims."""
+    """Shared stream writer with z_t/TLAT/TLONG coordinates (the
+    reference's io_netcdf.F90/io_pio.F90 field-writing path). ``arrays``
+    maps field name -> numpy array shaped per FIELDS[name].ndims.
+    cfg.tavg_fmt_out selects NetCDF3-classic ('nc', scipy) or
+    netCDF-4/HDF5 ('nc4', chunked + compressed, io/netcdf4.py)."""
+    if getattr(cfg, "tavg_fmt_out", "nc") == "nc4":
+        return _write_fields_nc4(cfg, grid, fname, contents, arrays,
+                                 step_number)
     from scipy.io import netcdf_file
     with netcdf_file(fname, "w") as f:
         f.createDimension("time", 1)
@@ -683,6 +688,35 @@ def write_fields_netcdf(cfg, grid, fname: str, contents, arrays,
             v.units = d.units.encode()
             v.long_name = d.long_name.encode()
     return fname
+
+
+def _write_fields_nc4(cfg, grid, fname, contents, arrays,
+                      step_number: int = 0) -> str:
+    """netCDF-4 flavor of write_fields_netcdf (io/netcdf4.py)."""
+    from pop2_tpu.io.netcdf4 import write_netcdf4
+    dims = {"time": 1, "z_t": cfg.km, "nlat": cfg.ny, "nlon": cfg.nx}
+    variables = {
+        "z_t": (("z_t",), np.asarray(grid.vgrid.zt),
+                {"units": "centimeters"}),
+        "time": (("time",), np.asarray([float(step_number)]),
+                 {"units": "steps"}),
+        "TLAT": (("nlat", "nlon"),
+                 np.asarray(grid.TLAT) * const.RADIAN,
+                 {"units": "degrees_north"}),
+        "TLONG": (("nlat", "nlon"),
+                  np.asarray(grid.TLON) * const.RADIAN,
+                  {"units": "degrees_east"}),
+    }
+    for n in contents:
+        d = FIELDS[n]
+        arr = np.asarray(arrays[n])[None].astype(np.float32)
+        vdims = (("time", "z_t", "nlat", "nlon") if arr.ndim == 4
+                 else ("time", "nlat", "nlon"))
+        variables[n] = (vdims, arr,
+                        {"units": d.units, "long_name": d.long_name})
+    return write_netcdf4(fname, dims, variables,
+                         global_attrs={"title": "pop2_tpu tavg",
+                                       "source": "pop2_tpu"})
 
 
 class TavgStream:
