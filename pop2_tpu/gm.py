@@ -867,6 +867,50 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
         hor_diff = hor_diff.at[1].set(
             jnp.where(at_bottom, cfg.gm_ah_bkg_bottom, hor_diff[1]))
 
+    cancellation = kappa_equal and cfg.gm_slm_r == cfg.gm_slm_b
+    gtk, vdc_gm = flux_assembly(cfg, grid, bc, tx, ty, tz, slx, sly,
+                                sf_slx, sf_sly, kisop_x, kisop_y,
+                                hor_diff, cancellation)
+    return GMOut(gtk=gtk, vdc_gm=vdc_gm,
+                 kappa_isop=0.5 * (kisop[0] + kisop[1]),
+                 kappa_thic=0.5 * (kthic[0] + kthic[1]),
+                 hor_diff=0.5 * (hor_diff[0] + hor_diff[1]),
+                 dia_depth=tlt.diabatic_depth if tlt is not None else None,
+                 tlt_thick=tlt.thickness if tlt is not None else None,
+                 int_depth=tlt.interior_depth if tlt is not None else None)
+
+
+def flux_assembly(cfg: ModelConfig, grid: Grid, bc: BC, tx, ty, tz,
+                  slx, sly, sf_slx, sf_sly, kisop_x, kisop_y, hor_diff,
+                  cancellation: bool):
+    """GM/Redi flux assembly: (GTK, VDC_GM) from the merged per-face
+    fields (horizontal + skew + vertical fluxes and their divergence,
+    source/hmix_gm.F90:1720-2080). This is the traffic-dominant, per-
+    tracer part of the scheme; gm_pallas fuses it into one HBM pass when
+    available, with this jnp formulation as the fallback and oracle."""
+    if gm_pallas_available(cfg, grid):
+        from pop2_tpu import gm_pallas
+        return gm_pallas.flux_assembly_tiles_wrapper(
+            cfg, grid, bc, tx, ty, tz, slx, sly, sf_slx, sf_sly,
+            kisop_x, hor_diff, cancellation)
+    return flux_assembly_jnp(cfg, grid, bc, tx, ty, tz, slx, sly,
+                             sf_slx, sf_sly, kisop_x, kisop_y, hor_diff,
+                             cancellation)
+
+
+def gm_pallas_available(cfg, grid) -> bool:
+    from pop2_tpu import gm_pallas
+    return cfg.gm_aniso is None and gm_pallas.available(cfg, grid)
+
+
+def flux_assembly_jnp(cfg: ModelConfig, grid: Grid, bc: BC, tx, ty, tz,
+                      slx, sly, sf_slx, sf_sly, kisop_x, kisop_y,
+                      hor_diff, cancellation: bool):
+    km = cfg.km
+    dz = jnp.reshape(grid.vgrid.dz, (km, 1, 1))
+    dzr = jnp.reshape(grid.vgrid.dzr, (km, 1, 1))
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0) + 1
+
     hyx = grid.HTE / grid.HUS
     hxy = grid.HTN / grid.HUW
     hyxw = bc.w(hyx)
@@ -918,7 +962,6 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     # skew contribution (zero when kappa_isop == kappa_thic and no
     # differential tapering: 'cancellation', source/hmix_gm.F90:970-983;
     # the directional factors scale isop and thic alike, preserving it)
-    cancellation = kappa_equal and cfg.gm_slm_r == cfg.gm_slm_b
     tz_kp1 = jnp.concatenate([tz[:, 1:], tz[:, -1:]], axis=1)
     if not cancellation:
         w1 = kisop_x[0] * slx[0, 0] * dz - sf_slx[0, 0]
@@ -991,10 +1034,4 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     gtk = ((fx - bc.w(fx) + fy - bc.s(fy) + fz_top - fz)
            * dzr[None] * grid.TAREA_R)
     gtk = jnp.where(grid.kmask_t[None], gtk, 0.0)
-    return GMOut(gtk=gtk, vdc_gm=vdc_gm,
-                 kappa_isop=0.5 * (kisop[0] + kisop[1]),
-                 kappa_thic=0.5 * (kthic[0] + kthic[1]),
-                 hor_diff=0.5 * (hor_diff[0] + hor_diff[1]),
-                 dia_depth=tlt.diabatic_depth if tlt is not None else None,
-                 tlt_thick=tlt.thickness if tlt is not None else None,
-                 int_depth=tlt.interior_depth if tlt is not None else None)
+    return gtk, vdc_gm
