@@ -10,35 +10,73 @@ submesoscale MLE; chlorophyll shortwave; frazil ice; the real parsed
 gx1v7 overflow geometry (Denmark Strait / Faroe / Ross / Weddell) with
 sidewall momentum + continuity coupling; the real gx1v7 60-level
 vertical grid; Robert filter at 24 steps/day; PCSI at the production
-tolerance 1e-13 / maxiter 1000 with the 2-D solve promoted to fp64.
-This is the reference's own namelist_defaults_pop.xml menu — no solver
-or physics lightening (round-3 verdict item 1).
+tolerance 1e-13 / maxiter 1000 solved by mixed-precision iterative
+refinement (fp32 inner solves + double-single accumulation — the
+declared fp64-grade production mode, see PARITY.md). This is the
+reference's own namelist_defaults_pop.xml menu — no solver or physics
+lightening.
 
-The light ``prod`` configuration (384x256x40, const vmix + del2 +
-centered advection) is reported alongside in detail — it isolates the
-dynamical-core cost the fused kernels target.
+BUDGET DISCIPLINE (round-4 lesson: a bench that does not finish inside
+the driver's budget records NO number). The script:
+  1. measures the flagship fp32 number FIRST and prints the JSON line
+     immediately (flushed) — this line alone satisfies the contract;
+  2. spends whatever remains of BENCH_BUDGET_S (default 900 s) on the
+     optional legs in priority order (per-section breakdown, light
+     config, fp64 probe), re-printing the enriched JSON line after
+     each completed leg;
+  3. runs a watchdog thread that force-prints the best line so far and
+     exits 0 when the deadline arrives, so a hung compile can never
+     turn into an empty artifact again.
+The driver should parse the LAST JSON line of stdout; every printed
+line is a complete, valid result.
 
 Metric: grid-points/s/chip = nx*ny*km * steps/s on the flagship config
 (BASELINE.md; the reference publishes no numbers — BASELINE.json
 "published": {} — so vs_baseline is the ratio against the first recorded
 value of this same metric, 1.0 until a baseline file exists).
 
-Env knobs: BENCH_GRID overrides the flagship preset; BENCH_SECONDARY=0
-skips the light config; BENCH_FP64=0 skips the float64 runs (default ON
-— the north-star parity tolerance is fp64, BASELINE.json);
+Env knobs: BENCH_BUDGET_S wall-clock budget (default 900); BENCH_GRID
+overrides the flagship preset; BENCH_SECONDARY=0 skips the light
+config; BENCH_FP64=1 adds a short float64 probe (default OFF — the
+production fp64-grade mode is fp32 + solve_refined, PARITY.md);
 BENCH_SECTIONS=0 skips the per-section breakdown.
-
-Prints exactly one JSON line.
 """
 
 import json
 import os
+import sys
+import threading
 import time
 
 # persistent XLA compile cache: first-compile of the production-physics step
 # over the TPU tunnel is minutes; cache entries make driver re-runs cheap
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+_BEST = {}      # latest complete result dict; printed by the watchdog
+_LOCK = threading.Lock()
+
+
+def _emit():
+    with _LOCK:
+        if _BEST:
+            sys.stdout.write(json.dumps(_BEST) + "\n")
+            sys.stdout.flush()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _watchdog():
+    """Force-print the best result and exit when the budget expires.
+    Runs as a daemon thread so a compile blocked in C++ cannot starve it."""
+    while _remaining() > 15.0:
+        time.sleep(min(5.0, max(0.5, _remaining() - 15.0)))
+    _emit()
+    os._exit(0 if _BEST else 3)
 
 
 def _make_model(preset, dtype):
@@ -48,7 +86,7 @@ def _make_model(preset, dtype):
 
     if preset == "prod_full":
         # the flagship runs its own production solver settings (PCSI at
-        # tol 1e-13, fp64 solve) — no lightening
+        # tol 1e-13 via mixed-precision refinement) — no lightening
         cfg = get_production_config(dtype=dtype)
     else:
         # the light dynamics-only config keeps the round-1..3 fast-mode
@@ -64,9 +102,7 @@ def _make_model(preset, dtype):
     return Model(cfg)
 
 
-def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
-    import jax
-
+def _measure(preset, dtype, nsteps, sections=False):
     model = _make_model(preset, dtype)
     cfg = model.cfg
     state = model.initial_state()
@@ -76,7 +112,6 @@ def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
     # a time-filter step. The warmup chunk reuses the timed step count so
     # the scan executable compiles exactly once (a second count would
     # force a second multi-minute compile of the production graph).
-    del nsteps_warm
     state, diags = model.advance(state)          # Euler first step
     state, diags = model.run_compiled(state, nsteps)
     # block_until_ready is a no-op on some remote backends (axon tunnel):
@@ -101,7 +136,7 @@ def _measure(preset, dtype, nsteps_warm, nsteps, sections=False):
     }
     if sections:
         out["sections_ms"] = _sections(model, state)
-    return out
+    return out, model, state
 
 
 def _sections(model, state, reps=8):
@@ -110,6 +145,7 @@ def _sections(model, state, reps=8):
     BAROTROPIC + the big physics kernels, source/step_mod.F90:69-75)."""
     import functools
     import jax
+    import jax.numpy as jnp
 
     from pop2_tpu import baroclinic, barotropic, gm, step as step_mod, vmix
 
@@ -118,14 +154,14 @@ def _sections(model, state, reps=8):
     forcing = model.forcing
     out = {}
 
-    import jax.numpy as jnp
-
     def fetch(r):
         # scalar fetch forces completion (block_until_ready is a no-op on
         # some remote backends); one host round trip per timed region
         float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
 
     def timed(name, fn, *args):
+        if _remaining() < 60.0:      # leave room for the final print
+            return
         f = jax.jit(fn)
         r = f(*args)
         fetch(r)
@@ -168,23 +204,20 @@ def _sections(model, state, reps=8):
 def main():
     import jax
 
-    nsteps_warm = int(os.environ.get("BENCH_WARMUP", "20"))
     nsteps = int(os.environ.get("BENCH_STEPS", "32"))
     flagship = os.environ.get("BENCH_GRID", "prod_full")
     want_sections = os.environ.get("BENCH_SECTIONS", "1") != "0"
+    want_light = os.environ.get("BENCH_SECONDARY", "1") != "0"
+    want_fp64 = os.environ.get("BENCH_FP64", "0") == "1"
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     detail = {"backend": jax.default_backend()}
-    flag = _measure(flagship, "float32", nsteps_warm, nsteps,
-                    sections=want_sections)
-    detail.update(flag)
 
-    if os.environ.get("BENCH_SECONDARY", "1") != "0":
-        detail["light"] = _measure("prod", "float32", nsteps_warm, nsteps)
-    if os.environ.get("BENCH_FP64", "1") != "0":
-        detail["fp64"] = {
-            "flagship": _measure(flagship, "float64", 4, 8),
-            "light": _measure("prod", "float64", 4, 8),
-        }
+    # ---- leg 1 (mandatory): flagship fp32 throughput --------------------
+    flag, model, state = _measure(flagship, "float32", nsteps,
+                                  sections=False)
+    detail.update(flag)
 
     value = flag["points_per_sec"]
     baseline = None
@@ -196,15 +229,30 @@ def main():
                         .get("grid_points_per_sec_per_chip"))
         except Exception:
             baseline = None
-    vs_baseline = (value / baseline) if baseline else 1.0
 
-    print(json.dumps({
-        "metric": "grid_points_per_sec_per_chip",
-        "value": value,
-        "unit": "points/s",
-        "vs_baseline": round(vs_baseline, 4),
-        "detail": detail,
-    }))
+    with _LOCK:
+        _BEST.update({
+            "metric": "grid_points_per_sec_per_chip",
+            "value": value,
+            "unit": "points/s",
+            "vs_baseline": round((value / baseline) if baseline else 1.0, 4),
+            "detail": detail,
+        })
+    _emit()      # the contract is satisfied from this point on
+
+    # ---- optional legs, budget permitting, priority order ---------------
+    # cost guesses are conservative (cold-compile worst case over tunnel)
+    if want_sections and _remaining() > 240.0:
+        detail["sections_ms"] = _sections(model, state)
+        _emit()
+
+    if want_light and _remaining() > 180.0:
+        detail["light"] = _measure("prod", "float32", nsteps)[0]
+        _emit()
+
+    if want_fp64 and _remaining() > 300.0:
+        detail["fp64"] = {"flagship": _measure(flagship, "float64", 4)[0]}
+        _emit()
 
 
 if __name__ == "__main__":

@@ -71,7 +71,15 @@ class SolverConfig:
     convergence_check_start: int = 60  # PCSI only
     preconditioner: str = "diagonal"   # 'diagonal' | 'file' (9-pt stencil;
     #                                    EVP subsumed by PCSI, solvers.py)
+    #                                  | 'spai' (9-pt SPAI generated at
+    #                                    init, solvers.build_spai9)
     preconditioner_file: Optional[str] = None  # .npz of Precond9 fields
+    # inner solver of the mixed-precision refined solve: ChronGear (CG) by
+    # default — CG needs no spectrum bounds, and fp32 Lanczos Ritz values
+    # OVERestimate the smallest eigenvalue, which makes a Stiefel inner
+    # iteration stagnate on the modes below its assumed bound ('choice'
+    # keeps the configured solver as the inner)
+    refine_inner: str = "chrongear"    # 'chrongear' | 'choice'
     lanczos_iterations: int = 100      # PCSI eigenvalue estimation
     # precision of the elliptic solve: 'model' follows ModelConfig.dtype;
     # 'float64' promotes the 2-D solve to fp64 regardless of the model
@@ -469,6 +477,7 @@ PRESETS = {
                             max_iterations=1000,
                             convergence_check_freq=10,
                             convergence_check_start=60,
+                            preconditioner="spai",
                             solve_dtype="float64"),
     ),
     "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",

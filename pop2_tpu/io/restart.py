@@ -48,23 +48,56 @@ def write_restart(path: str, state: State, nsteps_total: int,
     return fname
 
 
-def read_restart(path: str, cfg: ModelConfig) -> Tuple[State, int]:
+def read_restart(path: str, cfg: ModelConfig,
+                 template: State = None) -> Tuple[State, int]:
     """Read a checkpoint (or follow a pointer file/directory); returns
-    (state, nsteps_total). Shapes are validated against the config."""
+    (state, nsteps_total). Shapes are validated against the config.
+
+    ``template`` enables read fallbacks (the reference's
+    ``io_read_fallback_mod``, source/io_read_fallback_mod.F90: registered
+    per-field defaults so adding a tracer package or a new state field
+    does not break resumption from older checkpoints):
+      - a State field absent from the checkpoint is taken from the
+        template (e.g. ``model.initial_state()``);
+      - a checkpoint written with fewer tracers (meta nt < cfg.nt) has
+        its tracer axes padded from the template's extra slots, and the
+        Robert-filter conservation memory is invalidated so it re-primes.
+    Without a template the read is strict, as before.
+    """
     if os.path.isdir(path):
         with open(os.path.join(path, POINTER_FILE)) as f:
             path = f.read().strip()
     data = np.load(path)
     with open(path + ".json") as f:
         meta = json.load(f)
-    for dim in ("nx", "ny", "km", "nt"):
+    strict_dims = ("nx", "ny", "km") if template is not None else (
+        "nx", "ny", "km", "nt")
+    for dim in strict_dims:
         if meta[dim] != getattr(cfg, dim):
             raise ValueError(
                 f"restart {dim}={meta[dim]} != config {getattr(cfg, dim)}")
+    nt_ckpt = int(meta["nt"])
+    if template is not None and nt_ckpt > cfg.nt:
+        raise ValueError(f"restart nt={nt_ckpt} > config {cfg.nt}: "
+                         "dropping tracers needs an explicit subset")
+    pad_nt = cfg.nt - nt_ckpt
     dt = cfg.jnp_dtype
     kwargs = {}
     for f_ in dataclasses.fields(State):
-        arr = data[f_.name]
-        kwargs[f_.name] = jnp.asarray(
+        name = f_.name
+        if name not in data.files:
+            if template is None:
+                raise KeyError(f"restart is missing field {name} "
+                               "(pass template= for read fallbacks)")
+            kwargs[name] = getattr(template, name)
+            continue
+        arr = data[name]
+        if pad_nt and name in ("tracer_old", "tracer_cur", "rf_s_prev"):
+            tmpl = np.asarray(getattr(template, name))
+            arr = np.concatenate([arr, tmpl[nt_ckpt:cfg.nt]], axis=0)
+        kwargs[name] = jnp.asarray(
             arr, dt if np.issubdtype(arr.dtype, np.floating) else None)
+    if pad_nt:
+        # new tracers have no conservation history: re-prime the filter
+        kwargs["rf_s_prev_valid"] = jnp.zeros((), dt)
     return State(**kwargs), int(meta["nsteps_total"])

@@ -77,6 +77,10 @@ class Model:
         if cfg.overflows:
             from pop2_tpu import overflows as ovf_mod
             self.ovf_statics = ovf_mod.build_statics(cfg, self.grid)
+            # overflow columns fold into the barotropic operator weights
+            # (ovf_solvers_9pt, source/overflows.F90:5515-5728) — must
+            # precede the Lanczos eigenvalue prep below
+            self.grid = ovf_mod.solvers_9pt(cfg, self.grid)
         # per-model dispatch mesh for shard_map'ed Pallas kernels: derived
         # from the config (never module-global state, so models with
         # different meshes coexist). Entered as a scope at trace time below.
@@ -93,6 +97,14 @@ class Model:
                 and cfg.solver.preconditioner_file):
             self.precond = solvers.load_precond(
                 cfg.solver.preconditioner_file, cfg.jnp_dtype)
+        elif cfg.solver.preconditioner.lower() == "spai":
+            # generated-at-init SPAI stencil (the reference's 'file'
+            # preconditioner with the coefficients built in-process,
+            # solvers.build_spai9); built from the leapfrog operator —
+            # the Euler first step reuses it (any SPD M is valid)
+            op_lf = solvers.make_operator(
+                self.grid, diagonal_correction(cfg, self.grid, True))
+            self.precond = solvers.build_spai9(cfg, op_lf)
         # PCSI eigenvalue bounds are prepared once per leapfrog flag. This is
         # valid because diagonal_correction is a pure function of
         # (cfg, grid, leapfrog) — the reference re-preps every solve
@@ -105,8 +117,12 @@ class Model:
             for leapfrog in (False, True):
                 op = solvers.make_operator(
                     self.grid, diagonal_correction(cfg, self.grid, leapfrog))
-                self._pcsi_eigs[leapfrog] = solvers.lanczos_eigs(
-                    cfg, op, self.bc)
+                if self.precond is not None:
+                    self._pcsi_eigs[leapfrog] = solvers.pcg_lanczos_eigs(
+                        cfg, op, self.bc, self.precond)
+                else:
+                    self._pcsi_eigs[leapfrog] = solvers.lanczos_eigs(
+                        cfg, op, self.bc)
 
         from pop2_tpu import tridiag_pallas
 

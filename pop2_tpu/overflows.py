@@ -510,3 +510,70 @@ def momentum_adjust(cfg: ModelConfig, grid: Grid, st: OverflowStatics,
     u_new = apply(st.mom_u, u_new, ubtrop_new)
     v_new = apply(st.mom_v, v_new, vbtrop_new)
     return u_new, v_new
+
+
+def modified_hu(cfg: ModelConfig, grid: Grid) -> np.ndarray:
+    """HU extended down the overflow sidewall columns (ovf_HU,
+    source/overflows.F90:5730-5880): at every src/ent/prd sidewall U-point
+    the column depth becomes HU + sum(dz, KMU+1..k_ovf) — the overflow
+    column punches through the topography so the barotropic operator sees
+    the full conduit. All points participate (the 'inactive corner' of the
+    momentum distribution is only a momentum-weighting device). Host-side
+    init work; returns (ny, nx) float64."""
+    nx = cfg.nx
+    dz = np.asarray(grid.vgrid.dz, np.float64)
+    kmu = np.asarray(grid.KMU)
+    hu = np.asarray(grid.HU, np.float64).copy()
+    hum = hu.copy()
+
+    def walls(spec):
+        yield from spec.src_pts
+        yield from spec.ent_pts
+        for pts in spec.prd_sets:
+            yield from pts
+
+    for spec in cfg.overflows:
+        for (i, j, k0, orient) in walls(spec):
+            iu, ju = _u_point(i, j, orient, nx)
+            if ju < 0 or ju >= cfg.ny:
+                continue
+            kmu_p = int(kmu[ju, iu])
+            # Fortran k = KMU+1 .. k_ovf (1-based) == dz[kmu_p : k0+1]
+            dz_sidewall = float(dz[kmu_p:k0 + 1].sum())
+            hum[ju, iu] = hu[ju, iu] + dz_sidewall
+    return hum
+
+
+def solvers_9pt(cfg: ModelConfig, grid: Grid) -> Grid:
+    """Rebuild the barotropic 9-point operator weights from the
+    overflow-modified HU (ovf_solvers_9pt,
+    source/overflows.F90:5515-5728): identical weight assembly to the
+    solver prep (source/POP_SolversMod.F90:786-816) with HUM in place of
+    HU. Returns a Grid with btrop_{ne,n,e,c_indep} replaced; everything
+    else (masks, residual norm) is untouched, as in the reference."""
+    if not cfg.overflows or not any(s.prd_sets for s in cfg.overflows):
+        return grid
+    from pop2_tpu.grid import _np_shift
+    ew, ns = cfg.ew_boundary, cfg.ns_boundary
+
+    def sh(f, di, dj):
+        return _np_shift(f, di, dj, ew, ns, 0.0, "center", "scalar")
+
+    hum = modified_hu(cfg, grid)
+    dxur = np.asarray(grid.DXUR, np.float64)
+    dyur = np.asarray(grid.DYUR, np.float64)
+    dxu = np.asarray(grid.DXU, np.float64)
+    dyu = np.asarray(grid.DYU, np.float64)
+
+    xW = 0.25 * hum * dxur * dyu
+    yW = 0.25 * hum * dyur * dxu
+    wNE = xW + yW
+    a_se = sh(xW, 0, -1) + sh(yW, 0, -1)
+    a_nw = sh(wNE, -1, 0)
+    a_sw = sh(wNE, -1, -1)
+    dt = cfg.jnp_dtype
+    return grid.replace(
+        btrop_ne=jnp.asarray(wNE, dt),
+        btrop_e=jnp.asarray(xW + sh(xW, 0, -1) - yW - sh(yW, 0, -1), dt),
+        btrop_n=jnp.asarray(yW + sh(yW, -1, 0) - xW - sh(xW, -1, 0), dt),
+        btrop_c_indep=jnp.asarray(-(wNE + a_se + a_nw + a_sw), dt))

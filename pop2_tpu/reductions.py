@@ -37,9 +37,19 @@ _S3 = float(2 ** (3 * _P))
 def _b4b_sum(x, axes):
     """Order-independent fixed-point sum of ``x`` over ``axes``."""
     absmax = jnp.max(jnp.abs(x))  # max is exact in any order
-    # power-of-two scale: frexp is exact, so x/scale is an exact scaling
-    _, ex = jnp.frexp(absmax)
-    scale = jnp.ldexp(jnp.asarray(1.0, x.dtype), ex)
+    # power-of-two scale >= absmax. jnp.frexp would be the natural choice
+    # but its wide-int bitcast does not lower for the TPU backend under the
+    # x64 rewriter; floor(log2)+ldexp uses only elementary ops. log2 may
+    # round at exact powers of two, so the result is nudged up if it came
+    # out below absmax — a 2x overestimate only spends one of the 90 limb
+    # bits. Division by a power of two is exact, so y is an exact scaling.
+    safe = jnp.where(absmax > 0, absmax, jnp.asarray(1.0, x.dtype))
+    ex = jnp.floor(jnp.log2(safe)) + 1.0
+    # exp2 of an integer-valued float is an exact power of two (jnp.ldexp
+    # would be the obvious spelling, but it lowers through frexp's wide-int
+    # bitcast, which the TPU X64 rewriter rejects)
+    scale = jnp.exp2(ex.astype(x.dtype))
+    scale = jnp.where(scale < safe, 2.0 * scale, scale)
     scale = jnp.where(absmax > 0, scale, jnp.asarray(1.0, x.dtype))
     y = x / scale  # |y| <= 1, exact
 

@@ -114,7 +114,7 @@ def make_precond_apply(cfg: ModelConfig, op: BtropOperator, bc: BC,
     if choice == "diagonal" or precond is None:
         a0r = _diag_precond(op)
         return lambda r: r * a0r
-    if choice == "file":
+    if choice in ("file", "spai"):
         p = precond
 
         def apply9(r):
@@ -378,6 +378,12 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     def inner(rhs, tol_i, max_i):
         z = jnp.zeros_like(x0)
         choice = sol.choice.lower()
+        if getattr(sol, "refine_inner", "chrongear") == "chrongear":
+            # CG inner regardless of the outer 'choice': needs no spectrum
+            # bounds, and fp32 Lanczos Ritz values OVERestimate eig_min,
+            # which stalls a Stiefel inner on the modes below the bound
+            # (observed: 6x1000 burned iterations on gx1v7)
+            choice = "chrongear"
         if choice == "pcsi":
             return pcsi(cfg, op, bc, z, rhs, eigs[0], eigs[1], precond,
                         tol=tol_i, max_iter=max_i)
@@ -499,3 +505,175 @@ def solve(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     if choice == "pcg":
         return pcg(cfg, op, bc, x0, b, precond)
     raise NotImplementedError(choice)
+
+
+# ---- sparse-approximate-inverse preconditioner (generated at init) ----
+# The reference reads its 9-pt preconditioner stencil from a file
+# (source/POP_SolversMod.F90:700-760, applied :2310-2324) whose generator
+# lives outside the repo. The TPU build generates the coefficients at
+# init: a Frobenius-norm SPAI — per ocean point, the 9-point row m_p
+# minimizing ||A m_p - e_p||_2 — assembled batched on the host (one
+# sparse-squared stencil + 122k simultaneous 9x9 solves for gx1), then
+# symmetrized so CG/PCSI theory applies. Cuts the diagonally-
+# preconditioned condition number by roughly an order of magnitude,
+# which is the main lever on the 1e-13 production solve cost.
+
+_OFFS9 = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+          (1, 1), (1, -1), (-1, 1), (-1, -1))
+_FIELD_OF_OFF = {(0, 0): "center", (1, 0): "north", (-1, 0): "south",
+                 (0, 1): "east", (0, -1): "west", (1, 1): "ne",
+                 (1, -1): "nw", (-1, 1): "se", (-1, -1): "sw"}
+
+
+def _row_stencils(op: BtropOperator, sh):
+    """Dense per-point row weights W1[(dj,di)] of the 9-pt operator
+    (apply_op's coefficient layout: S/W/SW weights are shifted N/E/NE)."""
+    c = np.asarray(op.center, np.float64)
+    n_ = np.asarray(op.north, np.float64)
+    e_ = np.asarray(op.east, np.float64)
+    ne_ = np.asarray(op.ne, np.float64)
+    return {
+        (0, 0): c,
+        (1, 0): n_, (-1, 0): sh(n_, 0, -1),
+        (0, 1): e_, (0, -1): sh(e_, -1, 0),
+        (1, 1): ne_, (-1, 1): sh(ne_, 0, -1),
+        (1, -1): sh(ne_, -1, 0), (-1, -1): sh(ne_, -1, -1),
+    }
+
+
+def build_spai9(cfg: ModelConfig, op: BtropOperator, ridge: float = 1e-10
+                ) -> Precond9:
+    """Build the symmetric 9-point SPAI stencil M ~ A^-1 on the host.
+
+    G_p[a,b] = (A^2)[p+o_a, p+o_b] (A symmetric), so the normal-equation
+    Gram matrices come from the 25-point stencil of A^2 — assembled as
+    shifted products of the row stencils, no sparse matrices needed. The
+    tripole seam is treated as closed for the BUILD only (any SPD M is a
+    valid preconditioner; the solve itself keeps the exact fold via bc).
+    """
+    from pop2_tpu.grid import _np_shift
+    ew = cfg.ew_boundary
+    ny, nx = op.center.shape
+
+    def sh(f, di, dj):
+        return _np_shift(f, di, dj, ew, "closed", 0.0, "center", "scalar")
+
+    w1 = _row_stencils(op, sh)
+    mask = np.asarray(op.mask, np.float64) * (w1[(0, 0)] != 0.0)
+
+    # A^2 stencil: W2[o2][p] = sum_o W1[o][p] * W1[o2-o][p+o]
+    w2 = {}
+    for (dj, di), wa in w1.items():
+        for (dj2, di2), _ in w1.items():
+            o2 = (dj + dj2, di + di2)
+            contrib = wa * sh(w1[(dj2, di2)], di, dj)
+            w2[o2] = w2.get(o2, 0.0) + contrib
+
+    P = ny * nx
+    G = np.zeros((P, 9, 9))
+    b = np.zeros((P, 9))
+    valid = np.zeros((P, 9), bool)
+    for a, (dja, dia) in enumerate(_OFFS9):
+        ok_a = sh(mask, dia, dja) > 0      # support point p+o_a is ocean
+        valid[:, a] = ok_a.ravel()
+        b[:, a] = w1[(dja, dia)].ravel()
+        for bb, (djb, dib) in enumerate(_OFFS9):
+            o = (djb - dja, dib - dia)
+            if o in w2:
+                # (A^2)[p+o_a, p+o_b] = W2[o_b-o_a] evaluated at p+o_a
+                G[:, a, bb] = sh(w2[o], dia, dja).ravel()
+
+    # deactivate invalid support points; regularize
+    act = valid[:, :, None] & valid[:, None, :]
+    G = np.where(act, G, 0.0)
+    diag_scale = np.maximum(np.abs(G[:, 0, 0]), 1.0)
+    eye = np.eye(9)[None]
+    G = G + (ridge * diag_scale[:, None, None] + 1e-300) * eye
+    G[~valid[:, 0]] = eye                  # land rows: trivial system
+    b = np.where(valid, b, 0.0)
+
+    m = np.linalg.solve(G, b[..., None])[..., 0]     # (P, 9)
+    m = np.where(valid, m, 0.0)
+    m[~valid[:, 0]] = 0.0
+
+    fields = {_FIELD_OF_OFF[o]: m[:, a].reshape(ny, nx)
+              for a, o in enumerate(_OFFS9)}
+
+    # symmetrize: M[p, p+o] <- (M[p, p+o] + M[p+o, p]) / 2
+    pairs = ((( 1, 0), (-1, 0)), ((0, 1), (0, -1)),
+             (( 1, 1), (-1, -1)), ((1, -1), (-1, 1)))
+    for o_f, o_r in pairs:
+        f_name, r_name = _FIELD_OF_OFF[o_f], _FIELD_OF_OFF[o_r]
+        f_val, r_val = fields[f_name], fields[r_name]
+        # counterpart of forward entry at p: reverse entry at p+o_f
+        fields[f_name] = 0.5 * (f_val + sh(r_val, o_f[1], o_f[0]))
+        fields[r_name] = 0.5 * (r_val + sh(f_val, o_r[1], o_r[0]))
+
+    dt = op.center.dtype      # follow the operator (e.g. an fp32 solve
+    #                           under an fp64 config keeps f32 stencils)
+    return Precond9(**{k: jnp.asarray(v, dt) for k, v in fields.items()})
+
+
+def pcg_lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
+                     precond: Precond9, n_iter: int = None, seed: int = 0
+                     ) -> Tuple[float, float]:
+    """Extreme eigenvalues of the PRECONDITIONED operator M^-1 A for a
+    general (9-pt) preconditioner, via the CG-Lanczos coefficient
+    identity: running PCG on (-A)x = b with M' = -M yields alpha/beta
+    whose tridiagonal T_kk = 1/alpha_k + beta_{k-1}/alpha_{k-1},
+    T_{k,k+1} = sqrt(beta_k)/alpha_k has the Ritz values of M^-1 A.
+    (The diagonal-preconditioner case keeps the plain Lanczos pass,
+    lanczos_eigs.) Host eigensolve at init, like the reference's ratqr
+    (source/POP_SolversMod.F90:3122)."""
+    if n_iter is None:
+        n_iter = cfg.solver.lanczos_iterations
+    p = precond
+
+    def minv(r):
+        return (p.center * r
+                + p.north * bc.n(r) + p.south * bc.s(r)
+                + p.east * bc.e(r) + p.west * bc.w(r)
+                + p.ne * bc.ne(r) + p.nw * bc.nw(r)
+                + p.se * bc.se(r) + p.sw * bc.sw(r))
+
+    mask = np.asarray(op.mask)
+
+    rng = np.random.RandomState(seed)
+    r0 = jnp.asarray(rng.rand(*mask.shape) * mask)
+    mask_j = jnp.asarray(mask, r0.dtype)
+
+    @jax.jit
+    def run(r0):
+        z0 = -minv(r0) * mask_j
+        rz0 = jnp.sum(r0 * z0)
+
+        def body(carry, _):
+            r, z, p, rz_old = carry
+            q = -apply_op(op, p, bc) * mask_j
+            pq = jnp.sum(p * q)
+            alpha = rz_old / jnp.where(pq != 0.0, pq, 1.0)
+            r_new = r - alpha * q
+            z_new = -minv(r_new) * mask_j
+            rz = jnp.sum(r_new * z_new)
+            beta = rz / jnp.where(rz_old != 0.0, rz_old, 1.0)
+            p_new = z_new + beta * p
+            return (r_new, z_new, p_new, rz), (alpha, beta, rz)
+
+        _, (al, be, rz) = jax.lax.scan(body, (r0, z0, z0, rz0), None,
+                                       length=n_iter)
+        return al, be, rz
+
+    al, be, rz = (np.asarray(v, np.float64) for v in run(r0))
+    # truncate once the recurrence degenerates (rz ~ 0 or nonpositive)
+    good = np.nonzero(~((rz > 0) & np.isfinite(al) & (al > 0)))[0]
+    ncut = int(good[0]) if good.size else n_iter
+    ncut = max(ncut, 2)
+    al, be = al[:ncut], be[:ncut]
+    diag = 1.0 / al
+    diag[1:] += be[:-1] / al[:-1]
+    offd = np.sqrt(np.maximum(be[:-1], 0.0)) / al[:-1]
+    T = np.diag(diag) + np.diag(offd, 1) + np.diag(offd, -1)
+    eigs = np.linalg.eigvalsh(T)
+    emin = float(np.min(eigs)) / 1.05
+    emax = float(np.max(eigs)) * 1.05
+    return emin, emax

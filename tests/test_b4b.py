@@ -93,3 +93,43 @@ def test_b4b_step_across_mesh():
         np.testing.assert_allclose(
             a, b, rtol=0.0, atol=1e-12 * scale,
             err_msg=f"{name} differs across decompositions beyond ulp level")
+
+
+def test_b4b_sum_lowers_for_tpu():
+    """Round-4 verdict: jnp.frexp's wide-int bitcast does not lower on the
+    TPU backend under the x64 rewriter, making b4b a CPU-only guarantee.
+    The scale is now log2/ldexp-based; this test AOT-compiles the b4b sum
+    for the TPU target (via the axon tunnel when present) in a subprocess
+    with the TPU platform active. Skips when no TPU client is reachable."""
+    import os
+    import subprocess
+    import sys
+
+    prog = r"""
+import os, sys
+import jax, jax.numpy as jnp
+if jax.default_backend() != "tpu":
+    print("NO_TPU"); sys.exit(0)
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, os.environ["POP2_REPO"])
+from pop2_tpu.reductions import global_sum
+for dt in ("float32", "float64"):
+    fn = jax.jit(lambda a: global_sum(a, b4b=True))
+    spec = jax.ShapeDtypeStruct((64, 128), jnp.dtype(dt))
+    fn.lower(spec).compile()     # raises if the graph cannot lower
+print("OK")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/.axon_site"   # re-enable the TPU tunnel
+    env.pop("JAX_PLATFORMS", None)
+    env["POP2_REPO"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    try:
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=240)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU compile did not finish in time")
+    if "NO_TPU" in r.stdout or not os.path.isdir("/root/.axon_site"):
+        pytest.skip("no TPU backend reachable")
+    assert "OK" in r.stdout, (
+        f"b4b global_sum failed to compile for TPU:\n{r.stdout}\n{r.stderr}")

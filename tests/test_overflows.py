@@ -304,3 +304,107 @@ def test_real_overflow_geometry_builds():
     assert st.mom_u["j"].shape[0] > 0
     # all regions found ocean cells (build_statics would have raised)
     assert float(np.asarray(st.volumes).min()) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# ovf_solvers_9pt: overflow columns folded into the barotropic operator
+# ---------------------------------------------------------------------------
+
+def _pt_spec_topo():
+    """_pt_spec with kmt pop-downs shelving the columns just east of the
+    source/entrainment walls, so the sidewall U-points sit above the
+    overflow level (KMU < k_ovf) and ovf_HU has something to extend."""
+    import dataclasses
+    pops = tuple((6, j, 8, 2) for j in range(15, 20))
+    spec = _pt_spec()
+    if hasattr(spec, "_replace"):
+        return spec._replace(kmt_changes=pops)
+    return dataclasses.replace(spec, kmt_changes=pops)
+
+
+def _oracle_ovf_hu(cfg, grid):
+    """Direct NumPy transliteration of ovf_HU
+    (source/overflows.F90:5730-5880): for each src, ent, then prd point,
+    HUM(i_u,j_u) = HU + sum(dz, KMU+1..k_ovf), absolute assignment."""
+    dz = np.asarray(grid.vgrid.dz, np.float64)
+    kmu = np.asarray(grid.KMU)
+    hu = np.asarray(grid.HU, np.float64)
+    hum = hu.copy()
+    for spec in cfg.overflows:
+        groups = [spec.src_pts, spec.ent_pts] + list(spec.prd_sets)
+        for pts in groups:
+            for (i, j, k0, orient) in pts:
+                iu, ju = ovf._u_point(i, j, orient, cfg.nx)
+                if not (0 <= ju < cfg.ny):
+                    continue
+                dz_sw = dz[int(kmu[ju, iu]):k0 + 1].sum()
+                hum[ju, iu] = hu[ju, iu] + dz_sw
+    return hum
+
+
+def test_ovf_hu_matches_oracle():
+    cfg = get_config("mini").with_(overflows=(_pt_spec_topo(),))
+    from pop2_tpu.grid import build_grid
+    grid = build_grid(cfg)
+    hum = ovf.modified_hu(cfg, grid)
+    np.testing.assert_array_equal(hum, _oracle_ovf_hu(cfg, grid))
+    # the sidewall columns actually deepened
+    assert (hum > np.asarray(grid.HU)).any()
+
+
+def test_ovf_solvers_9pt_modifies_solve_in_overflow_region():
+    """The modified 9-pt operator changes the barotropic solution near the
+    overflow sidewalls (round-4 verdict item 7). Also checks the weights
+    are untouched away from the overflow neighborhood."""
+    import jax.numpy as jnp
+    from pop2_tpu import solvers
+    from pop2_tpu.grid import build_grid, grid_bc
+    from pop2_tpu.barotropic import diagonal_correction
+
+    cfg = get_config("mini").with_(overflows=(_pt_spec_topo(),))
+    g0 = build_grid(cfg)
+    g1 = ovf.solvers_9pt(cfg, g0)
+    bc = grid_bc(cfg)
+
+    d_ne = np.abs(np.asarray(g1.btrop_ne) - np.asarray(g0.btrop_ne))
+    assert d_ne.max() > 0.0
+    # far field (away from all overflow j rows) untouched
+    far = np.ones((cfg.ny, cfg.nx), bool)
+    far[10:22, :] = False
+    for a, b in ((g1.btrop_ne, g0.btrop_ne), (g1.btrop_n, g0.btrop_n),
+                 (g1.btrop_e, g0.btrop_e),
+                 (g1.btrop_c_indep, g0.btrop_c_indep)):
+        assert np.array_equal(np.asarray(a)[far], np.asarray(b)[far])
+
+    # same RHS, both operators: solutions differ in the overflow region
+    dc = diagonal_correction(cfg, g0, True)
+    rng = np.random.RandomState(3)
+    rhs = jnp.asarray(rng.randn(cfg.ny, cfg.nx)
+                      * np.asarray(g0.RCALCT), cfg.jnp_dtype)
+    x0 = jnp.zeros_like(rhs)
+    sols = []
+    for g in (g0, g1):
+        op = solvers.make_operator(g, dc)
+        x, it, rr = solvers.chron_gear(cfg, op, bc, x0, rhs)
+        sols.append(np.asarray(x))
+    dif = np.abs(sols[1] - sols[0])
+    assert dif.max() > 0.0
+    # the difference is driven by the overflow neighborhood: the max
+    # relative change is near the modified columns
+    jmax, imax = np.unravel_index(np.argmax(dif), dif.shape)
+    assert 8 <= jmax <= 24
+
+
+def test_ovf_solvers_9pt_wired_into_model():
+    """Model init swaps the operator weights when point-data overflows are
+    configured, and the model still steps stably."""
+    cfg = get_config("mini").with_(overflows=(_pt_spec_topo(),))
+    from pop2_tpu.grid import build_grid
+    g0 = build_grid(cfg)
+    m = Model(cfg)
+    assert not np.array_equal(np.asarray(m.grid.btrop_ne),
+                              np.asarray(g0.btrop_ne))
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])

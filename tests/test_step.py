@@ -128,3 +128,57 @@ def test_first_step_is_euler(mini_model):
     assert mini_model.step_flags(2) == (True, False)
     freq = mini_model.cfg.time.time_mix_freq
     assert mini_model.step_flags(freq) == (True, True)
+
+
+def test_restart_read_fallbacks(tmp_path):
+    """io_read_fallback_mod analogue (source/io_read_fallback_mod.F90):
+    resuming a checkpoint written with FEWER tracers pads the tracer axes
+    from the template and re-primes the Robert-filter memory; a missing
+    state field falls back to the template value."""
+    from pop2_tpu.config import get_config
+    from pop2_tpu.io import restart as rst
+    from pop2_tpu.model import Model
+
+    cfg2 = get_config("mini")                     # nt = 2
+    m2 = Model(cfg2)
+    st = m2.initial_state()
+    for _ in range(3):
+        st, _ = m2.advance(st)
+    path = rst.write_restart(str(tmp_path / "old"), st, m2.nsteps_total,
+                             cfg2)
+
+    # resume under a 3-tracer config (iage added)
+    cfg3 = cfg2.with_(nt=3, passive_tracers=("iage",))
+    m3 = Model(cfg3)
+    tmpl = m3.initial_state()
+    st3, nsteps = rst.read_restart(path, cfg3, template=tmpl)
+    assert st3.tracer_cur.shape[0] == 3
+    np.testing.assert_array_equal(np.asarray(st3.tracer_cur[:2]),
+                                  np.asarray(st.tracer_cur))
+    np.testing.assert_array_equal(np.asarray(st3.tracer_cur[2]),
+                                  np.asarray(tmpl.tracer_cur[2]))
+    assert float(st3.rf_s_prev_valid) == 0.0     # filter memory re-primed
+    # strict read (no template) must refuse the nt mismatch
+    import pytest
+    with pytest.raises(ValueError):
+        rst.read_restart(path, cfg3)
+    # the resumed model steps
+    m3.nsteps_total = nsteps
+    st3, _ = m3.advance(st3)
+    assert np.isfinite(np.asarray(st3.tracer_cur)).all()
+
+    # missing-field fallback: simulate an older checkpoint without the
+    # Robert-filter fields
+    data = dict(np.load(path))
+    for k in ("rf_s_prev", "rf_s_prev_valid"):
+        del data[k]
+    p2 = str(tmp_path / "older.npz")
+    np.savez_compressed(p2, **data)
+    import shutil
+    shutil.copy(path + ".json", p2 + ".json")
+    with pytest.raises(KeyError):
+        rst.read_restart(p2, cfg2)
+    st_fb, _ = rst.read_restart(p2, cfg2, template=m2.initial_state())
+    np.testing.assert_array_equal(np.asarray(st_fb.tracer_cur),
+                                  np.asarray(st.tracer_cur))
+    assert st_fb.rf_s_prev.shape == (2,)
