@@ -73,3 +73,57 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- dimension-parameterized variants (fp64-grade-mode validation) ----
+
+def matched_config_at(nx, ny, km, dtype="float64", production_solver=False):
+    """The matched physics configuration at arbitrary dims (the auto_dt
+    and lauto_hmix recipes scale with nx). ``production_solver`` swaps in
+    the production fp64-grade solve: PCSI tol 1e-13 + generated SPAI +
+    mixed-precision iterative refinement (solve_dtype='float64' under an
+    fp32 model selects solvers.solve_refined)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from pop2_tpu.config import get_config, SolverConfig, TimeConfig
+    if production_solver:
+        solver = SolverConfig(choice="PCSI", convergence_criterion=1.0e-13,
+                              max_iterations=1000, convergence_check_freq=10,
+                              convergence_check_start=60,
+                              preconditioner="spai", solve_dtype="float64")
+    else:
+        solver = SolverConfig(choice="pcg", convergence_criterion=1.0e-12,
+                              max_iterations=1000, convergence_check_freq=10)
+    return get_config(
+        "test", nx=nx, ny=ny, km=km, dtype=dtype,
+        vmix="rich", lbouss_correct=True, bottom_drag=1.225e-3,
+        solver=solver,
+        time=TimeConfig(dt_option="seconds", dt_count=3600.0 * 180 / nx,
+                        time_mix_opt="avg", time_mix_freq=17))
+
+
+def run_framework_at(cfg, nsteps, snap_at):
+    from pop2_tpu.model import Model
+    m = Model(cfg)
+    state = m.initial_state()
+    snaps = {}
+    for n in range(1, nsteps + 1):
+        state, _ = m.advance(state)
+        if n in snap_at or n == nsteps:
+            snaps[n] = {
+                "UVEL": np.asarray(state.u_cur),
+                "VVEL": np.asarray(state.v_cur),
+                "TEMP": np.asarray(state.tracer_cur[0]),
+                "SALT": np.asarray(state.tracer_cur[1]),
+                "PSURF": np.asarray(state.psurf_cur),
+                "UBTROP": np.asarray(state.ubtrop_cur),
+                "VBTROP": np.asarray(state.vbtrop_cur),
+            }
+    return snaps
+
+
+def run_oracle_at(nx, ny, km, nsteps, snap_at):
+    from tests.reference_oracle.oracle import OracleModel, OracleConfig
+    m = OracleModel(OracleConfig(nx=nx, ny=ny, km=km,
+                                 dtt=3600.0 * 180 / nx))
+    return m.run(nsteps, snap_at=snap_at)

@@ -170,3 +170,74 @@ def test_estuary_exchange_conserves(mini_cfg, mini_grid):
     col = (src * dz * kmask[None]).sum(axis=1)
     scale = (np.abs(src) * dz * kmask[None]).sum(axis=1) + 1e-30
     assert (np.abs(col) <= 1e-9 * scale + 1e-25).all()
+
+
+def test_mcog_import_bins_and_normalization():
+    """Full import_mcog pipeline (source/mcog.F90:578-717): column->bin
+    segment sums, fraction normalization preserving the fraction-weighted
+    flux, and the aggregation consistency check."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(7)
+    ncols, ny, nx = 5, 6, 8
+    kmt = np.ones((ny, nx), np.int32) * 5
+    kmt[0, :] = 0                                  # a land row
+    frac = rng.rand(ncols, ny, nx) * 0.4
+    frac *= (1.02 / frac.sum(0))                   # sums to 1.02 (anomaly)
+    fracr = frac * rng.uniform(0.9, 1.1, (ncols, ny, nx))
+    qsw = rng.rand(ncols, ny, nx) * 300.0
+    qsw_fracr = qsw * fracr
+    swnet = qsw_fracr.sum(0)
+
+    col_to_bin = (0, 0, 1, 1, 2)
+    bins = mcog.import_mcog(
+        jnp.asarray(frac), jnp.asarray(fracr), jnp.asarray(qsw_fracr),
+        jnp.asarray(swnet), jnp.asarray(kmt), col_to_bin=col_to_bin,
+        nbins=3, debug=True)
+
+    # consistency with the coupler aggregate: no mismatch by construction
+    mcog.check_aggregation(bins)
+    ocean = kmt > 0
+
+    # the fraction-weighted bin flux reproduces the coupler aggregate
+    # (normalization preserves the products, :683-698)
+    recon = np.asarray(
+        (bins.fracr_bin * bins.qsw_raw_bin).sum(0))
+    np.testing.assert_allclose(recon[ocean], swnet[ocean], rtol=1e-12)
+
+    # fractions sum to 1 after the (uncapped) adjustment
+    np.testing.assert_allclose(
+        np.asarray(bins.frac_bin.sum(0))[ocean], 1.0, rtol=1e-12)
+    # land is zero-filled
+    assert np.asarray(bins.frac_bin)[:, ~ocean].max() == 0.0
+    assert np.asarray(bins.qsw_raw_bin)[:, ~ocean].max() == 0.0
+
+    # bin 0 holds columns 0+1
+    np.testing.assert_allclose(
+        np.asarray(bins.fracr_bin[0])[ocean],
+        (fracr[0] + fracr[1])[ocean] / fracr.sum(0)[ocean], rtol=1e-12)
+
+    # a corrupted column flux trips the aggregation guard
+    import pytest
+    bad = mcog.import_mcog(
+        jnp.asarray(frac), jnp.asarray(fracr),
+        jnp.asarray(qsw_fracr * 1.01), jnp.asarray(swnet),
+        jnp.asarray(kmt), col_to_bin=col_to_bin, nbins=3)
+    with pytest.raises(FloatingPointError):
+        mcog.check_aggregation(bad)
+
+
+def test_mcog_single_column_and_weighting():
+    import jax.numpy as jnp
+    kmt = np.ones((4, 4), np.int32)
+    kmt[0, 0] = 0
+    swnet = np.full((4, 4), 200.0)
+    bins = mcog.single_column_bins(jnp.asarray(swnet), jnp.asarray(kmt))
+    assert bins.qsw_raw_bin.shape == (1, 4, 4)
+    assert float(bins.qsw_raw_bin[0, 0, 0]) == 0.0
+    assert float(bins.qsw_raw_bin[0, 1, 1]) == 200.0
+    # coszen weighting applies per bin exactly as to the aggregate
+    w = np.full((4, 4), 0.5)
+    qb = mcog.qsw_bin_weighted(bins, jnp.asarray(w))
+    assert float(qb[0, 1, 1]) == 100.0
+    names = mcog.tavg_field_names(3)
+    assert "QSW_BIN_02" in names and len(names) == 9

@@ -59,3 +59,40 @@ def test_step100_parity():
     for k, tol in [("UVEL", 1e-7), ("VVEL", 1e-7), ("TEMP", 1e-9),
                    ("SALT", 1e-9), ("PSURF", 1e-7)]:
         assert _rel(f[100][k], o[100][k]) < tol, k
+
+
+@pytest.mark.slow
+def test_fp64_grade_mode_gx3v7_dims():
+    """The declared production fp64-grade mode (round-4 verdict item 5a):
+    an fp32 model with the mixed-precision refined barotropic solve
+    (PCSI tol 1e-13 + generated SPAI + double-single refinement).
+
+    Two claims, validated against the fp64 oracle at gx3v7 dims
+    (100x116x60, the production-like serial grid):
+      (1) the discretization is equation-exact at these dims — the fp64
+          framework tracks the oracle at solver-noise level;
+      (2) the fp32+refined run's deviation is BOUNDED at the fp32
+          state-storage level over an averaging window (the leapfrog
+          amplifies per-step rounding until the time filter caps it) —
+          i.e. the refined solve (residual 1e-13) is never the limiting
+          error term; fp32 state storage is.
+    """
+    from tests.reference_oracle.compare import (matched_config_at,
+                                                run_framework_at,
+                                                run_oracle_at)
+    nx, ny, km = 100, 116, 60
+    oc = run_oracle_at(nx, ny, km, 24, (10, 24))
+
+    f64 = run_framework_at(matched_config_at(nx, ny, km, dtype="float64"),
+                           10, (10,))
+    for k in FIELDS:
+        assert _rel(f64[10][k], oc[10][k]) < 1e-9, (k, "fp64")
+
+    f32 = run_framework_at(
+        matched_config_at(nx, ny, km, dtype="float32",
+                          production_solver=True), 24, (10, 24))
+    bands = {"UVEL": 5e-3, "VVEL": 5e-3, "TEMP": 2e-4, "SALT": 2e-4,
+             "PSURF": 5e-2, "UBTROP": 8e-2, "VBTROP": 8e-2}
+    for step in (10, 24):
+        for k in FIELDS:
+            assert _rel(f32[step][k], oc[step][k]) < bands[k], (k, step)
