@@ -59,11 +59,12 @@ _G2D = ("DYU", "DXU", "UAREA_R", "FCOR", "KXU", "KYU", "DXUR", "DYUR",
 _NG = len(_G2D)
 
 
-def _kernel(km, by, nx, ew, with_hdiffu,
+def _kernel(km, by, nx, ew, with_hdiffu, s_edge, n_edge,
             dz_ref, dzr_ref, dz2r_ref, dzwr2_ref, facs_ref, par_ref,
             # HBM refs
             uc_hbm, vc_hbm, uo_hbm, vo_hbm, um_hbm, vm_hbm, ra_hbm,
             vvc_hbm, g2d_hbm, kmu_hbm, dhu_hbm, smf_hbm,
+            sed3_hbm, sed2_hbm, ned3_hbm, ned2_hbm,
             fx_hbm, fy_hbm, zx_hbm, zy_hbm,
             # VMEM scratch
             ucb, vcb, uob, vob, umb, vmb, rab, vvcb,
@@ -120,13 +121,37 @@ def _kernel(km, by, nx, ew, with_hdiffu,
         for c in halos:
             c.wait()
 
-    @pl.when(t == 0)
-    def _():  # closed southern edge: halo rows are zero / land
-        ucs[...] = jnp.zeros_like(ucs[...])
-        vcs[...] = jnp.zeros_like(vcs[...])
-        ums[...] = jnp.zeros_like(ums[...])
-        vms[...] = jnp.zeros_like(vms[...])
-        dyxs[...] = jnp.zeros_like(dyxs[...])
+    if s_edge == "data":
+        # provided south-edge blocks (shard_map neighbor rows; the mesh
+        # south edge receives ppermute zeros == closed)
+        @pl.when(t == 0)
+        def _():
+            halos = []
+            pairs = [(sed3_hbm.at[_I0], ucs, 12), (sed3_hbm.at[_I1],
+                                                   vcs, 13)]
+            if with_hdiffu:
+                pairs += [(sed3_hbm.at[np.int32(2)], ums, 14),
+                          (sed3_hbm.at[np.int32(3)], vms, 15)]
+            for src, dst, slot in pairs:
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            c = pltpu.make_async_copy(sed2_hbm, dyxs, sems.at[np.int32(16)])
+            c.start()
+            halos.append(c)
+            for c in halos:
+                c.wait()
+            if not with_hdiffu:
+                ums[...] = jnp.zeros_like(ums[...])
+                vms[...] = jnp.zeros_like(vms[...])
+    else:
+        @pl.when(t == 0)
+        def _():  # closed southern edge: halo rows are zero / land
+            ucs[...] = jnp.zeros_like(ucs[...])
+            vcs[...] = jnp.zeros_like(vcs[...])
+            ums[...] = jnp.zeros_like(ums[...])
+            vms[...] = jnp.zeros_like(vms[...])
+            dyxs[...] = jnp.zeros_like(dyxs[...])
 
     is_top = t == ntiles - 1
 
@@ -150,14 +175,40 @@ def _kernel(km, by, nx, ew, with_hdiffu,
         for c in halos:
             c.wait()
 
-    @pl.when(is_top)
-    def _():  # closed northern edge
-        ucn[...] = jnp.zeros_like(ucn[...])
-        vcn[...] = jnp.zeros_like(vcn[...])
-        umn[...] = jnp.zeros_like(umn[...])
-        vmn[...] = jnp.zeros_like(vmn[...])
-        ran[...] = jnp.zeros_like(ran[...])
-        dyxn[...] = jnp.zeros_like(dyxn[...])
+    if n_edge == "data":
+        # provided north-edge blocks (the global top shard gets ppermute
+        # zeros; its top ROW is re-patched by the sharded wrapper, so
+        # zero data there is inconsequential)
+        @pl.when(is_top)
+        def _():
+            halos = []
+            pairs = [(ned3_hbm.at[_I0], ucn, 17),
+                     (ned3_hbm.at[_I1], vcn, 18),
+                     (ned3_hbm.at[np.int32(2)], ran, 21)]
+            if with_hdiffu:
+                pairs += [(ned3_hbm.at[np.int32(3)], umn, 19),
+                          (ned3_hbm.at[np.int32(4)], vmn, 20)]
+            for src, dst, slot in pairs:
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            c = pltpu.make_async_copy(ned2_hbm, dyxn, sems.at[np.int32(22)])
+            c.start()
+            halos.append(c)
+            for c in halos:
+                c.wait()
+            if not with_hdiffu:
+                umn[...] = jnp.zeros_like(umn[...])
+                vmn[...] = jnp.zeros_like(vmn[...])
+    else:
+        @pl.when(is_top)
+        def _():  # closed northern edge
+            ucn[...] = jnp.zeros_like(ucn[...])
+            vcn[...] = jnp.zeros_like(vcn[...])
+            umn[...] = jnp.zeros_like(umn[...])
+            vmn[...] = jnp.zeros_like(vmn[...])
+            ran[...] = jnp.zeros_like(ran[...])
+            dyxn[...] = jnp.zeros_like(dyxn[...])
 
     for c in copies:
         c.wait()
@@ -183,9 +234,14 @@ def _kernel(km, by, nx, ew, with_hdiffu,
 
     # 1 everywhere except the global top row (used to express n(s(x)) == x
     # away from the closed northern edge); explicit f32 so the weak Python
-    # scalars cannot widen to f64 under jax_enable_x64 (Mosaic is 32-bit)
-    tm = jnp.where(is_top & (row2 == by - 1),
-                   jnp.float32(0.0), jnp.float32(1.0))
+    # scalars cannot widen to f64 under jax_enable_x64 (Mosaic is 32-bit).
+    # With provided north-edge data the identity holds on every row of
+    # this shard (the global top shard's top row is wrapper-patched).
+    if n_edge == "data":
+        tm = jnp.float32(1.0)
+    else:
+        tm = jnp.where(is_top & (row2 == by - 1),
+                       jnp.float32(0.0), jnp.float32(1.0))
 
     # ---- 2-D precomputation ------------------------------------------------
     dyu_c, dxu_c = g2db[_I0], g2db[_I1]
@@ -400,28 +456,46 @@ def _pick_by(km, ny, nx):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ew", "with_hdiffu", "interpret"))
+                   static_argnames=("ew", "with_hdiffu", "s_edge",
+                                    "n_edge", "interpret"))
 def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
                      g2d, kmu, dhu, smf,
                      dz, dzr, dz2r, dzwr2, facs, params,
-                     ew="cyclic", with_hdiffu=True, interpret=False):
+                     sed3=None, sed2=None, ned3=None, ned2=None,
+                     ew="cyclic", with_hdiffu=True,
+                     s_edge="closed", n_edge="closed", interpret=False):
     """(fx, fy, zx, zy) in one HBM pass.
 
     Shapes: velocity/rhoavg/vvc (km,ny,nx); g2d (len(_G2D),ny,nx) stacked
     metric fields; kmu int32 (ny,nx); dhu (ny,nx); smf (2,ny,nx); profiles
     (km,); params (4,) = [am, bottom_drag, wcor_cur, wcor_old].
+
+    Edge data (shard_map front-end): s_edge/n_edge 'data' makes the first/
+    last tile read the provided 8-row blocks instead of closed zeros —
+    sed3 (2|4, km, 8, nx) = stacked [ucur, vcur(, umix, vmix)] south
+    neighbor rows, sed2 (2, 8, nx) = [DYU, DXU] south rows; ned3
+    (3|5, km, 8, nx) = [ucur, vcur, rhoavg(, umix, vmix)], ned2 likewise.
     """
     km, ny, nx_log = ucur.shape
     nx = -(-nx_log // 128) * 128
+    f32_ = jnp.float32
+    n3 = (4 if with_hdiffu else 2)
+    if sed3 is None:
+        sed3 = jnp.zeros((n3, km, 8, nx_log), f32_)
+        sed2 = jnp.zeros((2, 8, nx_log), f32_)
+    if ned3 is None:
+        ned3 = jnp.zeros((n3 + 1, km, 8, nx_log), f32_)
+        ned2 = jnp.zeros((2, 8, nx_log), f32_)
     if nx != nx_log:
         # lane-pad to the 128 multiple Mosaic's HBM slicing requires
         # (gx1v7 nx=320 -> 384; see tracer_pallas._lane_pad); outputs are
         # sliced back below
         pad = functools.partial(_lane_pad, ew=ew)
         (ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc, g2d, kmu,
-         dhu, smf) = (
+         dhu, smf, sed3, sed2, ned3, ned2) = (
             pad(a) for a in (ucur, vcur, uold, vold, umix, vmixm,
-                             rhoavg, vvc, g2d, kmu, dhu, smf))
+                             rhoavg, vvc, g2d, kmu, dhu, smf,
+                             sed3, sed2, ned3, ned2))
     by = _pick_by(km, ny, nx)
     if by is None:
         raise ValueError(f"no admissible y-tile for ny={ny} (need a "
@@ -451,12 +525,13 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
         # small operands into VMEM, where the tile/halo DMA slices at
         # dynamic (and for halos, odd) sublane offsets fail its (8,128)
         # tiling-divisibility prover; HBM slices have no such constraint
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 12,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 16,
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, km, by, nx, ew, with_hdiffu),
+        functools.partial(_kernel, km, by, nx, ew, with_hdiffu,
+                          s_edge, n_edge),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((km, ny, nx), f32),
                    jax.ShapeDtypeStruct((km, ny, nx), f32),
@@ -469,10 +544,25 @@ def clinic_rhs_tiles(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc,
       ucur.astype(f32), vcur.astype(f32), uold.astype(f32),
       vold.astype(f32), umix.astype(f32), vmixm.astype(f32),
       rhoavg.astype(f32), vvc.astype(f32), g2d, kmu,
-      dhu.astype(f32), smf.astype(f32))
+      dhu.astype(f32), smf.astype(f32),
+      sed3.astype(f32), sed2.astype(f32),
+      ned3.astype(f32), ned2.astype(f32))
     if nx != nx_log:
         outs = [o[..., :nx_log] for o in outs]
     return outs
+
+
+def _mesh_y_only():
+    """The active dispatch mesh when it shards only the y axis (the
+    kernel's lane dimension is whole per shard), else None; no mesh in
+    scope returns the sentinel 'none' (tracer_pallas pattern)."""
+    from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
+    mesh = _DISPATCH_MESH.get()
+    if mesh is None:
+        return "none"
+    if mesh.shape.get("x", 1) == 1:
+        return mesh
+    return None
 
 
 def available(cfg, grid) -> bool:
@@ -480,19 +570,21 @@ def available(cfg, grid) -> bool:
     aniso friction is computed outside and added, with_hdiffu=False), no
     topostress, full cells, closed/cyclic-EW with closed or tripole NS
     (the tripole top row is re-patched from an 8-row jnp slab), float32,
-    TPU. Under an active multi-chip dispatch mesh the y-tile halo DMAs
-    would cross shard boundaries; the jnp chain is used instead (the
-    tracer kernel and the tridiagonal solves carry the mesh fast path)."""
-    from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
-    if _DISPATCH_MESH.get() is not None:
-        return False
+    TPU. Under a y-sharded dispatch mesh the shard_map/ppermute halo
+    front-end feeds the kernel per shard (x-sharded meshes fall back to
+    the jnp chain, whose shifts lower to collective permutes)."""
+    mesh = _mesh_y_only()
+    if mesh is None:
+        return False               # x-sharded mesh: jnp fallback
+    ny_loc = cfg.ny if mesh == "none" else cfg.ny // mesh.shape["y"]
     ok = (cfg.hmix_momentum in ("del2", "aniso") and not cfg.ltopostress
           and grid.DZU is None
           and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
           # exact 8-aligned y-tiling must exist (Mosaic DMA alignment);
           # VMEM sizing sees the lane-padded width (_lane_pad)
-          and _pick_by(cfg.km, cfg.ny,
+          and ny_loc % 8 == 0
+          and _pick_by(cfg.km, ny_loc,
                        -(-cfg.nx // 128) * 128) is not None)
     if not ok:
         return False
@@ -545,13 +637,20 @@ def clinic_rhs(cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
     params = jnp.array([cfg.auto_am, cfg.bottom_drag, wc, wo], f32)
     with_hdiffu = cfg.hmix_momentum == "del2"
 
-    fx, fy, zx, zy = clinic_rhs_tiles(
-        state.u_cur, state.v_cur, state.u_old, state.v_old, umix, vmixm,
-        rhoavg, vvc, pack_g2d(cfg, grid), grid.KMU, dhu, smf,
-        dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
-        (1.0 / (0.5 * (dz + dz_kp1))).astype(f32), facs, params,
-        ew=cfg.ew_boundary, with_hdiffu=with_hdiffu,
-        interpret=force_interpret)
+    mesh = _mesh_y_only()
+    tile_args = (state.u_cur, state.v_cur, state.u_old, state.v_old,
+                 umix, vmixm, rhoavg, vvc, pack_g2d(cfg, grid), grid.KMU,
+                 dhu, smf)
+    prof = (dz, (1.0 / dz).astype(f32), (0.5 / dz).astype(f32),
+            (1.0 / (0.5 * (dz + dz_kp1))).astype(f32), facs, params)
+    if mesh == "none":
+        fx, fy, zx, zy = clinic_rhs_tiles(
+            *tile_args, *prof,
+            ew=cfg.ew_boundary, with_hdiffu=with_hdiffu,
+            interpret=force_interpret)
+    else:
+        fx, fy, zx, zy = _clinic_rhs_sharded(cfg, mesh, tile_args, prof,
+                                             with_hdiffu)
 
     from pop2_tpu.grid import grid_bc, thickness_u
     bc = grid_bc(cfg)
@@ -569,15 +668,61 @@ def clinic_rhs(cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
         zx = zx + (grid.HUR * jnp.sum(hdu * dzc, axis=0)).astype(zx.dtype)
         zy = zy + (grid.HUR * jnp.sum(hdv * dzc, axis=0)).astype(zy.dtype)
 
-    if cfg.ns_boundary == "tripole":
+    if cfg.ns_boundary == "tripole" or mesh != "none":
         # the kernel treats the northern edge as closed; only the global
         # top row reads the fold, so recompute it from an 8-row jnp slab
         # (full x width — the fold stays inside the slab; the slab's own
-        # southern edge error cannot reach the last row's 2-row stencil)
+        # southern edge error cannot reach the last row's 2-row stencil).
+        # The sharded path patches for 'closed' too: its uniform
+        # n_edge='data' drops the closed-top-row mask (tm) that the
+        # single-device kernel applies.
         fx, fy, zx, zy = _patch_top_rows(
             cfg, grid, state, umix, vmixm, rho_new, vvc, smf, dhu,
             leapfrog, fx, fy, zx, zy, dzc)
     return fx, fy, zx, zy
+
+
+def _clinic_rhs_sharded(cfg, mesh, tile_args, prof, with_hdiffu):
+    """shard_map front-end: each y shard exchanges 8-row edge blocks with
+    its neighbors via ppermute (the collective rides the ICI ring), then
+    runs the fused kernel on its local block with the received rows as
+    edge data (tracer_pallas._tracer_tendency_sharded pattern)."""
+    from jax.sharding import PartitionSpec as P
+    py = mesh.shape["y"]
+
+    def body(ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc, g2d,
+             kmu, dhu, smf):
+        up = [(i, i + 1) for i in range(py - 1)]      # send north
+        dn = [(i + 1, i) for i in range(py - 1)]      # send south
+
+        def from_south(x):
+            return jax.lax.ppermute(x[..., -8:, :], "y", up)
+
+        def from_north(x):
+            return jax.lax.ppermute(x[..., :8, :], "y", dn)
+
+        f32 = jnp.float32
+        s3 = [ucur, vcur] + ([umix, vmixm] if with_hdiffu else [])
+        n3 = [ucur, vcur, rhoavg] + ([umix, vmixm] if with_hdiffu else [])
+        sed3 = from_south(jnp.stack([a.astype(f32) for a in s3]))
+        ned3 = from_north(jnp.stack([a.astype(f32) for a in n3]))
+        sed2 = from_south(g2d[:2])
+        ned2 = from_north(g2d[:2])
+        return tuple(clinic_rhs_tiles(
+            ucur, vcur, uold, vold, umix, vmixm, rhoavg, vvc, g2d, kmu,
+            dhu, smf, *prof, sed3=sed3, sed2=sed2, ned3=ned3, ned2=ned2,
+            ew=cfg.ew_boundary, with_hdiffu=with_hdiffu,
+            s_edge="data", n_edge="data", interpret=force_interpret))
+
+    yx = ("y", "x")
+    p2 = P(*yx)
+    p3 = P(None, *yx)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(p3, p3, p3, p3, p3, p3, p3, p3, p3, p2, p2, p3),
+        out_specs=(p3, p3, p2, p2),
+        check_vma=False,
+    )(*tile_args)
 
 
 _SLAB = 8

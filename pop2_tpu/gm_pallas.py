@@ -49,15 +49,20 @@ _I0 = np.int32(0)
 def available(cfg, grid) -> bool:
     """The fused GM flux assembly applies: isotropic kappa, full cells,
     closed/cyclic E-W, closed/tripole N-S, an admissible y-tiling,
-    float32 on TPU, no multi-chip dispatch mesh (jnp fallback there —
-    its shifts lower to collective permutes)."""
-    from pop2_tpu.tridiag_pallas import _DISPATCH_MESH
-    if _DISPATCH_MESH.get() is not None:
-        return False
+    float32 on TPU. Under a y-sharded dispatch mesh the shard_map/
+    ppermute halo front-end feeds the kernel per shard (x-sharded meshes
+    fall back to the jnp chain, whose shifts lower to collective
+    permutes)."""
+    from pop2_tpu.tracer_pallas import _mesh_y_only
+    mesh = _mesh_y_only()
+    if mesh is None:
+        return False               # x-sharded mesh: jnp fallback
+    ny_loc = cfg.ny if mesh == "none" else cfg.ny // mesh.shape["y"]
     ok = (grid.DZT is None
           and cfg.ns_boundary in ("closed", "tripole")
           and cfg.ew_boundary in ("cyclic", "closed")
-          and _pick_by(cfg.nt, cfg.km, cfg.ny,
+          and ny_loc % 8 == 0
+          and _pick_by(cfg.nt, cfg.km, ny_loc,
                        -(-cfg.nx // 128) * 128) is not None)
     if not ok:
         return False
@@ -90,13 +95,15 @@ def _pick_by(nt, km, ny, nx):
     np.int32(i) for i in range(9))
 
 
-def _kernel(nt, km, by, nx, ew, cancellation,
+def _kernel(nt, km, by, nx, ew, cancellation, s_edge, n_edge,
             dz_ref, dzr_ref,
             # HBM operands
             tx_hbm, ty_hbm, tz_hbm,          # (nt, km, ny, nx)
             wp_hbm,                          # (9, km, ny, nx) weights
             ab_hbm,                          # (8, km, ny, nx) A/B packs
             kmt_hbm, hyx_hbm, hxy_hbm, tarea_r_hbm,
+            sed_ty_hbm, sed_tz_hbm, sed_wp_hbm, sed_kmt_hbm, sed_hxy_hbm,
+            ned_tz_hbm, ned_wp_hbm, ned_kmt_hbm,
             # output
             gtk_hbm,
             # VMEM scratch
@@ -148,14 +155,31 @@ def _kernel(nt, km, by, nx, ew, cancellation,
         for c in halos:
             c.wait()
 
-    @pl.when(t == 0)
-    def _():
-        tys[...] = jnp.zeros_like(tys[...])
-        tzs[...] = jnp.zeros_like(tzs[...])
-        wps_w[...] = jnp.zeros_like(wps_w[...])
-        wps_n[...] = jnp.zeros_like(wps_n[...])
-        kmts[...] = jnp.zeros_like(kmts[...])
-        hxys_blk[...] = jnp.zeros_like(hxys_blk[...])
+    if s_edge == "data":
+        # provided south-edge blocks (shard_map neighbor rows; the mesh
+        # south edge receives ppermute zeros == closed)
+        @pl.when(t == 0)
+        def _():
+            halos = []
+            for src, dst, slot in (
+                    (sed_ty_hbm, tys, 9), (sed_tz_hbm, tzs, 10),
+                    (sed_wp_hbm.at[pl.ds(_I0, 1)], wps_w, 11),
+                    (sed_wp_hbm.at[pl.ds(np.int32(1), 2)], wps_n, 12),
+                    (sed_kmt_hbm, kmts, 13), (sed_hxy_hbm, hxys_blk, 14)):
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            for c in halos:
+                c.wait()
+    else:
+        @pl.when(t == 0)
+        def _():
+            tys[...] = jnp.zeros_like(tys[...])
+            tzs[...] = jnp.zeros_like(tzs[...])
+            wps_w[...] = jnp.zeros_like(wps_w[...])
+            wps_n[...] = jnp.zeros_like(wps_n[...])
+            kmts[...] = jnp.zeros_like(kmts[...])
+            hxys_blk[...] = jnp.zeros_like(hxys_blk[...])
 
     # north halo blocks: rows [j0+by, j0+by+8); zeros at the north edge
     # (closed; the tripole top row is re-patched by the wrapper)
@@ -174,11 +198,27 @@ def _kernel(nt, km, by, nx, ew, cancellation,
         for c in halos:
             c.wait()
 
-    @pl.when(t == ntiles - 1)
-    def _():
-        tzn[...] = jnp.zeros_like(tzn[...])
-        wpn[...] = jnp.zeros_like(wpn[...])
-        kmtn[...] = jnp.zeros_like(kmtn[...])
+    if n_edge == "data":
+        # provided north-edge blocks; zeros arrive at the global top
+        # shard (kmt 0 there reproduces the closed-edge masking, and the
+        # tripole top row is re-patched by the wrapper)
+        @pl.when(t == ntiles - 1)
+        def _():
+            halos = []
+            for src, dst, slot in (
+                    (ned_tz_hbm, tzn, 15), (ned_wp_hbm, wpn, 16),
+                    (ned_kmt_hbm, kmtn, 17)):
+                c = pltpu.make_async_copy(src, dst, sems.at[np.int32(slot)])
+                c.start()
+                halos.append(c)
+            for c in halos:
+                c.wait()
+    else:
+        @pl.when(t == ntiles - 1)
+        def _():
+            tzn[...] = jnp.zeros_like(tzn[...])
+            wpn[...] = jnp.zeros_like(wpn[...])
+            kmtn[...] = jnp.zeros_like(kmtn[...])
 
     for c in copies:
         c.wait()
@@ -313,20 +353,49 @@ def _kernel(nt, km, by, nx, ew, cancellation,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ew", "cancellation", "interpret"))
+                   static_argnames=("ew", "cancellation", "s_edge",
+                                    "n_edge", "interpret"))
 def flux_assembly_tiles(tx, ty, tz, wpack, abpack, kmt, hyx, hxy,
-                        tarea_r, dz, dzr, ew="cyclic",
-                        cancellation=False, interpret=False):
+                        tarea_r, dz, dzr, edges=None, ew="cyclic",
+                        cancellation=False,
+                        s_edge="closed", n_edge="closed", interpret=False):
     """GTK in one HBM pass. Shapes: tx/ty/tz (nt,km,ny,nx); wpack
     (9,km,ny,nx) in (_WEFF.._VW1) order; abpack (8,km,ny,nx) =
-    [A_e,A_w,A_n,A_s,B_e,B_w,B_n,B_s]; 2-D fields (ny,nx); dz/dzr (km,)."""
+    [A_e,A_w,A_n,A_s,B_e,B_w,B_n,B_s]; 2-D fields (ny,nx); dz/dzr (km,).
+
+    ``edges`` (shard_map front-end, s_edge/n_edge 'data'): dict with
+    sed_ty/sed_tz (nt,km,8,nx), sed_wp (3,km,8,nx) = [weff,wN0,wN1],
+    sed_kmt/sed_hxy (8,nx); ned_tz (nt,km,8,nx), ned_wp (3,km,8,nx) =
+    [weff,wS0,wS1], ned_kmt (8,nx) — the first/last tile reads these
+    instead of closed zeros."""
     nt, km, ny, nx_log = tx.shape
     nx = -(-nx_log // 128) * 128
+    f32_ = jnp.float32
+    if edges is None:
+        edges = {}
+    e = {
+        "sed_ty": edges.get("sed_ty",
+                            jnp.zeros((nt, km, 8, nx_log), f32_)),
+        "sed_tz": edges.get("sed_tz",
+                            jnp.zeros((nt, km, 8, nx_log), f32_)),
+        "sed_wp": edges.get("sed_wp",
+                            jnp.zeros((3, km, 8, nx_log), f32_)),
+        "sed_kmt": edges.get("sed_kmt",
+                             jnp.zeros((8, nx_log), jnp.int32)),
+        "sed_hxy": edges.get("sed_hxy", jnp.zeros((8, nx_log), f32_)),
+        "ned_tz": edges.get("ned_tz",
+                            jnp.zeros((nt, km, 8, nx_log), f32_)),
+        "ned_wp": edges.get("ned_wp",
+                            jnp.zeros((3, km, 8, nx_log), f32_)),
+        "ned_kmt": edges.get("ned_kmt",
+                             jnp.zeros((8, nx_log), jnp.int32)),
+    }
     if nx != nx_log:
         pad = functools.partial(_lane_pad, ew=ew)
         (tx, ty, tz, wpack, abpack, kmt, hyx, hxy, tarea_r) = (
             pad(a) for a in (tx, ty, tz, wpack, abpack, kmt, hyx, hxy,
                              tarea_r))
+        e = {k: pad(v) for k, v in e.items()}
     by = _pick_by(nt, km, ny, nx)
     if by is None:
         raise ValueError(f"no admissible y-tile for ny={ny}")
@@ -359,12 +428,13 @@ def flux_assembly_tiles(tx, ty, tz, wpack, abpack, kmt, hyx, hxy,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # dz, dzr
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 17,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, nt, km, by, nx, ew, cancellation),
+        functools.partial(_kernel, nt, km, by, nx, ew, cancellation,
+                          s_edge, n_edge),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, km, ny, nx), f32),
         interpret=interpret,
@@ -373,7 +443,12 @@ def flux_assembly_tiles(tx, ty, tz, wpack, abpack, kmt, hyx, hxy,
     )(dz, dzr,
       tx.astype(f32), ty.astype(f32), tz.astype(f32),
       wpack.astype(f32), abpack.astype(f32), kmt,
-      hyx.astype(f32), hxy.astype(f32), tarea_r.astype(f32))
+      hyx.astype(f32), hxy.astype(f32), tarea_r.astype(f32),
+      e["sed_ty"].astype(f32), e["sed_tz"].astype(f32),
+      e["sed_wp"].astype(f32), e["sed_kmt"].astype(jnp.int32),
+      e["sed_hxy"].astype(f32),
+      e["ned_tz"].astype(f32), e["ned_wp"].astype(f32),
+      e["ned_kmt"].astype(jnp.int32))
     return out[..., :nx_log] if nx != nx_log else out
 
 
@@ -436,12 +511,21 @@ def flux_assembly_tiles_wrapper(cfg, grid, bc, tx, ty, tz, slx, sly,
     hxy = (grid.HTN / grid.HUW).astype(f32)
     dz = grid.vgrid.dz.astype(f32)
 
-    gtk = flux_assembly_tiles(
-        tx.astype(f32), ty.astype(f32), tz.astype(f32), wpack, abpack,
-        grid.KMT, hyx, hxy, grid.TAREA_R.astype(f32),
-        dz, (1.0 / dz).astype(f32),
-        ew=cfg.ew_boundary, cancellation=cancellation,
-        interpret=force_interpret)
+    from pop2_tpu.tracer_pallas import _mesh_y_only
+    mesh = _mesh_y_only()
+    if mesh == "none":
+        gtk = flux_assembly_tiles(
+            tx.astype(f32), ty.astype(f32), tz.astype(f32), wpack, abpack,
+            grid.KMT, hyx, hxy, grid.TAREA_R.astype(f32),
+            dz, (1.0 / dz).astype(f32),
+            ew=cfg.ew_boundary, cancellation=cancellation,
+            interpret=force_interpret)
+    else:
+        gtk = _flux_assembly_sharded(
+            cfg, mesh, tx.astype(f32), ty.astype(f32), tz.astype(f32),
+            wpack, abpack, grid.KMT, hyx, hxy,
+            grid.TAREA_R.astype(f32), dz, (1.0 / dz).astype(f32),
+            cancellation)
 
     # VDC_GM: tracer-independent, no north-edge dependence — plain jnp
     # (gm.flux_assembly_jnp's vdc block, source/hmix_gm.F90:1720-1750)
@@ -499,3 +583,50 @@ def _slice_grid(cfg, grid, rows):
         return leaf
 
     return jax.tree_util.tree_map(cut, grid)
+
+
+def _flux_assembly_sharded(cfg, mesh, tx, ty, tz, wpack, abpack, kmt,
+                           hyx, hxy, tarea_r, dz, dzr, cancellation):
+    """shard_map front-end: each y shard exchanges 8-row edge blocks with
+    its neighbors via ppermute, then runs the fused GTK kernel on its
+    local block with the received rows as edge data. The global mesh
+    edges receive ppermute zeros (== closed; kmt 0 reproduces the edge
+    masking), and the tripole top row is re-patched by the wrapper
+    outside this shard_map."""
+    from jax.sharding import PartitionSpec as P
+    py = mesh.shape["y"]
+
+    def body(tx, ty, tz, wpack, abpack, kmt, hyx, hxy, tarea_r):
+        up = [(i, i + 1) for i in range(py - 1)]      # send north
+        dn = [(i + 1, i) for i in range(py - 1)]      # send south
+
+        def from_south(x):
+            return jax.lax.ppermute(x[..., -8:, :], "y", up)
+
+        def from_north(x):
+            return jax.lax.ppermute(x[..., :8, :], "y", dn)
+
+        kmt32 = kmt.astype(jnp.int32)
+        edges = {
+            "sed_ty": from_south(ty), "sed_tz": from_south(tz),
+            "sed_wp": from_south(jnp.concatenate(
+                [wpack[0:1], wpack[np.int32(_WN0):np.int32(_WN0) + 2]])),
+            "sed_kmt": from_south(kmt32), "sed_hxy": from_south(hxy),
+            "ned_tz": from_north(tz), "ned_wp": from_north(wpack[0:3]),
+            "ned_kmt": from_north(kmt32),
+        }
+        return flux_assembly_tiles(
+            tx, ty, tz, wpack, abpack, kmt, hyx, hxy, tarea_r, dz, dzr,
+            edges=edges, ew=cfg.ew_boundary, cancellation=cancellation,
+            s_edge="data", n_edge="data", interpret=force_interpret)
+
+    yx = ("y", "x")
+    p2 = P(*yx)
+    p3 = P(None, *yx)
+    p4 = P(None, None, *yx)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(p4, p4, p4, p4, p4, p2, p2, p2, p2),
+        out_specs=p4,
+        check_vma=False,
+    )(tx, ty, tz, wpack, abpack, kmt, hyx, hxy, tarea_r)

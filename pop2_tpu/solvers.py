@@ -129,11 +129,16 @@ def make_precond_apply(cfg: ModelConfig, op: BtropOperator, bc: BC,
 
 def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
                precond: Optional[Precond9] = None,
-               tol=None, max_iter=None):
+               tol=None, max_iter=None, stop_on_stall: bool = False):
     """Chronopoulos-Gear preconditioned CG
     (source/POP_SolversMod.F90:1841-2266). Returns (x, iterations, rr).
     ``tol``/``max_iter`` override the config values (traced values are
-    fine — used by the iterative-refinement outer loop)."""
+    fine — used by the iterative-refinement outer loop).
+
+    ``stop_on_stall`` exits when a convergence check improves rr by less
+    than 10%: an fp32 inner solve that has hit its precision floor stops
+    burning iterations and returns its partial solution (the refinement
+    outer loop recovers the remaining digits on the next sweep)."""
     sol = cfg.solver
     minv = make_precond_apply(cfg, op, bc, precond)
     if tol is None:
@@ -186,6 +191,8 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         r_new, rr_new = jax.lax.cond(
             do_check, check, lambda a: (a[1], rr), (x_new, r_new))
         done_new = do_check & (rr_new < tol)
+        if stop_on_stall:
+            done_new = done_new | (do_check & (rr_new > 0.9 * rr))
         return (x_new, r_new, s_new, q_new, rho, sigma_new, rr_new,
                 m + 1, done_new)
 
@@ -200,7 +207,7 @@ def chron_gear(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
 
 def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
          eig_min, eig_max, precond: Optional[Precond9] = None,
-         tol=None, max_iter=None):
+         tol=None, max_iter=None, stop_on_stall: bool = False):
     """Preconditioned Classical Stiefel Iteration
     (source/POP_SolversMod.F90:1510-1835; Hu et al. 2013): no reductions in
     the steady-state loop body — the latency-friendly choice for large
@@ -243,6 +250,8 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
             lambda rn: _masked_sum(rn * rn, op.mask, cfg.b4b),
             lambda rn: rr, r_new)
         done_new = do_check & (rr_new < tol)
+        if stop_on_stall:
+            done_new = done_new | (do_check & (rr_new > 0.9 * rr))
         return (x_new, r_new, q_new, omga_new, rr_new, m + 1, done_new)
 
     rr0 = jnp.asarray(jnp.inf, x0.dtype)
@@ -253,7 +262,8 @@ def pcsi(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
 
 
 def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
-        precond: Optional[Precond9] = None, tol=None, max_iter=None):
+        precond: Optional[Precond9] = None, tol=None, max_iter=None,
+        stop_on_stall: bool = False):
     """Standard preconditioned CG (source/POP_SolversMod.F90:1200-1508)."""
     sol = cfg.solver
     minv = make_precond_apply(cfg, op, bc, precond)
@@ -292,6 +302,8 @@ def pcg(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         r_new, rr_new = jax.lax.cond(do_check, check, lambda a: (a[1], rr),
                                      (x_new, r_new))
         done_new = do_check & (rr_new < tol)
+        if stop_on_stall:
+            done_new = done_new | (do_check & (rr_new > 0.9 * rr))
         return (x_new, r_new, s_new, eta, rr_new, m + 1, done_new)
 
     eta0 = jnp.asarray(1.0, x0.dtype)
@@ -386,11 +398,12 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
             choice = "chrongear"
         if choice == "pcsi":
             return pcsi(cfg, op, bc, z, rhs, eigs[0], eigs[1], precond,
-                        tol=tol_i, max_iter=max_i)
+                        tol=tol_i, max_iter=max_i, stop_on_stall=True)
         if choice == "chrongear":
             return chron_gear(cfg, op, bc, z, rhs, precond,
-                              tol=tol_i, max_iter=max_i)
-        return pcg(cfg, op, bc, z, rhs, precond, tol=tol_i, max_iter=max_i)
+                              tol=tol_i, max_iter=max_i, stop_on_stall=True)
+        return pcg(cfg, op, bc, z, rhs, precond, tol=tol_i, max_iter=max_i,
+                   stop_on_stall=True)
 
     # each inner solve reduces the (squared) residual of its own RHS by
     # 1e-9 in rr terms (~3e-5 in residual) — comfortably above the fp32

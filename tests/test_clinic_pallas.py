@@ -204,3 +204,55 @@ def test_clinic_wrapper_aniso():
 def test_clinic_wrapper_tripole_aniso():
     """The full production momentum menu: tripole + anisotropic."""
     _wrapper_case("tripole", "aniso")
+
+
+@pytest.mark.parametrize("nsb", ["closed", "tripole"])
+def test_clinic_sharded_front_end_matches_jnp(nsb):
+    """The clinic kernel's shard_map/ppermute halo front-end on an (8, 1)
+    virtual mesh reproduces the jnp chain (round-4 verdict item 4)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import types
+    from pop2_tpu.parallel import mesh as pmesh
+    from pop2_tpu.tridiag_pallas import dispatch_mesh
+
+    cfg = get_config("mini").with_(dtype="float32", mesh_shape=(8, 1),
+                                   nx=64, ny=64, ns_boundary=nsb)
+    grid = build_grid(cfg)
+    bc = grid_bc(cfg)
+    ucur, vcur, uold, vold, rho, vvc, smf, dhu = _random_inputs(cfg, grid,
+                                                                seed=11)
+    rho_old, rho_cur, rho_new = rho
+    umix, vmixm = uold, vold
+    leapfrog = True
+
+    want = _jnp_chain(cfg, grid, bc, ucur, vcur, uold, vold, umix, vmixm,
+                      rho_old, rho_cur, rho_new, vvc, smf, dhu, leapfrog)
+
+    state = types.SimpleNamespace(
+        u_cur=jnp.asarray(ucur), v_cur=jnp.asarray(vcur),
+        u_old=jnp.asarray(uold), v_old=jnp.asarray(vold),
+        rho_old=jnp.asarray(rho_old), rho_cur=jnp.asarray(rho_cur))
+
+    mesh = pmesh.make_mesh((8, 1))
+    old_use = clinic_pallas.USE_PALLAS
+    old_interp = clinic_pallas.force_interpret
+    try:
+        clinic_pallas.USE_PALLAS = True
+        clinic_pallas.force_interpret = True
+        with dispatch_mesh(mesh):
+            assert clinic_pallas.available(cfg, grid)
+            got = clinic_pallas.clinic_rhs(
+                cfg, grid, state, jnp.asarray(umix), jnp.asarray(vmixm),
+                jnp.asarray(rho_new), jnp.asarray(vvc), jnp.asarray(smf),
+                jnp.asarray(dhu), leapfrog)
+    finally:
+        clinic_pallas.USE_PALLAS = old_use
+        clinic_pallas.force_interpret = old_interp
+
+    for g, w, name in zip(got, want, ("fx", "fy", "zx", "zy")):
+        g, w = np.asarray(g), np.asarray(w)
+        scale = np.abs(w).max() or 1.0
+        np.testing.assert_allclose(g, w, rtol=0, atol=4e-5 * scale,
+                                   err_msg=name)

@@ -135,3 +135,43 @@ def test_gm_model_consistency():
     np.testing.assert_allclose(np.asarray(out_k.vdc_gm),
                                np.asarray(out_ref.vdc_gm),
                                rtol=1e-6, atol=0)
+
+
+@pytest.mark.parametrize("ns", ["closed", "tripole"])
+def test_gm_sharded_front_end_matches_jnp(ns):
+    """The GM kernel's shard_map/ppermute halo front-end on an (8, 1)
+    virtual mesh reproduces the jnp chain (round-4 verdict item 4)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pop2_tpu.parallel import mesh as pmesh
+    from pop2_tpu.tridiag_pallas import dispatch_mesh
+
+    cfg, grid, bc = _setup(ns_boundary=ns)
+    (tx, ty, tz, slx, sly, sf_slx, sf_sly, kisop,
+     hor_diff) = _fields(cfg, grid, bc, seed=9)
+
+    want_gtk, want_vdc = gm.flux_assembly_jnp(
+        cfg, grid, bc, tx, ty, tz, slx, sly, sf_slx, sf_sly,
+        kisop, kisop, hor_diff, False)
+
+    mesh = pmesh.make_mesh((8, 1))
+    old_use, old_int = gm_pallas.USE_PALLAS, gm_pallas.force_interpret
+    try:
+        gm_pallas.USE_PALLAS = True
+        gm_pallas.force_interpret = True
+        with dispatch_mesh(mesh):
+            assert gm_pallas.available(cfg, grid)
+            got_gtk, got_vdc = gm_pallas.flux_assembly_tiles_wrapper(
+                cfg, grid, bc, tx, ty, tz, slx, sly, sf_slx, sf_sly,
+                kisop, hor_diff, False)
+    finally:
+        gm_pallas.USE_PALLAS = old_use
+        gm_pallas.force_interpret = old_int
+
+    want_gtk, got_gtk = np.asarray(want_gtk), np.asarray(got_gtk)
+    scale = np.abs(want_gtk).max() or 1.0
+    np.testing.assert_allclose(got_gtk, want_gtk, rtol=0,
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(got_vdc), np.asarray(want_vdc),
+                               rtol=1e-6, atol=0)
