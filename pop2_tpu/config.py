@@ -477,7 +477,7 @@ PRESETS = {
                             max_iterations=1000,
                             convergence_check_freq=10,
                             convergence_check_start=60,
-                            preconditioner="spai",
+                            preconditioner="fspai",
                             solve_dtype="float64"),
     ),
     "mini": ModelConfig(nx=32, ny=24, km=8, vert_grid="uniform",

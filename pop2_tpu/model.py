@@ -97,6 +97,11 @@ class Model:
                 and cfg.solver.preconditioner_file):
             self.precond = solvers.load_precond(
                 cfg.solver.preconditioner_file, cfg.jnp_dtype)
+        elif cfg.solver.preconditioner.lower() == "fspai":
+            # factored SPAI (SPD by construction) on the leapfrog operator
+            op_lf = solvers.make_operator(
+                self.grid, diagonal_correction(cfg, self.grid, True))
+            self.precond = solvers.build_fspai9(cfg, op_lf)
         elif cfg.solver.preconditioner.lower() == "spai":
             # generated-at-init SPAI stencil (the reference's 'file'
             # preconditioner with the coefficients built in-process,

@@ -52,9 +52,37 @@ def make_operator(grid: Grid, diagonal_correction) -> BtropOperator:
         mask=grid.RCALCT, resid_norm=grid.residual_norm)
 
 
-def apply_op(op: BtropOperator, x, bc: BC):
+class FullOp9(NamedTuple):
+    """A 9-point operator with INDEPENDENT weights per direction. The
+    compressed BtropOperator form forces the quartet equality
+    A[p,p+SE] == A[p+S,p+E] (both couplings read the same stored NE
+    value — true for the div-grad discretization, whose cross-diagonal
+    couplings share the corner weight, source/POP_SolversMod.F90:2412),
+    which a diagonal similarity scaling breaks; the scaled inner system
+    of solve_refined therefore carries this general form."""
+    center: jnp.ndarray
+    north: jnp.ndarray
+    south: jnp.ndarray
+    east: jnp.ndarray
+    west: jnp.ndarray
+    ne: jnp.ndarray
+    nw: jnp.ndarray
+    se: jnp.ndarray
+    sw: jnp.ndarray
+    mask: jnp.ndarray
+    resid_norm: jnp.ndarray
+
+
+def apply_op(op, x, bc: BC):
     """A @ x via the 9-point stencil (source/POP_SolversMod.F90:2412-2426);
-    S/W/SW weights are shifted copies of N/E/NE."""
+    for the compressed form the S/W/SW weights are shifted copies of
+    N/E/NE."""
+    if isinstance(op, FullOp9):
+        return (op.center * x
+                + op.north * bc.n(x) + op.south * bc.s(x)
+                + op.east * bc.e(x) + op.west * bc.w(x)
+                + op.ne * bc.ne(x) + op.se * bc.se(x)
+                + op.nw * bc.nw(x) + op.sw * bc.sw(x))
     return (op.center * x
             + op.north * bc.n(x) + bc.s(op.north) * bc.s(x)
             + op.east * bc.e(x) + bc.w(op.east) * bc.w(x)
@@ -114,6 +142,8 @@ def make_precond_apply(cfg: ModelConfig, op: BtropOperator, bc: BC,
     if choice == "diagonal" or precond is None:
         a0r = _diag_precond(op)
         return lambda r: r * a0r
+    if isinstance(precond, FSPAI9):
+        return fspai_apply(precond, bc)
     if choice in ("file", "spai"):
         p = precond
 
@@ -372,6 +402,34 @@ def _dd_residual(op: BtropOperator, bc: BC, b, xh, xl):
     return _two_sum(rh, e - al)
 
 
+def _scale_op(op: BtropOperator, s, bc: BC) -> FullOp9:
+    """Symmetrically scaled operator A~[p,q] = s[p] A[p,q] s[q], expanded
+    to independent per-direction weights (FullOp9): the compressed form's
+    derived couplings pair the WRONG s values for the cross-diagonal
+    directions once scaling breaks the quartet equality."""
+    return FullOp9(
+        center=op.center * s * s,
+        north=op.north * s * bc.n(s),
+        south=bc.s(op.north) * s * bc.s(s),
+        east=op.east * s * bc.e(s),
+        west=bc.w(op.east) * s * bc.w(s),
+        ne=op.ne * s * bc.ne(s),
+        se=bc.s(op.ne) * s * bc.se(s),
+        nw=bc.w(op.ne) * s * bc.nw(s),
+        sw=bc.sw(op.ne) * s * bc.sw(s),
+        mask=op.mask, resid_norm=op.resid_norm)
+
+
+def _scale_precond(p: Precond9, si, bc: BC) -> Precond9:
+    """M~ = S^-1 M S^-1 for the scaled system (M approximates A^-1)."""
+    return Precond9(
+        center=p.center * si * si,
+        north=p.north * si * bc.n(si), south=p.south * si * bc.s(si),
+        east=p.east * si * bc.e(si), west=p.west * si * bc.w(si),
+        ne=p.ne * si * bc.ne(si), nw=p.nw * si * bc.nw(si),
+        se=p.se * si * bc.se(si), sw=p.sw * si * bc.sw(si))
+
+
 def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
                   eigs: Tuple[float, float] = None,
                   precond: Optional[Precond9] = None,
@@ -381,11 +439,30 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     the reference's f64-grade convergence criterion
     (convergenceCriterion**2/residualNorm, source/POP_SolversMod.F90:906)
     on f32-only TPU hardware. Returns (x, total_iterations, rr) with rr
-    the compensated true-residual norm."""
+    the compensated true-residual norm.
+
+    The inner solves run on the symmetrically diagonal-scaled system
+    A~ = S A S, S = diag(|diag A|^-1/2): the fp32 noise committed inside
+    an inner iteration scales with the RAW operator's condition number
+    (TAREA^2 spans orders of magnitude across a real grid), and unscaled
+    it floors the refinement near 1e-10 rms regardless of sweeps — scaled,
+    each sweep robustly gains ~4 digits (measured on gx1v7)."""
     sol = cfg.solver
     f = x0.dtype
     tol = (jnp.asarray(sol.convergence_criterion, f) ** 2
            / op.resid_norm.astype(f))
+
+    d = jnp.abs(op.center)
+    land = d == 0.0
+    s = jnp.where(land, 0.0, 1.0 / jnp.sqrt(jnp.where(land, 1.0, d)))
+    si = jnp.where(land, 0.0, jnp.sqrt(d))
+    op_s = _scale_op(op, s, bc)
+    if precond is None:
+        pre_s = None
+    elif isinstance(precond, FSPAI9):
+        pre_s = scale_fspai(precond, si, bc)
+    else:
+        pre_s = _scale_precond(precond, si, bc)
 
     def inner(rhs, tol_i, max_i):
         z = jnp.zeros_like(x0)
@@ -397,19 +474,20 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
             # (observed: 6x1000 burned iterations on gx1v7)
             choice = "chrongear"
         if choice == "pcsi":
-            return pcsi(cfg, op, bc, z, rhs, eigs[0], eigs[1], precond,
+            # eigenvalue bounds are of the diagonally-preconditioned
+            # operator, which the scaling reproduces (same similarity class)
+            return pcsi(cfg, op_s, bc, z, rhs, eigs[0], eigs[1], pre_s,
                         tol=tol_i, max_iter=max_i, stop_on_stall=True)
         if choice == "chrongear":
-            return chron_gear(cfg, op, bc, z, rhs, precond,
+            return chron_gear(cfg, op_s, bc, z, rhs, pre_s,
                               tol=tol_i, max_iter=max_i, stop_on_stall=True)
-        return pcg(cfg, op, bc, z, rhs, precond, tol=tol_i, max_iter=max_i,
+        return pcg(cfg, op_s, bc, z, rhs, pre_s, tol=tol_i, max_iter=max_i,
                    stop_on_stall=True)
 
     # each inner solve reduces the (squared) residual of its own RHS by
-    # 1e-9 in rr terms (~3e-5 in residual) — comfortably above the fp32
-    # stagnation floor on every backend (a tighter 1e-11 target sits at
-    # the floor and burns maxIterations on TPU); extra outer sweeps make
-    # up the digits
+    # 1e-9 in rr terms (~4.5 digits in residual) — achievable on the
+    # scaled system; the stall exit returns whatever an early plateau
+    # allows and the next sweep recovers the remainder
     inner_reduce = jnp.asarray(1e-9, f)
 
     def cond(carry):
@@ -424,8 +502,11 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
         # converged: zero the inner iteration budget so the inner
         # while_loop exits immediately
         max_i = jnp.where(done_new, 0, sol.max_iterations)
-        tol_i = jnp.maximum(rr_new * inner_reduce, tol * 0.25)
-        dx, m, _ = inner(rh, tol_i, max_i)
+        rhs_s = s * rh
+        rr_s = _masked_sum(rhs_s * rhs_s, op.mask, cfg.b4b)
+        tol_i = rr_s * inner_reduce
+        dy, m, _ = inner(rhs_s, tol_i, max_i)
+        dx = s * dy
         sh, e = _two_sum(xh, jnp.where(done_new, 0.0, dx))
         xh2, xl2 = _two_sum(sh, xl + e)
         return (xh2, xl2, m_tot + m, rr_new, k + 1, done_new)
@@ -640,14 +721,17 @@ def pcg_lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
     (source/POP_SolversMod.F90:3122)."""
     if n_iter is None:
         n_iter = cfg.solver.lanczos_iterations
-    p = precond
+    if isinstance(precond, FSPAI9):
+        minv = fspai_apply(precond, bc)
+    else:
+        p = precond
 
-    def minv(r):
-        return (p.center * r
-                + p.north * bc.n(r) + p.south * bc.s(r)
-                + p.east * bc.e(r) + p.west * bc.w(r)
-                + p.ne * bc.ne(r) + p.nw * bc.nw(r)
-                + p.se * bc.se(r) + p.sw * bc.sw(r))
+        def minv(r):
+            return (p.center * r
+                    + p.north * bc.n(r) + p.south * bc.s(r)
+                    + p.east * bc.e(r) + p.west * bc.w(r)
+                    + p.ne * bc.ne(r) + p.nw * bc.nw(r)
+                    + p.se * bc.se(r) + p.sw * bc.sw(r))
 
     mask = np.asarray(op.mask)
 
@@ -690,3 +774,128 @@ def pcg_lanczos_eigs(cfg: ModelConfig, op: BtropOperator, bc: BC,
     emin = float(np.min(eigs)) / 1.05
     emax = float(np.max(eigs)) * 1.05
     return emin, emax
+
+
+class FSPAI9(NamedTuple):
+    """Factored sparse approximate inverse: a 9-point stencil G with
+    M = -G^T G ~ A^-1 (A negative definite). Unlike the plain SPAI
+    (build_spai9), whose symmetrized stencil can be INDEFINITE — measured
+    on gx1v7: smallest eig of -M ~ -1.2e-5 against +1.5e-4 largest, which
+    silently breaks CG — the factored form is SPD by construction."""
+    center: jnp.ndarray
+    north: jnp.ndarray
+    south: jnp.ndarray
+    east: jnp.ndarray
+    west: jnp.ndarray
+    ne: jnp.ndarray
+    nw: jnp.ndarray
+    se: jnp.ndarray
+    sw: jnp.ndarray
+
+
+def build_fspai9(cfg: ModelConfig, op: BtropOperator,
+                 triangular: bool = True) -> FSPAI9:
+    """Build G on the host: per ocean point p, the row g_p supported on
+    its 9-point neighborhood solving the LOCAL SPD system
+    (-A)[S_p, S_p] y = e_p, normalized g_p = y / sqrt(y_p) (the
+    factored-SPAI / Kaporin row; the local matrices are principal
+    submatrices of an SPD matrix, hence SPD). With ``triangular`` the
+    support is restricted to lexicographically LOWER neighbors — the
+    classical FSPAI structure approximating the inverse Cholesky factor
+    (the unconstrained full-sparsity variant measured WORSE than diagonal
+    preconditioning on the test grid: kappa 3000 vs 112). Assembled
+    batched: the 9x9 local matrices are gathers of the row stencils."""
+    from pop2_tpu.grid import _np_shift
+    ew = cfg.ew_boundary
+    ny, nx = op.center.shape
+
+    def sh(f, di, dj):
+        return _np_shift(f, di, dj, ew, "closed", 0.0, "center", "scalar")
+
+    w1 = _row_stencils(op, sh)
+    w1 = {o: -w for o, w in w1.items()}          # -A: SPD
+    mask = np.asarray(op.mask) * (np.asarray(op.center) != 0.0)
+
+    P = ny * nx
+    L = np.zeros((P, 9, 9))
+    valid = np.zeros((P, 9), bool)
+    J, I = np.mgrid[0:ny, 0:nx]
+    lex = (J * nx + I).ravel()
+    for a, (dja, dia) in enumerate(_OFFS9):
+        ok = (sh(mask, dia, dja) > 0).ravel()
+        if triangular and a > 0:
+            # neighbor index in the lex order (cyclic E-W wraps the
+            # column index, which keeps the structure triangular except
+            # at the seam column — fine for a preconditioner)
+            jn = J + dja
+            in_ = (I + dia) % nx if ew == "cyclic" else I + dia
+            inside = (jn >= 0) & (jn < ny) & (in_ >= 0) & (in_ < nx)
+            lex_n = np.where(inside, jn * nx + np.clip(in_, 0, nx - 1), -1)
+            ok = ok & (lex_n.ravel() < lex) & (lex_n.ravel() >= 0)
+        valid[:, a] = ok
+        for bb, (djb, dib) in enumerate(_OFFS9):
+            o = (djb - dja, dib - dia)
+            if o in w1:
+                L[:, a, bb] = sh(w1[o], dia, dja).ravel()
+
+    act = valid[:, :, None] & valid[:, None, :]
+    L = np.where(act, L, 0.0)
+    eye = np.eye(9)[None]
+    # inactive support points get unit diagonal (decoupled); land rows
+    # get the identity so the batched solve stays nonsingular
+    L = L + eye * (~valid)[:, :, None] * (~valid)[:, None, :] * 0.0
+    for a in range(9):
+        L[:, a, a] = np.where(valid[:, a], L[:, a, a], 1.0)
+    L[~valid[:, 0]] = eye
+
+    e0 = np.zeros((P, 9))
+    e0[:, 0] = 1.0
+    y = np.linalg.solve(L, e0[..., None])[..., 0]
+    yp = np.maximum(y[:, 0], 1e-300)
+    G = y / np.sqrt(yp)[:, None]
+    G = np.where(valid, G, 0.0)
+    G[~valid[:, 0]] = 0.0
+
+    dt = op.center.dtype
+    fields = {_FIELD_OF_OFF[o]: jnp.asarray(G[:, a].reshape(ny, nx), dt)
+              for a, o in enumerate(_OFFS9)}
+    return FSPAI9(**fields)
+
+
+_OFF_OF_FIELD = {v: k for k, v in _FIELD_OF_OFF.items()}
+_REV_FIELD = {"center": "center", "north": "south", "south": "north",
+              "east": "west", "west": "east", "ne": "sw", "sw": "ne",
+              "nw": "se", "se": "nw"}
+
+
+def fspai_apply(p: FSPAI9, bc: BC):
+    """Closure computing z = M r = -(G^T (G r)): two 9-point passes.
+    G^T's weight for offset o at point p is G's weight for offset -o
+    evaluated at p+o, so the transpose apply shifts the products."""
+    def bsh(f, name):
+        return getattr(bc, {"center": None, "north": "n", "south": "s",
+                            "east": "e", "west": "w", "ne": "ne",
+                            "nw": "nw", "se": "se", "sw": "sw"}[name])(f) \
+            if name != "center" else f
+
+    def apply(r):
+        gr = sum(getattr(p, f_) * bsh(r, f_) for f_ in FSPAI9._fields)
+        # (G^T v)[q] = sum_o G[q+o, q] v[q+o] = sum_o bsh_o(G_rev(o) * v)
+        gtv = sum(bsh(getattr(p, _REV_FIELD[f_]) * gr, f_)
+                  for f_ in FSPAI9._fields)
+        return -gtv
+    return apply
+
+
+def scale_fspai(p: FSPAI9, si, bc: BC) -> FSPAI9:
+    """G~ = G S^-1 for the scaled system: M~ = S^-1 M S^-1 =
+    -(G S^-1)^T (G S^-1). Per-offset: G~_o[p] = G_o[p] * si[p+o]."""
+    def bsh(f, name):
+        return getattr(bc, {"north": "n", "south": "s", "east": "e",
+                            "west": "w", "ne": "ne", "nw": "nw",
+                            "se": "se", "sw": "sw"}[name])(f)
+    vals = {}
+    for f_ in FSPAI9._fields:
+        w = getattr(p, f_)
+        vals[f_] = w * (si if f_ == "center" else bsh(si, f_))
+    return FSPAI9(**vals)

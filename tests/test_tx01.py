@@ -65,3 +65,39 @@ def test_tx01_grid_builds_and_memory_plan(tmp_path):
             f"{hbm_gb} GB HBM")
     # single chip does NOT fit - the scale-out mesh is required
     assert total > 16e9
+
+
+@pytest.mark.slow
+def test_tx01_steps_on_sharded_mesh(tmp_path):
+    """tx0.1 STEPPING smoke (round-4 verdict item 8): step the model at
+    the full tx0.1 horizontal dims (3600x2400) with reduced km on the
+    8-device CPU mesh — partial bottom cells, del4 mixing, KPP, tripole,
+    the preset's own physics — and require finite, land-masked results.
+    Reduced km keeps the working set ~5 GB; the horizontal dims, the
+    sharding, and the PBC code paths are the things being smoked."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from pop2_tpu.model import Model
+    from pop2_tpu.parallel import mesh as pmesh
+
+    km = 5
+    files = generate_gx_files(str(tmp_path), nx=NX, ny=NY, km=km)
+    cfg = get_config("tx0.1v3").with_(
+        km=km,
+        horiz_grid_file=files["horiz"],
+        topography_file=files["topo"],
+        vert_grid="file", vert_grid_file=files["vert"],
+        dtype="float32", mesh_shape=(8, 1))
+    m, mesh = pmesh.sharded_model(cfg)
+    assert m.grid.DZT is not None          # PBC active (tx0.1 mandatory)
+    st = pmesh.shard_pytree(m.initial_state(), mesh)
+    for _ in range(2):
+        st, d = m.advance(st)
+    ke = m.diagnostics(st)["KE"]
+    assert np.isfinite(ke)
+    sample = np.asarray(st.tracer_cur[0, 0, ::100, ::100])
+    assert np.isfinite(sample).all()
+    kmt = np.asarray(m.grid.KMT[::100, ::100])
+    assert (np.asarray(st.u_cur[0, ::100, ::100])[kmt == 0] == 0.0).all()
