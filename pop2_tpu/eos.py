@@ -307,6 +307,13 @@ def state(cfg: ModelConfig, pressz, T, S, ts_range: Optional[TSRange] = None,
         return jmcd_rho(TQ, SQ, p, want_drhodt, want_drhods)
     if cfg.state_choice == "linear":
         return linear_rho(TQ, SQ, want_drhodt, want_drhods)
+    if cfg.state_choice == "polynomial":
+        import numpy as np_
+        pz = tuple(np_.asarray(pressz, np_.float64).ravel())
+        zt = tuple(_depth_from_pressz(pz))
+        coeffs, to, so, sigo = _poly_coeffs_cached(zt, pz)
+        return poly_rho(TQ, SQ, coeffs, to, so, sigo,
+                        want_drhodt, want_drhods)
     raise NotImplementedError(cfg.state_choice)
 
 
@@ -328,4 +335,167 @@ def state_at_level(cfg: ModelConfig, press_bars, T, S,
         return jmcd_rho(T, S, press_bars)
     if cfg.state_choice == "linear":
         return linear_rho(T, S)
+    if cfg.state_choice == "polynomial":
+        import numpy as np_
+        pz = (float(np_.asarray(press_bars).ravel()[0]),)
+        zt = tuple(_depth_from_pressz(pz))
+        coeffs, to, so, sigo = _poly_coeffs_cached(zt, pz)
+        r = poly_rho(T[None] if T.ndim == 2 else T,
+                     S[None] if S.ndim == 2 else S,
+                     coeffs, to, so, sigo)
+        return r[0] if T.ndim == 2 else r
     raise NotImplementedError(cfg.state_choice)
+
+
+# ---------------------------------------------------------------------------
+# Bryan-Cox 'polynomial' EOS (source/state_mod.F90:600-662 evaluation,
+# init_state_coeffs :1168-1560): per-level 9-term cubic fits of the full
+# UNESCO (1981) equation of state in potential-temperature/salinity
+# anomalies about level-mean reference values. The reference fits with a
+# 1968 JPL iterative least-squares routine (lsqsl2 :1778); here numpy's
+# lstsq solves the same overdetermined system at init on the host.
+# ---------------------------------------------------------------------------
+
+# T/S sampling ranges per 250 m depth bin (state_mod.F90:1280-1330)
+_TREFMIN = np.array([-2.0] * 4 + [-1.0] * 15 + [0.0] * 14)
+_TREFMAX = np.array([29.0, 19.0, 14.0, 11.0, 9.0] + [7.0] * 28)
+_SREFMIN = np.array([28.5, 33.7, 34.0, 34.1, 34.2, 34.4, 34.5, 34.5]
+                    + [34.6] * 15 + [34.7] * 10)
+_SREFMAX = np.array([37.0, 36.6, 35.8, 35.7, 35.3, 35.1, 35.1]
+                    + [35.0] * 26)
+_NS_SALT = 5
+_NS_TEMP = 2 * _NS_SALT
+
+
+def unesco_rho(t, s, pbars):
+    """Full UNESCO (1981) in-situ density (kg/m^3) from in-situ T (degC),
+    S (psu), p (bars) — Gill (1982) App. 3 / UNESCO Tech. Paper 36, the
+    formula init_state_coeffs samples (state_mod.F90 'unesco')."""
+    t = np.asarray(t, np.float64)
+    s = np.asarray(s, np.float64)
+    p = np.asarray(pbars, np.float64)
+    # density at one standard atmosphere
+    rw = (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t**2
+          + 1.001685e-4 * t**3 - 1.120083e-6 * t**4 + 6.536332e-9 * t**5)
+    rsto = (rw
+            + s * (0.824493 - 4.0899e-3 * t + 7.6438e-5 * t**2
+                   - 8.2467e-7 * t**3 + 5.3875e-9 * t**4)
+            + s**1.5 * (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t**2)
+            + 4.8314e-4 * s**2)
+    # secant bulk modulus
+    kw = (19652.21 + 148.4206 * t - 2.327105 * t**2
+          + 1.360477e-2 * t**3 - 5.155288e-5 * t**4)
+    ksto = (kw
+            + s * (54.6746 - 0.603459 * t + 1.09987e-2 * t**2
+                   - 6.1670e-5 * t**3)
+            + s**1.5 * (7.944e-2 + 1.6483e-2 * t - 5.3009e-4 * t**2))
+    kstp = (ksto
+            + p * (3.239908 + 1.43713e-3 * t + 1.16092e-4 * t**2
+                   - 5.77905e-7 * t**3)
+            + p * s * (2.2838e-3 - 1.0981e-5 * t - 1.6078e-6 * t**2)
+            + p * s**1.5 * 1.91075e-4
+            + p**2 * (8.50935e-5 - 6.12293e-6 * t + 5.2787e-8 * t**2)
+            + p**2 * s * (-9.9348e-7 + 2.0816e-8 * t + 9.1697e-10 * t**2))
+    return rsto / (1.0 - p / kstp)
+
+
+def potem(t, s, pbars):
+    """Potential temperature from in-situ T, S, p (Bryden 1973; the
+    reference's 'potem', state_mod.F90)."""
+    t = np.asarray(t, np.float64)
+    s = np.asarray(s, np.float64)
+    p = np.asarray(pbars, np.float64)
+    p2, p3 = p * p, p * p * p
+    potmp = (p * (3.6504e-4 + t * (8.3198e-5 + t * (-5.4065e-7
+                                                    + t * 4.0274e-9)))
+             + p * (s - 35.0) * (1.7439e-5 - t * 2.9778e-7)
+             + p2 * (8.9309e-7 + t * (-3.1628e-8 + t * 2.1987e-10))
+             - 4.1057e-9 * p2 * (s - 35.0)
+             + p3 * (-1.6056e-10 + t * 5.0484e-12))
+    return t - potmp
+
+
+def _poly_coeffs_np(zt_cm: tuple, pressz: tuple):
+    """(coeffs (9, km), to (km), so (km), sigo (km)) in model units, the
+    init_state_coeffs pipeline (state_mod.F90:1340-1537)."""
+    zt = np.asarray(zt_cm)
+    pz = np.asarray(pressz)
+    km = len(zt)
+    coeffs = np.zeros((9, km))
+    to = np.zeros(km)
+    so = np.zeros(km)
+    sigo = np.zeros(km)
+    for k in range(km):
+        i = min(int(zt[k] * 0.01 / 250.0), 32)
+        tmin, tmax = _TREFMIN[i], _TREFMAX[i]
+        smin, smax = _SREFMIN[i], _SREFMAX[i]
+        ts = np.linspace(tmin, tmax, _NS_TEMP)
+        ss = np.linspace(smin, smax, _NS_SALT)
+        tg, sg = (a.ravel() for a in np.meshgrid(ts, ss, indexing="ij"))
+        sigma = unesco_rho(tg, sg, pz[k]) - 1.0e3
+        theta = potem(tg, sg, pz[k])
+        t_avg, s_avg = tg.mean(), sg.mean()
+        sigo[k] = unesco_rho(t_avg, s_avg, pz[k]) - 1.0e3
+        to[k] = theta.mean()
+        so[k] = s_avg
+        ta = theta - to[k]
+        sa = sg - so[k]
+        A = np.stack([ta, sa, ta * ta, ta * sa, sa * sa, ta**3,
+                      sa * sa * ta, ta * ta * sa, sa**3], axis=1)
+        coeffs[:, k] = np.linalg.lstsq(A, sigma - sigo[k], rcond=None)[0]
+    # unit rescaling (state_mod.F90:1525-1537): the coefficients go to
+    # (g/cm^3 - 1)/msu units; sigo stays in kg/m^3 (the reference scales
+    # it down then back up, :1526 and :1536) and the evaluation adds
+    # sigo*1e-3 + 1
+    so = so * 1.0e-3 - 0.035
+    for idx, fac in ((0, 1e-3), (2, 1e-3), (4, 1e3), (5, 1e-3),
+                     (6, 1e3), (8, 1e6)):
+        coeffs[idx] *= fac
+    return coeffs, to, so, sigo
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _poly_coeffs_cached(zt_key: tuple, pz_key: tuple):
+    return _poly_coeffs_np(zt_key, pz_key)
+
+
+def poly_rho(T, S_msu, coeffs, to, so, sigo,
+             want_drhodt: bool = False, want_drhods: bool = False):
+    """Evaluate the per-level cubic fit (state_mod.F90:600-662); T is
+    potential temperature (the model's prognostic temperature), S in msu.
+    coeffs (9, km) broadcast over (km, ny, nx) fields."""
+    c = [jnp.reshape(jnp.asarray(coeffs[i], T.dtype), (-1, 1, 1))
+         for i in range(9)]
+    tq = T - jnp.reshape(jnp.asarray(to, T.dtype), (-1, 1, 1))
+    sq = S_msu - jnp.reshape(jnp.asarray(so, T.dtype), (-1, 1, 1)) - 0.035
+    rho = ((c[0] + (c[3] + c[6] * sq) * sq
+            + (c[2] + c[7] * sq + c[5] * tq) * tq) * tq
+           + (c[1] + (c[4] + c[8] * sq) * sq) * sq
+           + jnp.reshape(jnp.asarray(sigo, T.dtype), (-1, 1, 1)) * 1.0e-3
+           + 1.0)
+    out = [rho]
+    if want_drhodt:
+        out.append(c[0] + (c[3] + c[6] * sq) * sq
+                   + (2.0 * c[2] + 2.0 * c[7] * sq + 3.0 * c[5] * tq) * tq)
+    if want_drhods:
+        out.append((c[3] + 2.0 * c[6] * sq + c[7] * tq) * tq + c[1]
+                   + (2.0 * c[4] + 3.0 * c[8] * sq) * sq)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def _depth_from_pressz(pz: tuple) -> np.ndarray:
+    """Invert the Levitus hydrostatic pressure fit (grid.pressure_bars)
+    for the 250 m range-table binning of the polynomial fit; Newton on
+    the smooth monotone fit converges in a few steps."""
+    p = np.asarray(pz, np.float64)
+    d = p / 0.100766                      # linear first guess (m)
+    for _ in range(6):
+        f = (0.059808 * (np.exp(-0.025 * d) - 1.0) + 0.100766 * d
+             + 2.28405e-7 * d * d - p)
+        fp = (-0.025 * 0.059808 * np.exp(-0.025 * d) + 0.100766
+              + 2.0 * 2.28405e-7 * d)
+        d = d - f / fp
+    return np.maximum(d, 0.0) * 100.0     # cm

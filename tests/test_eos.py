@@ -96,3 +96,56 @@ def test_jmcd_state_dispatch(test_cfg, test_grid):
     assert np.all(np.diff(r[:, 60, 60]) > 0)   # compressibility
     assert np.all(np.asarray(drdt) < 0)        # warmer -> lighter at 8 C
     assert np.all(np.asarray(drds) > 0)        # saltier -> denser
+
+
+def test_polynomial_eos_fits_unesco():
+    """Bryan-Cox polynomial EOS (state_mod.F90:600-662 + init_state_coeffs
+    :1168-1560): the per-level cubic fit must track the full UNESCO (1981)
+    EOS within fit error over the level's sampled T/S range, with
+    consistent analytic derivatives."""
+    import jax.numpy as jnp
+    from pop2_tpu.config import get_config
+    from pop2_tpu.grid import build_grid
+
+    cfg = get_config("mini").with_(state_choice="polynomial")
+    grid = build_grid(cfg)
+    pz = np.asarray(grid.vgrid.pressz)
+
+    for k in (0, cfg.km - 1):
+        p = float(pz[k])
+        tg = np.linspace(0.0, 7.0, 9)
+        sg = np.linspace(34.6, 35.0, 7)
+        TG, SG = np.meshgrid(tg, sg, indexing="ij")
+        sig = eos.unesco_rho(TG, SG, p)          # full kg/m^3
+        th = eos.potem(TG, SG, p)
+        r = eos.state(cfg, grid.vgrid.pressz[k:k + 1],
+                      jnp.asarray(th)[None], jnp.asarray(SG * 1e-3)[None])
+        got = np.asarray(r)[0]
+        np.testing.assert_allclose(got, sig / 1000.0, atol=5e-6)
+
+    # analytic derivatives vs finite differences
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(2.0 + 4.0 * rng.rand(cfg.km, 4, 5))
+    S = jnp.asarray(0.0346 + 0.0004 * rng.rand(cfg.km, 4, 5))
+    rho, drdt, drds = eos.state(cfg, grid.vgrid.pressz, T, S,
+                                want_drhodt=True, want_drhods=True)
+    eps = 1e-4
+    r_t = eos.state(cfg, grid.vgrid.pressz, T + eps, S)
+    r_s = eos.state(cfg, grid.vgrid.pressz, T, S + eps * 1e-3)
+    np.testing.assert_allclose(np.asarray((r_t - rho) / eps),
+                               np.asarray(drdt), rtol=2e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray((r_s - rho) / (eps * 1e-3)),
+                               np.asarray(drds), rtol=2e-3, atol=1e-9)
+
+
+def test_polynomial_eos_model_steps():
+    """The model steps stably under the polynomial EOS choice."""
+    from pop2_tpu.config import get_config
+    from pop2_tpu.model import Model
+
+    cfg = get_config("mini").with_(state_choice="polynomial")
+    m = Model(cfg)
+    st = m.initial_state()
+    for _ in range(3):
+        st, _ = m.advance(st)
+    assert np.isfinite(m.diagnostics(st)["KE"])

@@ -103,3 +103,29 @@ def test_model_runs_from_file_grid(tmp_path):
         st, _ = m.advance(st)
     d = m.diagnostics(st)
     assert np.isfinite(d["KE"]) and d["KE"] > 0
+
+
+def test_pop_binary_field_roundtrip(tmp_path):
+    """General POP-binary field writer/reader (source/io_binary.F90):
+    direct-access nx*ny records + .hdr record map; 2-D and 3-D fields."""
+    from pop2_tpu.io import pop_binary
+    ny, nx, km = 12, 16, 5
+    rng = np.random.RandomState(0)
+    fields = {"SSH": rng.randn(ny, nx),
+              "TEMP": rng.randn(km, ny, nx),
+              "KMTmask": rng.randint(0, 2, (ny, nx)).astype(float)}
+    p = str(tmp_path / "hist.bin")
+    pop_binary.write_pop_binary(p, ny, nx, fields,
+                                attrs={"title": "test stream"})
+    back = pop_binary.read_pop_binary(p, ny, nx)
+    assert set(back) == set(fields)
+    for k in fields:
+        np.testing.assert_array_equal(back[k], fields[k])
+    # raw record layout is exactly nx*ny big-endian doubles in order
+    raw = np.fromfile(p, dtype=">f8")
+    assert raw.size == (1 + km + 1) * ny * nx
+    np.testing.assert_array_equal(raw[:ny * nx].reshape(ny, nx),
+                                  fields["SSH"])
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        pop_binary.read_pop_binary(str(tmp_path / "nohdr.bin"), ny, nx)

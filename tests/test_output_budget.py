@@ -68,3 +68,49 @@ def test_budget_tracks_heat_input(mini_cfg):
     res = budget.budget_residual(mini_cfg, m.grid, st0, st, f, nsteps)
     assert abs(float(res[0])) < 0.1 * abs(expected) / float(
         m.grid.volume_t)
+
+
+def test_postrun_monthly_mean_and_strip(tmp_path):
+    """Post-run history processing (tools/postrun_proc/
+    pop_hist_postprocess.csh): recreate monthly means from daily-mean
+    stream files and strip fields from the daily stream — native
+    reimplementation over the framework's own stream format."""
+    from pop2_tpu import tavg
+    from pop2_tpu.config import get_config
+    from pop2_tpu.grid import build_grid
+    from pop2_tpu.io import postrun
+
+    cfg = get_config("mini")
+    grid = build_grid(cfg)
+    contents = ["SSH", "TEMP"]
+    rng = np.random.RandomState(0)
+    daily = []
+    fields_by_day = []
+    for day in range(3):
+        arrays = {"SSH": rng.randn(cfg.ny, cfg.nx),
+                  "TEMP": rng.randn(cfg.km, cfg.ny, cfg.nx)}
+        fields_by_day.append(arrays)
+        p = str(tmp_path / f"day{day}.nc")
+        tavg.write_fields_netcdf(cfg, grid, p, contents, arrays,
+                                 step_number=day)
+        daily.append(p)
+
+    out = postrun.monthly_mean_from_daily(daily, str(tmp_path / "mon.nc"))
+    from scipy.io import netcdf_file
+    with netcdf_file(out, "r", mmap=False) as f:
+        ssh = np.array(f.variables["SSH"][:])
+        temp = np.array(f.variables["TEMP"][:])
+        assert "z_t" in f.variables and "TLAT" in f.variables
+    want_ssh = np.mean([a["SSH"] for a in fields_by_day], axis=0)
+    np.testing.assert_allclose(ssh.squeeze(), want_ssh, rtol=1e-5, atol=1e-6)
+    want_t = np.mean([a["TEMP"] for a in fields_by_day], axis=0)
+    np.testing.assert_allclose(temp.squeeze(), want_t, rtol=1e-5, atol=1e-6)
+
+    # strip TEMP from the daily stream in place
+    postrun.strip_fields(daily[0], ["TEMP"])
+    with netcdf_file(daily[0], "r", mmap=False) as f:
+        assert "TEMP" not in f.variables
+        assert "SSH" in f.variables and "TLAT" in f.variables
+    import pytest
+    with pytest.raises(ValueError):
+        postrun.strip_fields(daily[1], ["time"])
