@@ -123,6 +123,14 @@ def _measure(preset, dtype, nsteps, sections=False):
     int(diags.solver_iters)
     dt = time.perf_counter() - t0
 
+    # a benchmark of a blown-up integration is not a benchmark (round-4
+    # lesson: the flagship NaN'd by step 20 and the number timed NaN
+    # propagation): assert the final state is finite and physical
+    import jax.numpy as jnp
+    nan_ct = int(jnp.count_nonzero(~jnp.isfinite(state.tracer_cur))
+                 + jnp.count_nonzero(~jnp.isfinite(state.u_cur)))
+    umax = float(jnp.max(jnp.abs(jnp.nan_to_num(state.u_cur))))
+
     steps_per_sec = nsteps / dt
     points = cfg.nx * cfg.ny * cfg.km
     out = {
@@ -133,6 +141,8 @@ def _measure(preset, dtype, nsteps, sections=False):
         "solver_iters_last": int(diags.solver_iters),
         "solver": cfg.solver.choice,
         "solver_tol": cfg.solver.convergence_criterion,
+        "state_finite": nan_ct == 0,
+        "u_max_cm_s": round(umax, 2),
     }
     if sections:
         out["sections_ms"] = _sections(model, state)

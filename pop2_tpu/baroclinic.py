@@ -123,20 +123,34 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
             cfg, grid, state.u_cur, state.v_cur, state.tracer_cur, tmix,
             state.tracer_old, coeffs.vdc, forcing.stf, dh)
     else:
+        submeso_done = False
         if cfg.hmix_tracer == "gm":
             # GM/Redi tendency + its |S|^2 vertical diffusivity folded into
             # the implicit solve (source/hmix_gm.F90:1741-1748)
             from pop2_tpu import gm as gm_mod
+            from pop2_tpu import gm_chain_pallas
             hblt = coeffs.kpp.hblt if (cfg.vmix == "kpp"
                                        and coeffs.kpp is not None) else None
-            gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix,
-                                      hblt=hblt, umix=umix, vmix_m=vmix_m)
+            hmxl_bl = coeffs.kpp.hmxl if (cfg.vmix == "kpp"
+                                          and coeffs.kpp
+                                          is not None) else None
+            if gm_chain_pallas.available(cfg, grid):
+                # fully fused production GM chain (slopes -> tapers ->
+                # merged streamfunction -> flux), with the submesoscale
+                # skew fluxes folded into the same weight packs
+                gm_out, submeso_done = gm_chain_pallas.hdifft_chain(
+                    cfg, grid, bc, ts_range, tmix, hblt=hblt,
+                    hmxl=hmxl_bl)
+            else:
+                gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix,
+                                          hblt=hblt, umix=umix,
+                                          vmix_m=vmix_m)
             ft = gm_out.gtk
             gm_diag = gm_out
             coeffs = coeffs._replace(vdc=coeffs.vdc + gm_out.vdc_gm[None])
         else:
             ft = hmix.hdifft(cfg, grid, bc, tmix)
-        if cfg.lsubmeso:
+        if cfg.lsubmeso and not submeso_done:
             # submesoscale mixed-layer restratification (mix_submeso.F90,
             # called alongside hdifft in tracer_update)
             from pop2_tpu import submeso as submeso_mod

@@ -292,6 +292,11 @@ class ModelConfig:
     nsmooth_topo: int = 1
     # overflows (source/overflows.F90; empty tuple = off)
     overflows: Tuple[OverflowSpec, ...] = ()
+    # reference contract: overflow kmt-change records must agree with the
+    # topography (init_overflows_kmt aborts on mismatch,
+    # source/overflows.F90:1196-1275). True reproduces the abort; False
+    # deactivates inconsistent overflows with a warning (model.py)
+    overflow_geometry_strict: bool = False
     # submesoscale mixed-layer eddies (mix_submeso.F90:183-188)
     lsubmeso: bool = False
     submeso_efficiency: float = 0.07

@@ -245,7 +245,8 @@ def _displaced_density_diff(cfg, grid, ts_range, tmix, clamp=True):
     return jnp.minimum(work3, -EPS2) if clamp else work3
 
 
-def kappa_vertical_bfre(cfg: ModelConfig, grid: Grid, ts_range, tmix, sdl):
+def kappa_vertical_bfre(cfg: ModelConfig, grid: Grid, ts_range, tmix, sdl,
+                        n2=None):
     """Normalized buoyancy-frequency vertical profile KAPPA_VERTICAL =
     clip(N^2 / N^2_ref, 0.1, 1) at T points — the production 'bfre' kappa
     vertical structure (buoyancy_frequency_dependent_profile,
@@ -258,9 +259,12 @@ def kappa_vertical_bfre(cfg: ModelConfig, grid: Grid, ts_range, tmix, sdl):
     dzwr = jnp.reshape(grid.vgrid.dzwr[1:km + 1], (km, 1, 1))
     zw = jnp.reshape(jnp.asarray(grid.vgrid.zw), (km, 1, 1))
 
-    work3 = _displaced_density_diff(cfg, grid, ts_range, tmix, clamp=False)
     below = kidx < grid.KMT[None]
-    n2 = jnp.where(below, jnp.maximum(0.0, -const.GRAV * work3 * dzwr), 0.0)
+    if n2 is None:
+        work3 = _displaced_density_diff(cfg, grid, ts_range, tmix,
+                                        clamp=False)
+        n2 = jnp.where(below,
+                       jnp.maximum(0.0, -const.GRAV * work3 * dzwr), 0.0)
 
     # reference level: first k with zw(k) > SDL, k <= KMT, N^2 > 0 (:3126-
     # 3133; the loop runs k=1..km-1 so the bottom interface never qualifies)
@@ -761,7 +765,7 @@ def _aniso_factors(cfg: ModelConfig, grid: Grid, bc: BC, umix, vmix_m):
 
 def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
               hblt: Optional[jnp.ndarray] = None,
-              umix=None, vmix_m=None) -> GMOut:
+              umix=None, vmix_m=None, use_kernels: bool = True) -> GMOut:
     """GM/Redi tracer tendency + VDC_GM (hdifft_gm,
     source/hmix_gm.F90:1102-2219); kappa per cfg.gm_kappa_*_type,
     optionally anisotropic (cfg.gm_aniso, hmix_gm_aniso.F90)."""
@@ -868,9 +872,14 @@ def hdifft_gm(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
             jnp.where(at_bottom, cfg.gm_ah_bkg_bottom, hor_diff[1]))
 
     cancellation = kappa_equal and cfg.gm_slm_r == cfg.gm_slm_b
-    gtk, vdc_gm = flux_assembly(cfg, grid, bc, tx, ty, tz, slx, sly,
-                                sf_slx, sf_sly, kisop_x, kisop_y,
-                                hor_diff, cancellation)
+    if use_kernels:
+        gtk, vdc_gm = flux_assembly(cfg, grid, bc, tx, ty, tz, slx, sly,
+                                    sf_slx, sf_sly, kisop_x, kisop_y,
+                                    hor_diff, cancellation)
+    else:
+        gtk, vdc_gm = flux_assembly_jnp(cfg, grid, bc, tx, ty, tz, slx,
+                                        sly, sf_slx, sf_sly, kisop_x,
+                                        kisop_y, hor_diff, cancellation)
     return GMOut(gtk=gtk, vdc_gm=vdc_gm,
                  kappa_isop=0.5 * (kisop[0] + kisop[1]),
                  kappa_thic=0.5 * (kthic[0] + kthic[1]),

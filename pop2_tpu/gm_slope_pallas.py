@@ -485,11 +485,11 @@ def available(cfg, grid) -> bool:
             and jax.default_backend() == "tpu")
 
 
-def slopes_wrapper(cfg, grid, bc, ts_range, tmix):
+def slopes_raw(cfg, grid, bc, ts_range, tmix):
     """Model-facing wrapper: run the fused slope kernel (per shard under
     a y-sharded dispatch mesh), then re-patch the tripole top row from an
-    8-row full-width jnp slab.  Returns (slx, sly, sla, n2) in gm.py's
-    (face, half, km, ny, nx) slope layout."""
+    8-row full-width jnp slab.  Returns (slpack, sla, n2) in the packed
+    channel layout (SXE0..SYS1)."""
     from pop2_tpu import gm as gm_mod
     from pop2_tpu.tracer_pallas import _mesh_y_only
     f32 = jnp.float32
@@ -519,11 +519,22 @@ def slopes_wrapper(cfg, grid, bc, ts_range, tmix):
              sly_s[0, 0], sly_s[0, 1], sly_s[1, 0], sly_s[1, 1]]
         )[:, :, -1:, :].astype(slp.dtype))
         sla = sla.at[:, :, -1:, :].set(sla_s[:, :, -1:, :].astype(sla.dtype))
+    return slp, sla, n2
 
+
+def unpack_slopes(slp):
+    """(slx, sly) in gm.py's (face, half, km, ny, nx) layout."""
     slx = jnp.stack([jnp.stack([slp[0], slp[1]]),
                      jnp.stack([slp[2], slp[3]])])
     sly = jnp.stack([jnp.stack([slp[4], slp[5]]),
                      jnp.stack([slp[6], slp[7]])])
+    return slx, sly
+
+
+def slopes_wrapper(cfg, grid, bc, ts_range, tmix):
+    """slopes_raw + unpack: (slx, sly, sla, n2)."""
+    slp, sla, n2 = slopes_raw(cfg, grid, bc, ts_range, tmix)
+    slx, sly = unpack_slopes(slp)
     return slx, sly, sla, n2
 
 

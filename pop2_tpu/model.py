@@ -48,6 +48,18 @@ class Model:
             self._init(cfg, grid)
 
     def _init(self, cfg: ModelConfig, grid: Optional[Grid] = None):
+        if cfg.overflows and grid is None:
+            # reference contract: the overflow point data must agree with
+            # the topography (init_overflows_kmt counts KMT /= korg as
+            # errors and aborts, source/overflows.F90:1196-1275). Strict
+            # mode reproduces the abort; otherwise inconsistent overflows
+            # are deactivated with a warning — an inconsistent conduit
+            # (e.g. the real gx1v7 point data on an internally generated
+            # topography) turns the prescribed circuit into an unstable
+            # forcing (round-5: exponential blowup at the Ross/Weddell
+            # points by step 20 of the flagship bench).
+            from pop2_tpu import overflows as ovf_mod
+            cfg = ovf_mod.validate_geometry(cfg)
         self.cfg = cfg
         self.grid = grid if grid is not None else build_grid(cfg)
         self.bc = grid_bc(cfg)

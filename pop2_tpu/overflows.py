@@ -145,6 +145,42 @@ def footprint2(cfg: ModelConfig, rd: RegionData) -> np.ndarray:
     return out
 
 
+
+def validate_geometry(cfg: ModelConfig):
+    """Check every overflow's kmt-change records against the raw (pre-
+    carve) topography and drop inconsistent overflows (strict mode:
+    raise). The reference's init_overflows_kmt counts KMT /= korg
+    mismatches and aborts the run (source/overflows.F90:1196-1275); this
+    is the same contract with a warn-and-deactivate fallback so a
+    framework user on a generated topography keeps a running model.
+    Returns a (possibly reduced) config."""
+    import warnings
+    checked = [s for s in cfg.overflows if s.kmt_changes]
+    if not checked:
+        return cfg
+    from pop2_tpu.grid import build_grid
+    kmt0 = np.asarray(build_grid(cfg.with_(overflows=())).KMT)
+    active, dropped = [], []
+    for spec in cfg.overflows:
+        bad = sum(1 for (i, j, old, new) in spec.kmt_changes
+                  if kmt0[j, i] != old)
+        if bad:
+            if cfg.overflow_geometry_strict:
+                raise ValueError(
+                    f"overflow '{spec.name}': {bad} kmt-change records "
+                    "disagree with the topography "
+                    "(init_overflows_kmt contract)")
+            dropped.append(f"{spec.name} ({bad} kmt mismatches)")
+        else:
+            active.append(spec)
+    if dropped:
+        warnings.warn(
+            "deactivating overflows inconsistent with the topography: "
+            + ", ".join(dropped), stacklevel=2)
+        cfg = cfg.with_(overflows=tuple(active))
+    return cfg
+
+
 def build_statics(cfg: ModelConfig, grid: Grid) -> OverflowStatics:
     n = len(cfg.overflows)
     kmask = np.asarray(grid.kmask_t)
@@ -229,8 +265,23 @@ def _point_statics(cfg: ModelConfig, grid: Grid, vol3, kmask, tarea):
             kmu_p = int(kmu[ju, iu])
             if kmu_p <= 0:
                 continue
-            # ZX/ZY renormalization at this column (:5133-5140)
+            # geometry-consistency gate (robustness guard, no reference
+            # analogue): the point data prescribes a sidewall conduit
+            # extending from the resolved sill (KMU) down to the overflow
+            # level. On a topography consistent with the overflow file
+            # the extension is a few levels below a deep sill; on an
+            # inconsistent (e.g. internally generated) topography a
+            # shallow column next to a deep k_ovf yields a conduit taller
+            # than the resolved column, which turns the renormalization
+            # shift into a per-step amplifier of the barotropic flow
+            # (observed: exponential u blowup at the gx1v7 Ross/Weddell
+            # points on the internal grid). Such points are dropped from
+            # the momentum/zren/operator coupling; their column-integral
+            # transport still enters through qsurf.
             dz_sidewall = float(dz[kmu_p:k0 + 1].sum())
+            if dz_sidewall > hu_col[ju, iu]:
+                continue
+            # ZX/ZY renormalization at this column (:5133-5140)
             if hu_col[ju, iu] > 0:
                 zren[ju, iu] = (hu_col[ju, iu]
                                 / (hu_col[ju, iu] + dz_sidewall))
@@ -333,6 +384,47 @@ def transports(cfg: ModelConfig, grid: Grid, st: OverflowStatics, tracer):
     phi = jnp.clip(phi, 0.0, 0.999)
     me = jnp.where(phi > 0.0, ms * phi / (1.0 - phi), 0.0)
     mp = ms + me
+
+    # --- stability cap (robustness guard, no reference analogue): the
+    # explicit region-relaxation in ``tendency`` and the surface-flux
+    # injection in ``qsurf`` are stable only while (M/V)*c2dt << 1 and
+    # the equivalent surface flux M/A stays modest. The reference can
+    # assume a topography consistent with its overflow file (M/V ~ 1e-6
+    # 1/s, M/A ~ 0.2 cm/s — the cap never binds there), but an
+    # internally generated topography can leave a region box with an
+    # arbitrarily small ocean volume, which round-4's flagship bench
+    # turned into an exponential tracer/psurf blowup on real hardware.
+    # Jointly rescale (ms, me, mp) per overflow, preserving mp = ms + me,
+    # the phi split, and qsurf's global zero-sum.
+    n = len(st.regions)
+    if st.sets is not None:
+        v_prd = np.array([min(float(rd.vol) for rd in st.sets[o])
+                          for o in range(n)])
+        a_prd = np.array([min(float(rd.area) for rd in st.sets[o])
+                          for o in range(n)])
+    else:
+        v_prd = np.array([float(st.regions[o][REG_PRD].vol)
+                          for o in range(n)])
+        a_prd = np.array([float(st.regions[o][REG_PRD].area)
+                          for o in range(n)])
+    v_src = st.volumes[:, REG_SRC]
+    v_ent = st.volumes[:, REG_ENT]
+    a_src = np.array([float(st.regions[o][REG_SRC].area)
+                      for o in range(n)])
+    a_ent = np.array([float(st.regions[o][REG_ENT].area)
+                      for o in range(n)])
+    r_max = 0.25 / (2.0 * cfg.time.dtt)   # 1/s, rate cap
+    q_max = 0.5                           # cm/s, surface-flux cap
+    one = jnp.ones_like(ms)
+    eps = jnp.asarray(1.0, ms.dtype)
+    scale = one
+    for m_, v_, a_ in ((ms, v_src, a_src), (me, v_ent, a_ent),
+                       (mp, jnp.asarray(v_prd, ms.dtype),
+                        jnp.asarray(a_prd, ms.dtype))):
+        md = jnp.maximum(m_, eps)
+        scale = jnp.minimum(scale, r_max * v_ / md)
+        scale = jnp.minimum(scale, q_max * jnp.asarray(a_, ms.dtype) / md)
+    ms, me, mp = ms * scale, me * scale, mp * scale
     return ms, me, mp, phi, tavg
 
 
@@ -499,10 +591,16 @@ def momentum_adjust(cfg: ModelConfig, grid: Grid, st: OverflowStatics,
         gate = jnp.where(tab["setid"] < 0, 1.0,
                          (sel[tab["ovf"]] == tab["setid"]).astype(
                              vel.dtype))
-        uovf = tab["sign"] * m_p * tab["g"]
+        # physical-speed clamp on the prescribed sidewall velocity and on
+        # the per-step renormalization shift (robustness guard, no
+        # reference analogue: overflow speeds are O(10-100 cm/s); with a
+        # topography inconsistent with the overflow point data the raw
+        # shift is a positive feedback on the barotropic mode)
+        uovf = jnp.clip(tab["sign"] * m_p * tab["g"], -100.0, 100.0)
         ubar = vbar[jj, ii]
         delta = gate * ((uovf - ubar) * tab["dz_k"]
                         - ubar * tab["dz_below"]) / tab["hu"]
+        delta = jnp.clip(delta, -25.0, 25.0)
         kmu_p = grid.KMU[jj, ii]                          # (P,)
         colmask = (kidx[:, None] < kmu_p[None]).astype(vel.dtype)
         return vel.at[:, jj, ii].add(-delta[None] * colmask)
@@ -540,6 +638,9 @@ def modified_hu(cfg: ModelConfig, grid: Grid) -> np.ndarray:
             kmu_p = int(kmu[ju, iu])
             # Fortran k = KMU+1 .. k_ovf (1-based) == dz[kmu_p : k0+1]
             dz_sidewall = float(dz[kmu_p:k0 + 1].sum())
+            if dz_sidewall > hu[ju, iu]:
+                # geometry-consistency gate (see _point_statics.add_mom)
+                continue
             hum[ju, iu] = hu[ju, iu] + dz_sidewall
     return hum
 

@@ -467,7 +467,7 @@ def solve_refined(cfg: ModelConfig, op: BtropOperator, bc: BC, x0, b,
     def inner(rhs, tol_i, max_i):
         z = jnp.zeros_like(x0)
         choice = sol.choice.lower()
-        if getattr(sol, "refine_inner", "chrongear") == "chrongear":
+        if sol.refine_inner == "chrongear":
             # CG inner regardless of the outer 'choice': needs no spectrum
             # bounds, and fp32 Lanczos Ritz values OVERestimate eig_min,
             # which stalls a Stiefel inner on the modes below the bound

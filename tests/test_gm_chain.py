@@ -120,3 +120,129 @@ def test_slope_kernel_sharded_front_end():
 
     for g, w, name in zip(got, want, ("slx", "sly", "sla", "n2")):
         _compare(g, w, name)
+
+
+# ---------------------------------------------------------------------------
+# full chain kernel (gm_chain_pallas)
+# ---------------------------------------------------------------------------
+
+def _chain_setup(**over):
+    base = dict(
+        dtype="float32", hmix_tracer="gm", nt=3,
+        passive_tracers=("iage",),
+        gm_kappa_isop_type="bfre", gm_kappa_thic_type="bfre",
+        gm_kappa_isop_deep=0.2, gm_kappa_thic_deep=0.1,
+        gm_transition_layer=True, lsubmeso=True)
+    base.update(over)
+    cfg = get_config("test").with_(**base)
+    grid = build_grid(cfg)
+    bc = grid_bc(cfg)
+    return cfg, grid, bc
+
+
+def _bl_fields(cfg, grid, seed=5):
+    rng = np.random.RandomState(seed)
+    zt = np.asarray(grid.vgrid.zt)
+    lat = np.asarray(grid.TLAT)
+    ocean = np.asarray(grid.KMT) > 0
+    hblt = ((zt[2] + (zt[5] - zt[2]) * (0.5 + 0.5 * np.cos(2 * lat)))
+            * ocean).astype(np.float32)
+    hmxl = (hblt * (1.0 + 0.2 * rng.rand(*hblt.shape))).astype(np.float32)
+    return jnp.asarray(hblt), jnp.asarray(hmxl)
+
+
+def _flux_compare(got, want, name):
+    """atol at 5e-5 of the field scale, except points riding the
+    clamped-rz cancellation (see _compare) which carry a few-percent
+    local spread between f32 evaluation orders."""
+    got, want = np.asarray(got), np.asarray(want)
+    aw = np.abs(want)
+    scale = aw.max() or 1.0
+    err = np.abs(got - want)
+    ok = (err <= 5e-5 * scale) | (err <= 5e-2 * aw)
+    assert ok.all(), (
+        f"{name}: {np.count_nonzero(~ok)} mismatches, "
+        f"max {np.max(err[~ok]):.2e} vs scale {scale:.2e}")
+
+
+def _want_chain(cfg, grid, bc, ts_range, trcr, hblt, hmxl, with_sm):
+    from pop2_tpu import submeso as submeso_mod
+    out = gm.hdifft_gm(cfg, grid, bc, ts_range, trcr, hblt=hblt,
+                       use_kernels=False)
+    gtk = out.gtk
+    if with_sm:
+        gtk_sm, _ = submeso_mod.submeso_tendency(cfg, grid, bc, ts_range,
+                                                 trcr, hmxl=hmxl)
+        gtk = gtk + gtk_sm
+    return gtk, out
+
+
+@pytest.mark.parametrize("ns,with_sm", [("closed", False),
+                                        ("tripole", False),
+                                        ("tripole", True)])
+def test_chain_kernel_matches_jnp(ns, with_sm):
+    from pop2_tpu import gm_chain_pallas, gm_slope_pallas
+    cfg, grid, bc = _chain_setup(ns_boundary=ns, lsubmeso=with_sm)
+    trcr, ts_range = _state(cfg, grid)
+    hblt, hmxl = _bl_fields(cfg, grid)
+    want_gtk, want_out = _want_chain(cfg, grid, bc, ts_range, trcr,
+                                     hblt, hmxl, with_sm)
+
+    mods = (gm_chain_pallas, gm_slope_pallas)
+    olds = [(m.USE_PALLAS, m.force_interpret) for m in mods]
+    try:
+        for m in mods:
+            m.USE_PALLAS = True
+            m.force_interpret = True
+        assert gm_chain_pallas.available(cfg, grid)
+        got_out, sm_included = gm_chain_pallas.hdifft_chain(
+            cfg, grid, bc, ts_range, trcr, hblt=hblt, hmxl=hmxl)
+    finally:
+        for m, (u, i) in zip(mods, olds):
+            m.USE_PALLAS, m.force_interpret = u, i
+    assert sm_included == with_sm
+
+    _flux_compare(got_out.gtk, want_gtk, "gtk")
+    _flux_compare(got_out.vdc_gm, want_out.vdc_gm, "vdc_gm")
+    for name in ("kappa_isop", "kappa_thic", "hor_diff"):
+        # the notanh taper inherits the slope chain's clamped-point f32
+        # spread: allow a small local relative band on top of the scale
+        # tolerance (see _flux_compare)
+        w = np.asarray(getattr(want_out, name))
+        g = np.asarray(getattr(got_out, name))
+        err = np.abs(g - w)
+        ok = (err <= 3e-5 * (np.abs(w).max() or 1.0)) \
+            | (err <= 1e-2 * np.abs(w))
+        assert ok.all(), (name, np.count_nonzero(~ok), err.max())
+
+
+def test_chain_kernel_sharded():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pop2_tpu import gm_chain_pallas, gm_slope_pallas
+    from pop2_tpu.parallel import mesh as pmesh
+    from pop2_tpu.tridiag_pallas import dispatch_mesh
+
+    cfg, grid, bc = _chain_setup(ns_boundary="tripole", lsubmeso=True)
+    trcr, ts_range = _state(cfg, grid, seed=11)
+    hblt, hmxl = _bl_fields(cfg, grid, seed=12)
+    want_gtk, want_out = _want_chain(cfg, grid, bc, ts_range, trcr,
+                                     hblt, hmxl, True)
+
+    mesh = pmesh.make_mesh((8, 1))
+    mods = (gm_chain_pallas, gm_slope_pallas)
+    olds = [(m.USE_PALLAS, m.force_interpret) for m in mods]
+    try:
+        for m in mods:
+            m.USE_PALLAS = True
+            m.force_interpret = True
+        with dispatch_mesh(mesh):
+            assert gm_chain_pallas.available(cfg, grid)
+            got_out, _ = gm_chain_pallas.hdifft_chain(
+                cfg, grid, bc, ts_range, trcr, hblt=hblt, hmxl=hmxl)
+    finally:
+        for m, (u, i) in zip(mods, olds):
+            m.USE_PALLAS, m.force_interpret = u, i
+
+    _flux_compare(got_out.gtk, want_gtk, "gtk")

@@ -408,3 +408,82 @@ def test_ovf_solvers_9pt_wired_into_model():
     for _ in range(3):
         st, _ = m.advance(st)
     assert np.isfinite(m.diagnostics(st)["KE"])
+
+
+def test_transport_stability_cap():
+    """The joint transport cap keeps the explicit region-relaxation rates
+    and the equivalent surface fluxes inside their stability envelope
+    even when a region box's ocean volume is tiny (internally generated
+    topographies; the round-4 flagship blowup), and leaves healthy
+    configurations untouched."""
+    cfg = _cfg()
+    m = Model(cfg)
+    st = m.initial_state()
+    src = ovf.region_mask3(cfg, m.ovf_statics, 0, ovf.REG_SRC) > 0
+    T = np.array(st.tracer_cur[0])
+    S = np.array(st.tracer_cur[1])
+    T[src] -= 4.0
+    S[src] += 0.0005
+    trcr = jnp.asarray(np.stack([T, S]))
+
+    ms, me, mp, phi, _ = ovf.transports(cfg, m.grid, m.ovf_statics, trcr)
+    assert float(ms[0]) > 0.0
+    r_max = 0.25 / (2.0 * cfg.time.dtt)
+    stx = m.ovf_statics
+    # healthy volumes: the cap is far from binding
+    assert float(ms[0]) < 0.5 * r_max * float(stx.volumes[0, ovf.REG_SRC])
+
+    # shrink the source volume under the solver's feet: the capped rate
+    # must respect (M/V)*c2dt <= 0.25 and M/A <= 2 cm/s
+    import dataclasses
+    small = 1.0e-6 * float(stx.volumes[0, ovf.REG_SRC])
+    srd = stx.regions[0][ovf.REG_SRC]
+    srd_small = srd._replace(vol=jnp.asarray(small, jnp.float64),
+                             area=jnp.asarray(1.0e4, jnp.float64))
+    regions = ((stx.regions[0][0], srd_small, stx.regions[0][2],
+                stx.regions[0][3]),)
+    vols = np.asarray(stx.volumes).copy()
+    vols[0, ovf.REG_SRC] = small
+    stx2 = stx._replace(regions=regions,
+                        volumes=jnp.asarray(vols, stx.volumes.dtype))
+    ms2, me2, mp2, _, _ = ovf.transports(cfg, m.grid, stx2, trcr)
+    assert float(ms2[0]) <= r_max * small * (1.0 + 1e-6)
+    assert float(ms2[0]) <= 2.0 * 1.0e4 * (1.0 + 1e-6)
+    # the joint rescale preserves the split
+    assert abs(float(mp2[0]) - float(ms2[0]) - float(me2[0])) \
+        <= 1e-6 * max(float(mp2[0]), 1.0)
+
+
+def test_geometry_validation_drops_inconsistent_overflow():
+    """The init_overflows_kmt consistency contract
+    (source/overflows.F90:1196-1275): kmt-change records that disagree
+    with the topography deactivate the overflow (or abort in strict
+    mode); consistent records keep it active."""
+    import dataclasses
+    import warnings as _w
+    import pytest as _pt
+    from pop2_tpu.grid import build_grid
+
+    base = get_config("mini")
+    kmt0 = np.asarray(build_grid(base).KMT)
+    spec = _spec()
+    # consistent: record the actual KMT values
+    i, j = 8, 17
+    ok_spec = dataclasses.replace(
+        spec, kmt_changes=((i, j, int(kmt0[j, i]), int(kmt0[j, i])),))
+    cfg = base.with_(overflows=(ok_spec,))
+    m = Model(cfg)
+    assert len(m.cfg.overflows) == 1
+
+    bad_spec = dataclasses.replace(
+        spec, kmt_changes=((i, j, int(kmt0[j, i]) + 3, int(kmt0[j, i])),))
+    cfg = base.with_(overflows=(bad_spec,))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m2 = Model(cfg)
+    assert len(m2.cfg.overflows) == 0
+    assert m2.ovf_statics is None
+
+    with _pt.raises(ValueError):
+        Model(base.with_(overflows=(bad_spec,),
+                         overflow_geometry_strict=True))
