@@ -196,8 +196,21 @@ def _sections(model, state, reps=8):
             state.tracer_old, state.u_old, state.v_old, state.rho_old,
             forcing)
     if cfg.hmix_tracer == "gm":
-        timed("gm", functools.partial(
-            gm.hdifft_gm, cfg, grid, bc, ts_range), state.tracer_old)
+        from pop2_tpu import gm_chain_pallas
+        if gm_chain_pallas.available(cfg, grid):
+            # the active production path: fully fused GM(+submeso) chain
+            coeffs = vmix.vmix_coeffs(cfg, grid, bc, state.tracer_old,
+                                      state.u_old, state.v_old,
+                                      state.rho_old, forcing=forcing,
+                                      kpp_statics=model.kpp_statics)
+            hblt = coeffs.kpp.hblt if coeffs.kpp is not None else None
+            hmxl = coeffs.kpp.hmxl if coeffs.kpp is not None else None
+            timed("gm", lambda t: gm_chain_pallas.hdifft_chain(
+                cfg, grid, bc, ts_range, t, hblt=hblt, hmxl=hmxl)[0].gtk,
+                state.tracer_old)
+        else:
+            timed("gm", functools.partial(
+                gm.hdifft_gm, cfg, grid, bc, ts_range), state.tracer_old)
 
     bout = baroclinic.driver(cfg, grid, bc, ts_range, state, forcing,
                              dh, dhu, True, kpp_statics=model.kpp_statics,
