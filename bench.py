@@ -206,7 +206,8 @@ def _sections(model, state, reps=8):
             hblt = coeffs.kpp.hblt if coeffs.kpp is not None else None
             hmxl = coeffs.kpp.hmxl if coeffs.kpp is not None else None
             timed("gm", lambda t: gm_chain_pallas.hdifft_chain(
-                cfg, grid, bc, ts_range, t, hblt=hblt, hmxl=hmxl)[0].gtk,
+                cfg, grid, bc, ts_range, t, hblt=hblt, hmxl=hmxl,
+                want_diags=False)[0].gtk,
                 state.tracer_old)
         else:
             timed("gm", functools.partial(

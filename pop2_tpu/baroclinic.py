@@ -71,7 +71,8 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
            leapfrog: bool, kpp_statics=None,
            sw_profile=None, passive=None,
            ovf_statics=None, ovf_trans=None, ovf_sel=None,
-           ovf_sets_tavg=None) -> BaroclinicOut:
+           ovf_sets_tavg=None,
+           want_gm_diags: bool = True) -> BaroclinicOut:
     c2dtt, c2dtu, c2dtp = _timestep_arrays(cfg, leapfrog)
     beta = cfg.time.alpha if leapfrog else cfg.time.theta
     gamma = cfg.time.gamma
@@ -140,7 +141,7 @@ def driver(cfg: ModelConfig, grid: Grid, bc: BC, ts_range,
                 # skew fluxes folded into the same weight packs
                 gm_out, submeso_done = gm_chain_pallas.hdifft_chain(
                     cfg, grid, bc, ts_range, tmix, hblt=hblt,
-                    hmxl=hmxl_bl)
+                    hmxl=hmxl_bl, want_diags=want_gm_diags)
             else:
                 gm_out = gm_mod.hdifft_gm(cfg, grid, bc, ts_range, tmix,
                                           hblt=hblt, umix=umix,

@@ -318,29 +318,24 @@ def transition_layer(cfg: ModelConfig, grid: Grid, diabatic_depth, sla,
     izeros = jnp.zeros(shape, i32)
 
     # ---- pass 1 (:3248-3276): minimum thickness = down to the first grid
-    # interface (zw) or center (zt) below the diabatic depth
-    def pass1(carry, xs):
-        k, ztk, zwk = xs
-        k_start, k_sub, thick, k_level, ztw, compute = carry
-        c1 = compute & (dd < zwk)
-        k_start = jnp.where(c1, k + 1, k_start)
-        k_sub = jnp.where(c1, 0, k_sub)                     # ktp
-        thick = jnp.where(c1, zwk - dd, thick)
-        k_level = jnp.where(c1, k, k_level)
-        ztw = jnp.where(c1, 2, ztw)
-        compute = compute & ~c1
-        c2 = c1 & (k != 1) & (dd < ztk)
-        k_start = jnp.where(c2, k, k_start)
-        k_sub = jnp.where(c2, 1, k_sub)                     # kbt
-        thick = jnp.where(c2, ztk - dd, thick)
-        ztw = jnp.where(c2, 1, ztw)
-        return (k_start, k_sub, thick, k_level, ztw, compute), None
-
+    # interface (zw) or center (zt) below the diabatic depth.  The
+    # reference's k sweep is a first-k search — closed form (zw is
+    # monotone), no scan: one (km, ny, nx) comparison + 2-D gathers.
     ks = jnp.arange(1, km + 1, dtype=i32)
-    (k_start, k_sub, thick, k_level, ztw, _), _ = jax.lax.scan(
-        pass1,
-        (izeros, izeros, zeros, izeros, izeros, kmt != 0),
-        (ks, jnp.asarray(zt), jnp.asarray(zw)))
+    zwj = jnp.asarray(zw, dd.dtype)
+    ztj = jnp.asarray(zt, dd.dtype)
+    lt = dd[None] < zwj[:, None, None]
+    fired = jnp.any(lt, axis=0) & (kmt != 0)
+    kidx0 = jnp.argmax(lt, axis=0)                 # first 0-based fire k
+    k1b = (kidx0 + 1).astype(i32)
+    zw_k = zwj[kidx0]
+    zt_k = ztj[kidx0]
+    c2 = fired & (k1b != 1) & (dd < zt_k)
+    k_level = jnp.where(fired, k1b, izeros)
+    k_sub = jnp.where(c2, jnp.ones_like(izeros), izeros)
+    thick = jnp.where(fired, jnp.where(c2, zt_k - dd, zw_k - dd), zeros)
+    ztw = jnp.where(fired, jnp.where(c2, 1, 2).astype(i32), izeros)
+    k_start = jnp.where(fired, jnp.where(c2, k1b, k1b + 1), izeros)
 
     # ---- pass 2 (:3297-3331): extend through levels whose Rossby-scale
     # vertical displacement R*|S| reaches above the diabatic depth

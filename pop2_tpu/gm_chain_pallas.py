@@ -760,8 +760,10 @@ def _submeso_amps(cfg, grid, bc, ts_range, tmix, hmxl):
     ml = hmxl if hmxl is not None else jnp.full_like(grid.HT, zw[0])
     ml = jnp.where(ocean, jnp.maximum(ml, zw[0]), zw[0])
 
+    # only the T/S density diffs are needed here: slicing to two
+    # tracers skips nt-2 wasted tx/ty/tz face-difference fields
     _, _, _, rx, ry, rz_ktp_raw, _ = gm_mod.face_density_diffs(
-        cfg, grid, bc, ts_range, tmix)
+        cfg, grid, bc, ts_range, tmix[:2])
     rz_save = jnp.minimum(rz_ktp_raw, 0.0)
 
     from pop2_tpu.submeso import _ml_layer_weights

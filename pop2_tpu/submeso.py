@@ -52,8 +52,10 @@ def streamfunction(cfg: ModelConfig, grid: Grid, bc: BC, ts_range, tmix,
     ml = hmxl if hmxl is not None else jnp.full_like(grid.HT, zw[0])
     ml = jnp.where(ocean, jnp.maximum(ml, zw[0]), zw[0])
 
+    # only the T/S density diffs are needed for the buoyancy
+    # gradients: slice to two tracers (rx/ry/rz depend on T,S alone)
     _, _, _, rx, ry, rz_ktp_raw, _ = gm_mod.face_density_diffs(
-        cfg, grid, bc, ts_range, tmix)
+        cfg, grid, bc, ts_range, tmix[:2])
     rz_save = jnp.minimum(rz_ktp_raw, 0.0)   # RZ_SAVE (share module :398)
 
     # mixed-layer vertical average of the horizontal buoyancy gradient
