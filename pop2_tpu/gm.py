@@ -272,7 +272,10 @@ def kappa_vertical_bfre(cfg: ModelConfig, grid: Grid, ts_range, tmix, sdl,
     cand = cand.at[-1].set(False)
     exists = jnp.any(cand, axis=0)
     k_min0 = jnp.argmax(cand, axis=0)              # 0-based level index
-    n2_ref = jnp.take_along_axis(n2, k_min0[None], axis=0)[0]
+    # one-hot masked reduction (TPU-fast; kpp.blmix.gather rationale)
+    oh_ref = (jax.lax.broadcasted_iota(jnp.int32, (km, 1, 1), 0)
+              == k_min0[None]).astype(n2.dtype)
+    n2_ref = jnp.sum(n2 * oh_ref, axis=0)
     k_min = jnp.where(exists, k_min0 + 1, km + 1)  # 1-based; km+1 = none
 
     norm = jnp.where((kidx >= k_min[None]) & below & exists[None]

