@@ -107,7 +107,11 @@ def test_two_process_distributed_smoke(tmp_path):
     port = "12473"
     env = {k: v for k, v in os.environ.items()
            if ".axon_site" not in v or k != "PYTHONPATH"}
-    env.pop("PYTHONPATH", None)
+    # repo root instead of the inherited PYTHONPATH: the workers must
+    # import pop2_tpu without the axon sitecustomize, and must not
+    # depend on an editable install surviving environment resets
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), "2", port],
